@@ -1,0 +1,26 @@
+"""CDC core: envelope projection, last-writer-wins dedup, merge engine,
+truncate barrier (SURVEY.md §2.4 G1-G5, G8)."""
+
+from etl_stream_spark.cdc.dedup import last_writer_wins
+from etl_stream_spark.cdc.envelope import (
+    OP_DELETE,
+    OP_INSERT,
+    OP_TRUNCATE,
+    OP_UPDATE,
+    effective_row,
+    make_sequence,
+    with_cdc_metadata,
+)
+from etl_stream_spark.cdc.merge import ParquetMergeTable
+
+__all__ = [
+    "OP_DELETE",
+    "OP_INSERT",
+    "OP_TRUNCATE",
+    "OP_UPDATE",
+    "ParquetMergeTable",
+    "effective_row",
+    "last_writer_wins",
+    "make_sequence",
+    "with_cdc_metadata",
+]

@@ -1,0 +1,40 @@
+"""Last-writer-wins dedup (G3) — the reference's single window function.
+
+``ROW_NUMBER() OVER (PARTITION BY <pk...> ORDER BY sequence DESC)`` keep
+rank 1 (``etl-snowflake-py/etl_snowflake/task.py:168-177``).
+
+Scale notes:
+
+* The window shuffles once on the PK — the same shuffle the subsequent
+  merge join needs, so AQE/exchange-reuse can piggyback on it.
+* ``row_number`` needs no frame buffering (rank-only), so the state per
+  key is O(1); skewed PKs are impossible by definition (PK ~ unique),
+  skew can only come from *hot updating keys*, which is exactly the case
+  where keeping one row per key shrinks data the most.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_stream_spark.cdc.envelope import SEQUENCE_COL
+
+DEDUPE_RANK_COL = "_dedupe_id"
+
+
+def last_writer_wins(
+    df: DataFrame,
+    keys: Sequence[str],
+    seq_col: str = SEQUENCE_COL,
+    keep_rank_col: bool = False,
+) -> DataFrame:
+    """Keep only the highest-sequence row per key."""
+    if not keys:
+        raise ValueError("last_writer_wins requires at least one key column")
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.col(seq_col).desc())
+    ranked = df.withColumn(DEDUPE_RANK_COL, F.row_number().over(w))
+    out = ranked.filter(F.col(DEDUPE_RANK_COL) == 1)
+    return out if keep_rank_col else out.drop(DEDUPE_RANK_COL)

@@ -1,0 +1,225 @@
+"""CDC MERGE engine (G4) on plain parquet storage.
+
+Reproduces the reference's scheduled dedup+MERGE
+(``etl-snowflake-py/etl_snowflake/task.py:154-190``):
+
+    MERGE INTO target USING dedup(landing) ON pk-equality
+      WHEN MATCHED AND op = 'DELETE'            THEN DELETE
+      WHEN MATCHED AND op IN ('INSERT','UPDATE') THEN UPDATE
+      WHEN NOT MATCHED AND op IN ('INSERT','UPDATE') THEN INSERT
+
+plus one strengthening the reference gets for free from WAL ordering and
+FIXTURES.md F2 scenario 5 demands explicitly: the target keeps the last
+applied ``sequence`` per key, and a matched source row only wins when its
+sequence is *newer* — stale (out-of-order, cross-batch replayed) events
+lose, including stale deletes.
+
+Storage & scale design (Delta/Iceberg jars are absent in this image; on a
+real deployment this class swaps for ``DeltaTable.merge`` — the public
+API is identical):
+
+* the target is hash-bucketed on the PK into ``_bucket=NN`` parquet
+  partitions (``pmod(xxhash64(pk), num_buckets)``);
+* a merge touches only the buckets present in the incoming batch:
+  partition pruning limits the read, dynamic partition overwrite limits
+  the rewrite — rewrite amplification is ``touched_buckets/num_buckets``
+  of the table, not the whole table (the Delta partition-pruned MERGE
+  strategy). At 100 TB with e.g. 65 536 buckets, a 1000-row trickle batch
+  rewrites ≲1/65 536 of the table per trigger;
+* batch and target shuffle once, on the same key set (the join key), and
+  the dedup window reuses that exchange;
+* no driver-side iteration over data — the only ``collect`` is the
+  distinct *bucket id* list (bounded by ``num_buckets``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.errors.exceptions.captured import AnalysisException
+
+from etl_stream_spark.cdc.dedup import last_writer_wins
+from etl_stream_spark.cdc.envelope import (
+    OP_DELETE,
+    OPERATION_COL,
+    SEQUENCE_COL,
+    TIMESTAMP_COL,
+)
+
+BUCKET_COL = "_bucket"
+SEQ_STATE_COL = "_seq"
+
+_META_COLS = (OPERATION_COL, SEQUENCE_COL, TIMESTAMP_COL, BUCKET_COL, SEQ_STATE_COL)
+
+
+def _hadoop_path(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    return jvm.org.apache.hadoop.fs.Path(path)
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    p = _hadoop_path(spark, path)
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    return p.getFileSystem(conf), p
+
+
+class ParquetMergeTable:
+    """A PK-keyed, hash-bucketed parquet table supporting CDC MERGE.
+
+    The "silver" target of the bronze(landing)→silver flow (SURVEY §1.1).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: Sequence[str],
+        num_buckets: int = 32,
+    ) -> None:
+        if not keys:
+            raise ValueError("ParquetMergeTable requires at least one key column")
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.keys = list(keys)
+        self.num_buckets = num_buckets
+
+    # -- storage helpers ---------------------------------------------------
+
+    def _bucket_expr(self):
+        return F.pmod(F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(self.num_buckets)).cast(
+            "int"
+        )
+
+    def exists(self) -> bool:
+        fs, p = _hadoop_fs(self.spark, self.path)
+        return fs.exists(p)
+
+    def _read_state(self, buckets: list[int] | None = None) -> DataFrame | None:
+        """Read target incl. bookkeeping cols, pruned to ``buckets``."""
+        if not self.exists():
+            return None
+        try:
+            df = self.spark.read.option("mergeSchema", "true").parquet(self.path)
+        except AnalysisException:
+            # Directory exists but holds no data files (e.g. an all-DELETE
+            # first batch wrote an empty result) → same as no target.
+            return None
+        if buckets is not None:
+            df = df.filter(F.col(BUCKET_COL).isin(buckets))
+        return df
+
+    def read(self) -> DataFrame:
+        """Current merged state (user-facing columns only)."""
+        state = self._read_state()
+        if state is None:
+            return self.spark.createDataFrame([], "struct<>")
+        return state.drop(BUCKET_COL, SEQ_STATE_COL)
+
+    def truncate(self) -> None:
+        """TRUNCATE semantics (G8): drop all data, keep identity."""
+        fs, p = _hadoop_fs(self.spark, self.path)
+        if fs.exists(p):
+            fs.delete(p, True)
+
+    # -- the merge ---------------------------------------------------------
+
+    def merge(self, batch: DataFrame) -> None:
+        """Apply one CDC micro-batch (rows with OPERATION + SEQUENCE
+        metadata columns; DELETE rows may carry PKs only)."""
+        deduped = last_writer_wins(batch, self.keys, SEQUENCE_COL).drop(TIMESTAMP_COL)
+        deduped = deduped.withColumn(BUCKET_COL, self._bucket_expr())
+
+        # Distinct bucket ids in this batch — bounded by num_buckets, the
+        # only driver-side collect in the merge.
+        touched = [r[0] for r in deduped.select(BUCKET_COL).distinct().collect()]
+        if not touched:
+            return
+
+        target = self._read_state(buckets=touched)
+        if target is None:
+            result = (
+                deduped.filter(F.col(OPERATION_COL) != OP_DELETE)
+                .withColumnRenamed(SEQUENCE_COL, SEQ_STATE_COL)
+                .drop(OPERATION_COL)
+            )
+            self._write(result, full_overwrite=False)
+            return
+
+        b = deduped.alias("b")
+        t = target.alias("t")
+        t_data = [c for c in target.columns if c not in _META_COLS]
+        b_data = [c for c in deduped.columns if c not in _META_COLS]
+        all_data = t_data + [c for c in b_data if c not in t_data]
+
+        cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"b.{k}")) for k in self.keys]
+        joined = t.join(b, cond, "full_outer")
+
+        matched = F.col(f"t.{SEQ_STATE_COL}").isNotNull()
+        has_src = F.col(f"b.{SEQUENCE_COL}").isNotNull()
+        # Stale guard: a matched source row wins only with a newer sequence
+        # (zero-padded strings → lexicographic order == event order).
+        src_wins = has_src & (
+            ~matched | (F.col(f"b.{SEQUENCE_COL}") > F.col(f"t.{SEQ_STATE_COL}"))
+        )
+        is_delete = F.col(f"b.{OPERATION_COL}") == OP_DELETE
+
+        # WHEN MATCHED/NOT MATCHED + DELETE with a winning (newer) source
+        # sequence → row disappears; stale source or no source → keep target.
+        keep = ~(src_wins & is_delete) & (matched | (src_wins & ~is_delete))
+
+        def pick(col: str) -> F.Column:
+            b_side = F.col(f"b.{col}") if col in b_data else F.lit(None)
+            t_side = F.col(f"t.{col}") if col in t_data else F.lit(None)
+            return F.when(src_wins & ~is_delete, b_side).otherwise(t_side).alias(col)
+
+        key_exprs = [
+            F.coalesce(F.col(f"t.{k}"), F.col(f"b.{k}")).alias(k) for k in self.keys
+        ]
+        non_key_data = [c for c in all_data if c not in self.keys]
+        seq_expr = (
+            F.when(src_wins, F.col(f"b.{SEQUENCE_COL}"))
+            .otherwise(F.col(f"t.{SEQ_STATE_COL}"))
+            .alias(SEQ_STATE_COL)
+        )
+        bucket_expr = (
+            F.coalesce(F.col(f"t.{BUCKET_COL}"), F.col(f"b.{BUCKET_COL}"))
+            .alias(BUCKET_COL)
+        )
+
+        result = joined.filter(keep).select(
+            *key_exprs, *[pick(c) for c in non_key_data], seq_expr, bucket_expr
+        )
+        self._write(result, full_overwrite=False, touched=touched)
+
+    def _write(
+        self,
+        df: DataFrame,
+        full_overwrite: bool,
+        touched: list[int] | None = None,
+    ) -> None:
+        df = df.persist()
+        try:
+            (
+                df.repartition(BUCKET_COL)
+                .write.mode("overwrite")
+                .option(
+                    "partitionOverwriteMode",
+                    "static" if full_overwrite else "dynamic",
+                )
+                .partitionBy(BUCKET_COL)
+                .parquet(self.path)
+            )
+            if touched:
+                # Dynamic overwrite only replaces partitions that received
+                # output; a touched bucket whose rows were all deleted must
+                # be dropped explicitly or stale rows would survive.
+                with_rows = {r[0] for r in df.select(BUCKET_COL).distinct().collect()}
+                fs, _ = _hadoop_fs(self.spark, self.path)
+                for bucket in set(touched) - with_rows:
+                    p = _hadoop_path(self.spark, f"{self.path}/{BUCKET_COL}={bucket}")
+                    if fs.exists(p):
+                        fs.delete(p, True)
+        finally:
+            df.unpersist()

@@ -1,0 +1,151 @@
+"""Per-table CDC batch application: grouping, truncate barrier, merge.
+
+Reference parity:
+
+* G1 group-events-by-table + parallel per-table flush
+  (``src/destination/snowflake_destination.rs:1625-1786``) → driver loop
+  over the (small, bounded) distinct-table list, per-table Spark jobs
+  submitted from a thread pool (Spark schedules them concurrently);
+* G8 truncate ordering barrier — events before a TRUNCATE are applied,
+  the truncate runs, then later events continue; consecutive truncates
+  collapse (``etl-destination/src/bigquery/core.rs:559-676``).
+
+Only *event metadata* (table names, truncate sequences — both tiny and
+bounded) is ever collected to the driver; row data stays distributed.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_stream_spark.cdc.envelope import OP_TRUNCATE, OPERATION_COL, SEQUENCE_COL
+from etl_stream_spark.cdc.merge import ParquetMergeTable
+from etl_stream_spark.schema.identifiers import validate_identifier
+
+
+def apply_with_truncate_barrier(table: ParquetMergeTable, events: DataFrame) -> None:
+    """Apply one table's CDC events respecting TRUNCATE ordering (G8)."""
+    trunc_seqs = sorted(
+        r[0]
+        for r in events.filter(F.col(OPERATION_COL) == OP_TRUNCATE)
+        .select(SEQUENCE_COL)
+        .distinct()
+        .collect()
+    )
+    data = events.filter(F.col(OPERATION_COL) != OP_TRUNCATE)
+    if not trunc_seqs:
+        table.merge(data)
+        return
+    prev: str | None = None
+    for boundary in [*trunc_seqs, None]:
+        seg = data
+        if prev is not None:
+            seg = seg.filter(F.col(SEQUENCE_COL) > prev)
+        if boundary is not None:
+            seg = seg.filter(F.col(SEQUENCE_COL) < boundary)
+        table.merge(seg)  # no-op on empty segment (consecutive truncates)
+        if boundary is not None:
+            table.truncate()
+        prev = boundary
+
+
+@dataclass
+class CdcTableConfig:
+    keys: list[str]
+    num_buckets: int = 32
+
+
+class CdcBatchApplier:
+    """Routes a multi-table CDC micro-batch to per-table merge targets —
+    the body of a Structured Streaming ``foreachBatch`` (SURVEY §3.2)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_path: str,
+        tables: dict[str, CdcTableConfig],
+        table_col: str = "table",
+        max_parallel_tables: int = 4,
+    ) -> None:
+        self.spark = spark
+        self.base_path = base_path.rstrip("/")
+        self.table_col = table_col
+        self.max_parallel_tables = max_parallel_tables
+        self._targets: dict[str, ParquetMergeTable] = {}
+        self._configs = dict(tables)
+
+    def target(self, name: str) -> ParquetMergeTable:
+        if name not in self._targets:
+            validate_identifier(name, "table name")
+            cfg = self._configs[name]
+            self._targets[name] = ParquetMergeTable(
+                self.spark, f"{self.base_path}/{name}", cfg.keys, cfg.num_buckets
+            )
+        return self._targets[name]
+
+    def apply_batch(self, events: DataFrame, epoch_id: int | None = None) -> None:
+        names = [
+            r[0]
+            for r in events.select(self.table_col).distinct().collect()
+            if r[0] in self._configs
+        ]
+        if not names:
+            return
+
+        def run(name: str) -> None:
+            per_table = events.filter(F.col(self.table_col) == name).drop(self.table_col)
+            apply_with_truncate_barrier(self.target(name), per_table)
+
+        if len(names) == 1 or self.max_parallel_tables <= 1:
+            for n in names:
+                run(n)
+        else:
+            with ThreadPoolExecutor(max_workers=self.max_parallel_tables) as pool:
+                list(pool.map(run, names))
+
+
+@dataclass
+class LandingTable:
+    """Append-only bronze landing log with CDC metadata columns, the
+    analog of ``LANDING_<T>`` (``etl-snowflake-py/etl_snowflake/ddl.py:280-353``).
+
+    G5 purge: rows at or below a merged watermark sequence can be
+    dropped; with checkpointed exactly-once ``foreachBatch`` the landing
+    is optional and kept for audit/replay.
+    """
+
+    spark: SparkSession
+    path: str
+    partition_cols: tuple[str, ...] = field(default=())
+
+    def append(self, df: DataFrame) -> None:
+        writer = df.write.mode("append")
+        if self.partition_cols:
+            writer = writer.partitionBy(*self.partition_cols)
+        writer.parquet(self.path)
+
+    def read(self) -> DataFrame:
+        return self.spark.read.option("mergeSchema", "true").parquet(self.path)
+
+    def max_sequence(self) -> str:
+        """``COALESCE(MAX(sequence), '0')`` watermark snapshot
+        (``task.py:159-161``)."""
+        row = self.read().agg(F.coalesce(F.max(SEQUENCE_COL), F.lit("0"))).first()
+        return row[0]
+
+    def purge_upto(self, max_seq: str) -> None:
+        """Drop rows with sequence <= watermark (``task.py:186-189``) by
+        rewriting the retained remainder."""
+        retained = self.read().filter(F.col(SEQUENCE_COL) > max_seq)
+        tmp = self.path.rstrip("/") + "._purge_tmp"
+        retained.write.mode("overwrite").parquet(tmp)
+        fs_path = self.spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        src, dst = fs_path(tmp), fs_path(self.path)
+        fs = dst.getFileSystem(conf)
+        fs.delete(dst, True)
+        fs.rename(src, dst)

@@ -1,0 +1,224 @@
+"""CDC core tests — FIXTURES.md F2 scenario coverage (1-7)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_stream_spark.cdc import (
+    OP_DELETE,
+    OP_INSERT,
+    OP_TRUNCATE,
+    OP_UPDATE,
+    ParquetMergeTable,
+    last_writer_wins,
+    make_sequence,
+)
+from etl_stream_spark.cdc.envelope import effective_row, sequence_expr, with_cdc_metadata
+from etl_stream_spark.cdc.pipeline import (
+    CdcBatchApplier,
+    CdcTableConfig,
+    apply_with_truncate_barrier,
+    LandingTable,
+)
+
+EVENT_SCHEMA = "id long, name string, qty long, operation string, sequence string"
+
+
+def ev(id_, name, qty, op, seq_idx):
+    return (id_, name, qty, op, make_sequence(1_700_000_000_000_000, seq_idx))
+
+
+def make_batch(spark, rows):
+    return spark.createDataFrame(rows, EVENT_SCHEMA)
+
+
+def state_dict(table):
+    return {r["id"]: (r["name"], r["qty"]) for r in table.read().collect()}
+
+
+@pytest.fixture()
+def target(spark, tmp_path):
+    return ParquetMergeTable(spark, str(tmp_path / "target"), keys=["id"], num_buckets=4)
+
+
+class TestSequence:
+    def test_zero_padded_total_order(self):
+        a = make_sequence(1000, 5)
+        b = make_sequence(1000, 40)
+        c = make_sequence(1001, 0)
+        assert a < b < c  # lexicographic == numeric given fixed pad
+
+    def test_sequence_expr(self, spark):
+        df = spark.range(3).select(
+            sequence_expr(F.lit(123), F.col("id")).alias("seq")
+        )
+        assert [r.seq for r in df.collect()] == [
+            "123_00000000",
+            "123_00000001",
+            "123_00000002",
+        ]
+
+
+class TestEnvelope:
+    def test_with_cdc_metadata(self, spark):
+        df = spark.createDataFrame([(1, "a")], "id long, v string")
+        out = with_cdc_metadata(df, F.lit("INSERT"), F.lit("1_0"))
+        assert set(out.columns) == {"id", "v", "operation", "sequence", "cdc_timestamp"}
+
+    def test_effective_row_delete_uses_before(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("INSERT", "2", None, {"id": 1, "v": "new"}),
+                ("DELETE", "3", {"id": 1, "v": None}, None),
+            ],
+            "operation string, sequence string, before struct<id:long,v:string>, "
+            "after struct<id:long,v:string>",
+        )
+        rows = {r["sequence"]: r for r in effective_row(df).collect()}
+        assert rows["2"]["v"] == "new"
+        assert rows["3"]["id"] == 1 and rows["3"]["v"] is None
+
+
+class TestDedup:
+    def test_last_writer_wins(self, spark):
+        df = make_batch(
+            spark,
+            [ev(1, "a", 1, OP_INSERT, 0), ev(1, "b", 2, OP_UPDATE, 1), ev(2, "c", 3, OP_INSERT, 2)],
+        )
+        out = last_writer_wins(df, ["id"])
+        got = {r["id"]: r["name"] for r in out.collect()}
+        assert got == {1: "b", 2: "c"}
+
+
+class TestMergeScenarios:
+    def test_s1_insert_update_update_same_batch(self, spark, target):
+        target.merge(
+            make_batch(
+                spark,
+                [
+                    ev(1, "a", 1, OP_INSERT, 0),
+                    ev(1, "b", 2, OP_UPDATE, 1),
+                    ev(1, "c", 3, OP_UPDATE, 2),
+                ],
+            )
+        )
+        assert state_dict(target) == {1: ("c", 3)}
+
+    def test_s2_insert_delete_same_batch(self, spark, target):
+        target.merge(
+            make_batch(spark, [ev(1, "a", 1, OP_INSERT, 0), ev(1, None, None, OP_DELETE, 1)])
+        )
+        assert state_dict(target) == {}
+
+    def test_s3_delete_with_pk_only(self, spark, target):
+        target.merge(make_batch(spark, [ev(1, "a", 1, OP_INSERT, 0), ev(2, "b", 2, OP_INSERT, 1)]))
+        # DELETE row carries only the PK (no REPLICA IDENTITY FULL)
+        target.merge(make_batch(spark, [ev(1, None, None, OP_DELETE, 2)]))
+        assert state_dict(target) == {2: ("b", 2)}
+
+    def test_s4_update_for_never_inserted_pk_inserts(self, spark, target):
+        target.merge(make_batch(spark, [ev(7, "ghost", 9, OP_UPDATE, 0)]))
+        assert state_dict(target) == {7: ("ghost", 9)}
+
+    def test_s5_out_of_order_across_batches_older_loses(self, spark, target):
+        target.merge(make_batch(spark, [ev(1, "new", 2, OP_UPDATE, 10)]))
+        target.merge(make_batch(spark, [ev(1, "old", 1, OP_UPDATE, 5)]))  # stale replay
+        assert state_dict(target) == {1: ("new", 2)}
+        # stale DELETE must lose too
+        target.merge(make_batch(spark, [ev(1, None, None, OP_DELETE, 7)]))
+        assert state_dict(target) == {1: ("new", 2)}
+
+    def test_multi_batch_upsert_and_unmatched_rows_survive(self, spark, target):
+        target.merge(
+            make_batch(
+                spark, [ev(i, f"n{i}", i, OP_INSERT, i) for i in range(20)]
+            )
+        )
+        target.merge(make_batch(spark, [ev(3, "upd", 99, OP_UPDATE, 100)]))
+        st = state_dict(target)
+        assert len(st) == 20
+        assert st[3] == ("upd", 99)
+        assert st[7] == ("n7", 7)
+
+    def test_delete_empties_bucket(self, spark, target):
+        # All rows of one bucket deleted → the partition must not go stale.
+        target.merge(make_batch(spark, [ev(1, "a", 1, OP_INSERT, 0)]))
+        target.merge(make_batch(spark, [ev(1, None, None, OP_DELETE, 1)]))
+        assert state_dict(target) == {}
+        target.merge(make_batch(spark, [ev(1, "back", 5, OP_INSERT, 2)]))
+        assert state_dict(target) == {1: ("back", 5)}
+
+    def test_s7_schema_evolution_new_column(self, spark, target):
+        target.merge(make_batch(spark, [ev(1, "a", 1, OP_INSERT, 0)]))
+        evolved = spark.createDataFrame(
+            [(2, "b", 2, "extra", OP_INSERT, make_sequence(1_700_000_000_000_001, 0))],
+            "id long, name string, qty long, new_col string, operation string, sequence string",
+        )
+        target.merge(evolved)
+        rows = {r["id"]: r.asDict() for r in target.read().collect()}
+        assert rows[2]["new_col"] == "extra"
+        assert rows[1]["new_col"] is None  # old rows null-filled
+
+
+class TestTruncateBarrier:
+    def test_s6_truncate_interleaved(self, spark, target):
+        events = make_batch(
+            spark,
+            [
+                ev(1, "pre", 1, OP_INSERT, 0),
+                ev(2, "pre", 2, OP_INSERT, 1),
+                ev(None, None, None, OP_TRUNCATE, 2),
+                ev(3, "post", 3, OP_INSERT, 3),
+            ],
+        )
+        apply_with_truncate_barrier(target, events)
+        assert state_dict(target) == {3: ("post", 3)}
+
+    def test_consecutive_truncates_collapse(self, spark, target):
+        events = make_batch(
+            spark,
+            [
+                ev(1, "x", 1, OP_INSERT, 0),
+                ev(None, None, None, OP_TRUNCATE, 1),
+                ev(None, None, None, OP_TRUNCATE, 2),
+                ev(9, "y", 2, OP_INSERT, 3),
+            ],
+        )
+        apply_with_truncate_barrier(target, events)
+        assert state_dict(target) == {9: ("y", 2)}
+
+
+class TestBatchApplier:
+    def test_multi_table_routing(self, spark, tmp_path):
+        applier = CdcBatchApplier(
+            spark,
+            str(tmp_path / "tables"),
+            {"t1": CdcTableConfig(keys=["id"]), "t2": CdcTableConfig(keys=["id"])},
+        )
+        events = spark.createDataFrame(
+            [
+                ("t1", 1, "a", 1, OP_INSERT, make_sequence(1, 0)),
+                ("t2", 1, "b", 2, OP_INSERT, make_sequence(1, 1)),
+                ("t1", 1, "a2", 3, OP_UPDATE, make_sequence(1, 2)),
+                ("t3", 1, "ignored", 0, OP_INSERT, make_sequence(1, 3)),  # unregistered
+            ],
+            "table string, id long, name string, qty long, operation string, sequence string",
+        )
+        applier.apply_batch(events)
+        assert state_dict(applier.target("t1")) == {1: ("a2", 3)}
+        assert state_dict(applier.target("t2")) == {1: ("b", 2)}
+
+
+class TestLanding:
+    def test_append_watermark_purge(self, spark, tmp_path):
+        landing = LandingTable(spark, str(tmp_path / "landing"))
+        landing.append(
+            make_batch(spark, [ev(1, "a", 1, OP_INSERT, 0), ev(2, "b", 2, OP_INSERT, 1)])
+        )
+        landing.append(make_batch(spark, [ev(3, "c", 3, OP_INSERT, 2)]))
+        assert landing.read().count() == 3
+        wm = landing.max_sequence()
+        assert wm == make_sequence(1_700_000_000_000_000, 2)
+        landing.purge_upto(make_sequence(1_700_000_000_000_000, 1))
+        assert landing.read().count() == 1
