@@ -1,0 +1,839 @@
+"""Query catalog: every declared operator as a (Spark query, DuckDB
+oracle SQL) pair — the driver contract behind ``__spark_entry__``.
+
+Conventions that make the hash-compare deterministic:
+
+* money/value sums go through ``DECIMAL(18,2)`` per-row casts and sum to
+  ``DECIMAL(38,2)`` — exact integer arithmetic, summation-order
+  independent (Spark's partition reduce order is nondeterministic;
+  float sums would not be reproducible even against *itself*);
+* ratios/averages are IEEE-double expressions rounded to 6 dp;
+* every hash is md5-hex (engine-portable); min-hashes compare
+  lexicographically on the hex strings;
+* all integral outputs are 64-bit (Spark ``long`` / DuckDB ``BIGINT``),
+  ranks included;
+* column aliases match the oracle exactly (driver sorts by name).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from etl_stream_spark.cdc.dedup import last_writer_wins
+from etl_stream_spark.cdc.envelope import with_cdc_metadata
+from etl_stream_spark.operators import dedup as dd
+from etl_stream_spark.operators import multimodal as mm
+from etl_stream_spark.operators import sessionize as sz
+from etl_stream_spark.operators import similarity as sim
+from etl_stream_spark.operators import text_analysis as ta
+from etl_stream_spark.session import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+
+
+def _ensure_utc(spark: SparkSession) -> None:
+    # The oracle's timestamps are UTC-naive; pin the session so Spark
+    # renders the same wall-clock values regardless of driver config.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_utc(spark)
+    return load_table(spark, sf_dir, name)
+
+
+DEC = "decimal(18,2)"
+DECSUM = "decimal(38,2)"
+
+#: Per-row revenue in exact decimal arithmetic. Base columns are cast to
+#: decimal once (never computed doubles — their decimal expansions round
+#: differently across engines) and products keep their full scale: a
+#: scale-REDUCING decimal cast is itself engine-dependent (Spark rounds
+#: HALF_UP, DuckDB truncates), so none are used anywhere.
+_REVENUE_SQL = (
+    "(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(9,4))))"
+)
+_REVENUE_SUM_SQL = f"CAST(SUM({_REVENUE_SQL}) AS DECIMAL(38,6))"
+
+
+def _revenue_expr() -> F.Column:
+    return F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast("decimal(9,4)"))
+
+
+def _revenue_sum() -> F.Column:
+    return F.sum(_revenue_expr()).cast("decimal(38,6)")
+
+
+# --------------------------------------------------------------------------
+# Relational / TPC-H-ish (SURVEY §2.4-2.7 aggregation, windows, joins)
+# --------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: 2-key groupBy, 8 aggregates.
+
+    Catalyst pushes the shipdate filter into the parquet scan; the
+    aggregation is partial (map-side combine) before the 2-key shuffle.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    # All arithmetic in decimals: double→decimal happens once per *base*
+    # column (never on computed doubles, whose decimal expansion rounds
+    # differently across engines), products stay exact after that.
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast("decimal(9,4)")
+    tax = F.col("l_tax").cast("decimal(9,4)")
+    disc_price = price * (1 - disc)  # full-scale exact product
+    charge = price * (1 - disc) * (1 + tax)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast(DECSUM).alias("sum_qty"),
+            F.sum(price).cast(DECSUM).alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(38,6)").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(38,10)").alias("sum_charge"),
+            F.round(
+                F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_qty"),
+            F.round(F.sum(price).cast("double") / F.count(F.lit(1)), 6).alias("avg_price"),
+            F.round(F.sum(disc).cast("double") / F.count(F.lit(1)), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+WITH li AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+         CAST(l_discount AS DECIMAL(9,4)) AS disc,
+         CAST(l_tax AS DECIMAL(9,4)) AS tax
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(qty) AS DECIMAL(38,2)) AS sum_qty,
+       CAST(SUM(price) AS DECIMAL(38,2)) AS sum_base_price,
+       CAST(SUM(price * (1 - disc)) AS DECIMAL(38,6)) AS sum_disc_price,
+       CAST(SUM(price * (1 - disc) * (1 + tax)) AS DECIMAL(38,10)) AS sum_charge,
+       ROUND(CAST(SUM(qty) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+       ROUND(CAST(SUM(price) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+       ROUND(CAST(SUM(disc) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM li
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: 3-way join + agg + deterministic top-10."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_revenue_sum().alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(9,4)))) AS DECIMAL(38,6)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: 6-way join with broadcast dims, region filter."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_revenue_sum().alias("revenue"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(9,4)))) AS DECIMAL(38,6)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q_top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranking window (SURVEY §2.5/§2.6 top-k)."""
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return (
+        part.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "p_brand",
+            "p_partkey",
+            "p_name",
+            F.col("p_retailprice").cast(DEC).alias("retail_price"),
+            "rank",
+        )
+    )
+
+
+TOP3_SQL = """
+SELECT p_brand, p_partkey, p_name,
+       CAST(p_retailprice AS DECIMAL(18,2)) AS retail_price, rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY p_brand
+                               ORDER BY p_retailprice DESC, p_partkey) AS rank
+  FROM part
+) WHERE rank <= 3
+"""
+
+
+def q_order_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast(DECSUM).alias("total_price"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_price"),
+    )
+
+
+PRIORITY_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sz.hourly_event_rollup(_t(spark, sf_dir, "events"))
+
+
+HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sz.session_stats(_t(spark, sf_dir, "events"))
+
+
+SESSION_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events
+), g AS (
+  SELECT user_id, event_id, value, s,
+         CASE WHEN s - lag(s) OVER w IS NULL OR s - lag(s) OVER w > 1800
+              THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+), c AS (
+  SELECT user_id, value,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY s, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM g
+)
+SELECT user_id, CAST(MAX(session_seq) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+FROM c GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# CDC core as declarative queries (SURVEY §2.3-2.5 P2, G3, G4)
+# --------------------------------------------------------------------------
+
+_OP_CASE = (
+    "CASE event_type WHEN 'signup' THEN 'INSERT' "
+    "WHEN 'error' THEN 'DELETE' ELSE 'UPDATE' END"
+)
+
+
+def _op_col() -> F.Column:
+    return (
+        F.when(F.col("event_type") == "signup", "INSERT")
+        .when(F.col("event_type") == "error", "DELETE")
+        .otherwise("UPDATE")
+    )
+
+
+def _seq_col() -> F.Column:
+    return F.lpad(F.col("event_id").cast("string"), 20, "0")
+
+
+def cdc_metadata_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: append OPERATION/SEQUENCE/TIMESTAMP metadata columns."""
+    ev = _t(spark, sf_dir, "events")
+    return with_cdc_metadata(ev, _op_col(), _seq_col(), timestamp=F.col("ts")).select(
+        "event_id", "user_id", "operation", "sequence", "cdc_timestamp"
+    )
+
+
+CDC_META_SQL = f"""
+SELECT event_id, user_id,
+       {_OP_CASE} AS operation,
+       lpad(CAST(event_id AS VARCHAR), 20, '0') AS sequence,
+       ts AS cdc_timestamp
+FROM events
+"""
+
+
+def cdc_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3: last-writer-wins dedup window keyed by user."""
+    ev = _t(spark, sf_dir, "events")
+    return last_writer_wins(ev, ["user_id"], seq_col="event_id").select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").cast(DEC).alias("last_value"),
+    )
+
+
+CDC_LATEST_SQL = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       CAST(value AS DECIMAL(18,2)) AS last_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3+G4 declaratively: treat events as a CDC log (signup=INSERT,
+    error=DELETE, else UPDATE), dedupe per key, drop delete-winners —
+    the merged target state after replaying the log."""
+    ev = _t(spark, sf_dir, "events")
+    env = with_cdc_metadata(ev, _op_col(), _seq_col(), timestamp=F.col("ts"))
+    merged = last_writer_wins(env, ["user_id"])
+    return merged.filter(F.col("operation") != "DELETE").select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").cast(DEC).alias("last_value"),
+        F.col("sequence").alias("last_sequence"),
+    )
+
+
+CDC_FINAL_SQL = f"""
+SELECT user_id, event_type AS last_event_type,
+       CAST(value AS DECIMAL(18,2)) AS last_value,
+       lpad(CAST(event_id AS VARCHAR), 20, '0') AS last_sequence
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY lpad(CAST(event_id AS VARCHAR), 20, '0') DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND {_OP_CASE} <> 'DELETE'
+"""
+
+
+# --------------------------------------------------------------------------
+# Text analysis (documents table)
+# --------------------------------------------------------------------------
+
+#: Shared tokenizer CTE (must mirror text_analysis.tokens exactly).
+TOKS_CTE = (
+    "SELECT *, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),"
+    " x -> x <> '') AS t FROM documents"
+)
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ta.with_token_stats(docs).select(
+        "doc_id", "n_tokens", "n_uniq_tokens", "avg_token_len"
+    )
+
+
+TOKEN_STATS_SQL = f"""
+WITH toks AS ({TOKS_CTE})
+SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_uniq_tokens,
+       ROUND(CASE WHEN len(t) > 0
+                  THEN CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+                  ELSE 0.0 END, 6) AS avg_token_len
+FROM toks
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ta.with_quality_score(docs).select(
+        "doc_id", "n_tokens", "stopword_ratio", "punct_ratio", "quality_keep"
+    )
+
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in ta.STOPWORDS)
+QUALITY_SQL = f"""
+WITH toks AS ({TOKS_CTE}), q AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         ROUND(CASE WHEN len(t) > 0
+               THEN CAST(len(list_filter(t, x -> x IN ({_STOP_LIST}))) AS DOUBLE) / len(t)
+               ELSE 0.0 END, 6) AS stopword_ratio,
+         ROUND(CASE WHEN length(text) > 0
+               THEN CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+                    / length(text)
+               ELSE 0.0 END, 6) AS punct_ratio
+  FROM toks
+)
+SELECT doc_id, n_tokens, stopword_ratio, punct_ratio,
+       (n_tokens >= 5 AND punct_ratio < 0.3) AS quality_keep
+FROM q
+"""
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    cols = ["doc_id"] + [f"score_{lang}" for lang in sorted(ta.LANG_MARKERS)] + [
+        "predicted_lang"
+    ]
+    return ta.with_language_id(docs).select(*cols)
+
+
+def _langid_sql() -> str:
+    langs = sorted(ta.LANG_MARKERS)
+    score_exprs = []
+    for lang in langs:
+        marker_list = ", ".join(f"'{w}'" for w in ta.LANG_MARKERS[lang])
+        score_exprs.append(
+            f"CAST(len(list_filter(t, x -> x IN ({marker_list}))) AS BIGINT) AS score_{lang}"
+        )
+    best = "GREATEST(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+WITH toks AS ({TOKS_CTE}), scored AS (
+  SELECT doc_id, {", ".join(score_exprs)} FROM toks
+)
+SELECT doc_id, {", ".join(f"score_{lang}" for lang in langs)}, {case} AS predicted_lang
+FROM scored
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", ta.fingerprint("text").alias("fingerprint"))
+
+
+FINGERPRINT_SQL = f"""
+WITH toks AS ({TOKS_CTE})
+SELECT doc_id, md5(array_to_string(t, ' ')) AS fingerprint FROM toks
+"""
+
+
+# --------------------------------------------------------------------------
+# Deduplication (documents table)
+# --------------------------------------------------------------------------
+
+#: Shared shingle CTE (3-token shingles, distinct, short-doc fallback) —
+#: mirrors dedup.shingles.
+SHINGLES_CTE = (
+    "SELECT doc_id, source, CASE WHEN len(t) >= 3 THEN "
+    "list_distinct(list_transform(range(1, len(t) - 1), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) "
+    "ELSE [array_to_string(t, ' ')] END AS sh FROM toks"
+)
+
+_NUM_HASHES = 8
+_SIG_AGGS = ", ".join(
+    f"min(md5(shingle || '#{j}')) AS mh_{j}" for j in range(_NUM_HASHES)
+)
+SIG_CTES = (
+    f"toks AS ({TOKS_CTE}), shingled AS ({SHINGLES_CTE}), "
+    "exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled), "
+    f"sig AS (SELECT doc_id, {_SIG_AGGS} FROM exploded GROUP BY doc_id)"
+)
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+EXACT_SQL = f"""
+WITH toks AS ({TOKS_CTE})
+SELECT md5(array_to_string(t, ' ')) AS fingerprint,
+       MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_copies
+FROM toks GROUP BY 1
+"""
+
+
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_signatures(_t(spark, sf_dir, "documents"), num_hashes=_NUM_HASHES)
+
+
+MINHASH_SQL = f"WITH {SIG_CTES} SELECT * FROM sig"
+
+
+def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_hashes=_NUM_HASHES, band_size=2
+    )
+
+
+def _lsh_pairs_sql() -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, md5(mh_{2*b} || '|' || mh_{2*b+1}) AS band_key FROM sig"
+        for b in range(_NUM_HASHES // 2)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN sa.mh_{j} = sb.mh_{j} THEN 1 ELSE 0 END)" for j in range(_NUM_HASHES)
+    )
+    return f"""
+WITH {SIG_CTES}, bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST({matches} AS DOUBLE) / {_NUM_HASHES}, 6) AS est_jaccard
+FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), block_col="source", threshold=0.1
+    )
+
+
+NGRAM_SQL = f"""
+WITH toks AS ({TOKS_CTE}), shingled AS ({SHINGLES_CTE})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+FROM shingled a JOIN shingled b
+  ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(a.sh || b.sh)) >= 0.1
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash_fingerprints(_t(spark, sf_dir, "documents"), bits=60)
+
+
+SIMHASH_SQL = f"""
+WITH toks AS ({TOKS_CTE}),
+tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+h AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS hv FROM tok),
+bitsums AS (
+  SELECT doc_id, i, SUM(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS c
+  FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS i) idx
+  GROUP BY doc_id, i
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN c > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END) AS BIGINT) AS simhash
+FROM bitsums GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Similarity search (embeddings table)
+# --------------------------------------------------------------------------
+
+_DIMS = 64
+QVEC = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))"
+_DOT = "CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * cv[i])) AS DOUBLE)"
+_NORM = "CAST(list_sum(list_transform({v}, x -> x * x)) AS DOUBLE)"
+_COS = (
+    f"ROUND({_DOT} / sqrt({_NORM.format(v='qv')} * {_NORM.format(v='cv')}), 6)"
+)
+
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+KNN_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, {QVEC} AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, {QVEC} AS cv FROM embeddings),
+p AS (
+  SELECT query_id, neighbor_id, {_COS} AS cos_sim
+  FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM p
+) WHERE rank <= 5
+"""
+
+
+def _bucket_sql(vec: str, band: int, num_bits: int) -> str:
+    bits = []
+    for p in range(band * num_bits, (band + 1) * num_bits):
+        w = sim.hyperplane_weights(p, _DIMS)
+        wlist = "[" + ", ".join(str(x) for x in w) + "]"
+        s = f"list_sum(list_transform(range(1, {_DIMS + 1}), i -> {vec}[i] * ({wlist})[i]))"
+        bits.append(f"(CASE WHEN {s} >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits)
+
+
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.ann_lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, num_bits=4, num_bands=2, dims=_DIMS
+    )
+
+
+def _ann_sql(num_bits: int = 4, num_bands: int = 2) -> str:
+    cb = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, {_bucket_sql('v', b, num_bits)} AS bucket, v FROM qv"
+        for b in range(num_bands)
+    )
+    return f"""
+WITH qv AS (SELECT vec_id, {QVEC} AS v FROM embeddings),
+buckets AS ({cb}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  q.v AS qv, c.v AS cv
+  FROM buckets q JOIN buckets c
+    ON q.band = c.band AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 5
+),
+p AS (SELECT query_id, neighbor_id, {_COS} AS cos_sim FROM cand)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM p
+) WHERE rank <= 5
+"""
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.embedding_neardup_pairs(
+        emb, threshold=0.3, num_bits=4, num_bands=4, dims=_DIMS
+    )
+
+
+def _neardup_sql(num_bits: int = 4, num_bands: int = 4, threshold: float = 0.3) -> str:
+    cb = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, {_bucket_sql('v', b, num_bits)} AS bucket, v FROM qv"
+        for b in range(num_bands)
+    )
+    return f"""
+WITH qv AS (SELECT vec_id, {QVEC} AS v FROM embeddings),
+buckets AS ({cb}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS qv, b.v AS cv
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+p AS (SELECT id_a, id_b, {_COS} AS cos_sim FROM cand)
+SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= {threshold}
+"""
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (mapInPandas over binary payloads)
+# --------------------------------------------------------------------------
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.to_media_column(docs)
+    return mm.extract_features(media)
+
+
+MULTIMODAL_SQL = """
+SELECT doc_id, 'image' AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5,
+       CAST(64 + ('0x' || substr(md5(text), 1, 2))::INT % 64 AS INT) AS width,
+       CAST(64 + ('0x' || substr(md5(text), 3, 2))::INT % 64 AS INT) AS height,
+       CAST(3 AS INT) AS n_channels,
+       ROUND(sqrt(CAST((64 + ('0x' || substr(md5(text), 1, 2))::INT % 64)
+                  * (64 + ('0x' || substr(md5(text), 3, 2))::INT % 64) AS DOUBLE)), 6)
+         AS feature_norm
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Streaming (no SQL oracle — rows-only check; semantics tested in pytest)
+# --------------------------------------------------------------------------
+
+
+def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hourly rollup as an actual Structured Streaming job: file
+    source → windowed agg → memory sink, driven to completion with an
+    availableNow trigger (SURVEY §2.8)."""
+    _ensure_utc(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # stream the raw file (ts is nanosecond INT64 → read as long, convert)
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    name = "rollup_" + uuid.uuid4().hex[:8]
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("hour"), "event_type", "n_events"
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def cdc_streaming_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real CDC engine end-to-end: events → CDC envelope → streaming
+    foreachBatch → bucketed parquet MERGE target; returns the final
+    merged state (G1-G5 through the actual merge machinery)."""
+    from etl_stream_spark.cdc.pipeline import CdcBatchApplier, CdcTableConfig
+
+    _ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    env = (
+        with_cdc_metadata(ev, _op_col(), _seq_col(), timestamp=F.col("ts"))
+        .select("user_id", "event_type", "value", "operation", "sequence")
+        .withColumn("table", F.lit("events_state"))
+    )
+    root = tempfile.mkdtemp(prefix="cdc_stream_")
+    src = os.path.join(root, "in")
+    env.write.mode("overwrite").parquet(src)
+    applier = CdcBatchApplier(
+        spark,
+        os.path.join(root, "silver"),
+        {"events_state": CdcTableConfig(keys=["user_id"], num_buckets=8)},
+    )
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(lambda df, eid: applier.apply_batch(df, eid))
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    state = applier.target("events_state").read()
+    return state.select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").cast(DEC).alias("last_value"),
+    )
+
+
+CDC_STREAM_SQL = f"""
+SELECT user_id, event_type AS last_event_type,
+       CAST(value AS DECIMAL(18,2)) AS last_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY lpad(CAST(event_id AS VARCHAR), 20, '0') DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND {_OP_CASE} <> 'DELETE'
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+CATALOG: dict[str, QueryDef] = {
+    # relational
+    "q1_pricing_summary": QueryDef(q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": QueryDef(q3_shipping_priority, Q3_SQL),
+    "q5_region_revenue": QueryDef(q5_region_revenue, Q5_SQL),
+    "top3_parts_per_brand": QueryDef(q_top3_parts_per_brand, TOP3_SQL),
+    "order_priority_stats": QueryDef(q_order_priority_stats, PRIORITY_SQL),
+    "hourly_event_rollup": QueryDef(q_hourly_event_rollup, HOURLY_SQL),
+    "user_session_stats": QueryDef(q_user_session_stats, SESSION_SQL),
+    # CDC
+    "cdc_metadata_projection": QueryDef(cdc_metadata_projection, CDC_META_SQL),
+    "cdc_latest_event": QueryDef(cdc_latest_event, CDC_LATEST_SQL),
+    "cdc_final_state": QueryDef(cdc_final_state, CDC_FINAL_SQL),
+    # text analysis
+    "text_token_stats": QueryDef(text_token_stats, TOKEN_STATS_SQL),
+    "text_quality": QueryDef(text_quality, QUALITY_SQL),
+    "text_langid": QueryDef(text_langid, _langid_sql()),
+    "text_fingerprint": QueryDef(text_fingerprint, FINGERPRINT_SQL),
+    # dedup
+    "dedup_exact": QueryDef(dedup_exact, EXACT_SQL),
+    "dedup_minhash_signatures": QueryDef(dedup_minhash_signatures, MINHASH_SQL),
+    "dedup_lsh_pairs": QueryDef(dedup_lsh_pairs, _lsh_pairs_sql()),
+    "dedup_ngram_jaccard": QueryDef(dedup_ngram_jaccard, NGRAM_SQL),
+    "dedup_simhash": QueryDef(dedup_simhash, SIMHASH_SQL),
+    # similarity
+    "knn_bruteforce": QueryDef(knn_bruteforce, KNN_SQL),
+    "ann_lsh_topk": QueryDef(ann_lsh, _ann_sql()),
+    "embedding_neardup": QueryDef(embedding_neardup, _neardup_sql()),
+    # multimodal
+    "multimodal_features": QueryDef(multimodal_features, MULTIMODAL_SQL),
+    # streaming (real streaming jobs; rollup has no SQL twin → rows-only)
+    "streaming_hourly_rollup": QueryDef(streaming_hourly_rollup, None),
+    "cdc_streaming_merge": QueryDef(cdc_streaming_merge, CDC_STREAM_SQL),
+}

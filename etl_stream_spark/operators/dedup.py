@@ -1,0 +1,233 @@
+"""Deduplication operators for large text corpora.
+
+Five strategies, all shuffle-disciplined for 100 TB corpora:
+
+* **exact** — hash-groupBy on a canonical fingerprint. One shuffle on
+  the 16-byte digest; group sizes are near-1 so no skew.
+* **n-gram Jaccard** — exact set similarity over token shingles, blocked
+  by a key (default: a shared MinHash band) so the pair space is an
+  equi-join, never a cross join.
+* **MinHash + LSH** — k md5-based min-hashes over 3-token shingles,
+  banded; documents sharing a band bucket are candidate near-dups.
+  Classic Broder sketch: P[minhash match] = Jaccard.
+* **SimHash** — 60-bit sign-aggregated token-hash fingerprint; near-dups
+  have small Hamming distance.
+* **embedding cosine** — see ``similarity.py``; near-dup = cosine above
+  threshold among LSH-bucketed candidates.
+
+Everything is md5-hex based and therefore bit-exact reproducible in the
+ANSI-SQL oracle (md5 of a string is engine-independent; lexicographic
+``min`` over hex strings is a valid uniform min-hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_stream_spark.operators.text_analysis import fingerprint, tokens
+
+SHINGLE_WIDTH = 3
+
+
+def shingles(col: Column | str, width: int = SHINGLE_WIDTH) -> Column:
+    """Distinct ``width``-token shingles of the normalized token stream.
+
+    ``sequence(0, size-width)`` + ``transform`` stays JVM-side; documents
+    shorter than ``width`` tokens contribute their full token-join as a
+    single shingle so they still participate.
+    """
+    toks = tokens(col)
+    n = F.size(toks)
+    full = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n - width),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(width)]
+            ),
+        )
+    )
+    short = F.array(F.array_join(toks, " "))
+    return F.when(n >= width, full).otherwise(short)
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Group documents by canonical fingerprint: one row per distinct
+    content with the representative (min id) and copy count."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("rep_" + id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+) -> DataFrame:
+    """Per-document MinHash signature: for seed j,
+    ``mh_j = min(md5(shingle || '#' || j))`` over the shingle set.
+
+    Explode → groupBy(id) min-aggregates: one shuffle keyed by doc id;
+    map-side partial min keeps shuffle volume at one 32-char digest per
+    (doc, seed).
+    """
+    sh = df.select(F.col(id_col), F.explode(shingles(text_col)).alias("shingle"))
+    aggs = [
+        F.min(F.md5(F.concat_ws("#", F.col("shingle"), F.lit(str(j))))).alias(f"mh_{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_band_keys(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Signature → (id, band_id, band_key) rows. Documents sharing a
+    ``band_key`` within a ``band_id`` are LSH candidates."""
+    bands = []
+    for b in range(num_hashes // band_size):
+        cols = [F.col(f"mh_{j}") for j in range(b * band_size, (b + 1) * band_size)]
+        bands.append(
+            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("|", *cols)).alias("band_key"))
+        )
+    return (
+        sig.select(F.col(id_col), F.explode(F.array(*bands)).alias("band"))
+        .select(id_col, "band.band_id", "band.band_key")
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Candidate near-duplicate pairs: documents agreeing on at least one
+    LSH band, with the matching-minhash fraction as the Jaccard estimate.
+
+    The pair space is an equi-join on (band_id, band_key) — at scale the
+    bucket sizes, not n², bound the work; a hot bucket (boilerplate docs)
+    is handled by AQE skew-join splitting.
+    """
+    sig = minhash_signatures(df, id_col, text_col, num_hashes).cache()
+    bands = lsh_band_keys(sig, id_col, num_hashes, band_size)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), *[F.col(f"mh_{j}").alias(f"a_mh_{j}") for j in range(num_hashes)])
+    sb = sig.select(F.col(id_col).alias("id_b"), *[F.col(f"mh_{j}").alias(f"b_mh_{j}") for j in range(num_hashes)])
+    matches = sum(
+        F.when(F.col(f"a_mh_{j}") == F.col(f"b_mh_{j}"), 1).otherwise(0) for j in range(num_hashes)
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(matches.cast("double") / F.lit(num_hashes), 6).alias("est_jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    block_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = SHINGLE_WIDTH,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Exact Jaccard over ``width``-token shingle sets for document pairs
+    sharing ``block_col`` (blocked equi-join, not a cross join)."""
+    base = df.select(
+        F.col(id_col), F.col(block_col).alias("_block"), shingles(text_col, width).alias("_sh")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    inter = F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh")))
+    union = F.size(F.array_union(F.col("a._sh"), F.col("b._sh")))
+    jac = F.round(inter.cast("double") / union, 6)
+    return (
+        a.join(
+            b,
+            (F.col("a._block") == F.col("b._block"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60
+) -> DataFrame:
+    """SimHash over tokens: per token take the top ``bits`` of
+    md5(token); per bit position sum ±1 across all tokens (with
+    multiplicity); the sign vector is the fingerprint. 60 bits = 15 hex
+    digits so the value fits a signed 64-bit long in every engine.
+
+    Shape: explode tokens → explode bit positions → two aggregations
+    keyed by (doc, bit) then (doc). Shuffle volume is tokens×bits rows of
+    three small ints — map-side partial aggregation collapses most of it;
+    for a production 128-bit fingerprint at petabyte scale swap in an
+    Arrow-batched pandas_udf computing the whole signature per document.
+    """
+    if bits % 4 != 0 or bits > 60:
+        raise ValueError("bits must be a multiple of 4, at most 60")
+    hex_digits = bits // 4
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tk"))
+    h = tok.select(
+        id_col,
+        F.conv(F.substring(F.md5(F.col("tk")), 1, hex_digits), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    )
+    bit_rows = h.select(
+        id_col, "hv", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("i")
+    )
+    bitsums = bit_rows.groupBy(id_col, "i").agg(
+        F.sum(
+            F.when(F.expr("shiftright(hv, i) & 1") == 1, 1).otherwise(-1)
+        ).alias("c")
+    )
+    return bitsums.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("c") > 0, F.expr("shiftleft(cast(1 as bigint), i)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,221 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Two paths:
+
+* **brute-force top-k** — the exactness baseline: broadcast the (small)
+  query set against the corpus, cosine per pair, window top-k. The
+  corpus side is never shuffled — the join is a broadcast nested loop
+  over a *bounded* query set, so the plan scales linearly in corpus
+  size and is embarrassingly parallel across partitions.
+* **LSH-bucketed ANN** — random-hyperplane (sign) LSH: vectors hash to a
+  bucket per band; candidates = corpus rows sharing a bucket with the
+  query. Pair space is an equi-join on the bucket key → sub-linear
+  candidate counts at scale; recall tunable via bands × bits.
+
+Numeric discipline: vectors are quantized to integers
+(``round(x * 10^q)``) before any reduction, so dot products and norms
+are exact integer sums — independent of partition/summation order and
+bit-identical in the DuckDB oracle. The final cosine is one IEEE double
+division + sqrt, deterministic given identical integer inputs.
+
+Hyperplane weights are derived from md5 (±1 per (plane, dim)), keeping
+the ANN fully deterministic and SQL-reproducible — at production scale
+swap in float Gaussian planes via a Pandas UDF if preferred.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT_SCALE = 1000  # 10^3: three fractional digits survive quantization
+
+
+def quantize(col: Column | str, scale: int = QUANT_SCALE) -> Column:
+    """array<float> → array<long> of round(x*scale)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: F.round(x.cast("double") * scale, 0).cast("long"))
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product (order-independent)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+
+
+def int_norm_sq(a: Column) -> Column:
+    return int_dot(a, a)
+
+
+def cosine_from_quantized(a: Column, b: Column) -> Column:
+    """Cosine over quantized vectors, rounded to 6 dp."""
+    return F.round(
+        int_dot(a, b).cast("double")
+        / F.sqrt(int_norm_sq(a).cast("double") * int_norm_sq(b).cast("double")),
+        6,
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    ``queries`` must be small (it is broadcast); self-matches excluded.
+    Returns (query_id, neighbor_id, cos_sim, rank).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("_cvec")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), quantize(vec_col).alias("_qvec"))
+    pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        cosine_from_quantized(F.col("_qvec"), F.col("_cvec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def hyperplane_weights(plane: int, dims: int) -> list[int]:
+    """±1 weight vector of one LSH hyperplane: +1 when the first hex
+    digit of ``md5('<plane>:<d>')`` has its top bit set — a fair,
+    engine-independent deterministic coin (shared with the SQL oracle)."""
+    return [
+        1 if int(hashlib.md5(f"{plane}:{d}".encode()).hexdigest()[0], 16) >= 8 else -1
+        for d in range(dims)
+    ]
+
+
+def hyperplane_bit(vec: Column, plane: int, dims: int) -> Column:
+    """Sign bit of <vec, w_plane> — weights inlined as literals so the
+    whole band hash stays one codegen'd expression (no per-row md5)."""
+    w = F.array(*[F.lit(x) for x in hyperplane_weights(plane, dims)])
+    s = F.aggregate(
+        F.zip_with(vec, w, lambda v, wi: v * wi), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def lsh_bucket(vec: Column, num_bits: int, dims: int, band: int = 0) -> Column:
+    """Bucket key: the ``num_bits`` sign bits of one band, as a string."""
+    bits = [
+        hyperplane_bit(vec, band * num_bits + p, dims).cast("string") for p in range(num_bits)
+    ]
+    return F.concat_ws("", *bits)
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_bits: int = 4,
+    num_bands: int = 2,
+    dims: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates share at least one LSH band bucket
+    with the query, then exact cosine + window top-k over candidates.
+
+    Returns (query_id, neighbor_id, cos_sim, rank). Recall grows with
+    ``num_bands`` (OR-construction) and shrinks with ``num_bits``.
+    """
+
+    def with_buckets(df: DataFrame, id_alias: str) -> DataFrame:
+        qv = quantize(vec_col)
+        bucket_structs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                lsh_bucket(qv, num_bits, dims, band=b).alias("bucket"),
+            )
+            for b in range(num_bands)
+        ]
+        return df.select(
+            F.col(id_col).alias(id_alias),
+            qv.alias(f"_{id_alias}_vec"),
+            F.explode(F.array(*bucket_structs)).alias("bb"),
+        ).select(id_alias, f"_{id_alias}_vec", "bb.band", "bb.bucket")
+
+    cb = with_buckets(corpus, "neighbor_id")
+    qb = with_buckets(queries, "query_id")
+    cand = (
+        cb.join(
+            F.broadcast(qb),
+            (cb.band == qb.band)
+            & (cb.bucket == qb.bucket)
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("_query_id_vec").alias("_qvec"),
+            F.col("_neighbor_id_vec").alias("_cvec"),
+        )
+        .distinct()
+    )
+    pairs = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine_from_quantized(F.col("_qvec"), F.col("_cvec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_bits: int = 4,
+    num_bands: int = 4,
+    dims: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH blocking: pairs
+    sharing any band bucket with cosine >= threshold."""
+    qv = quantize(vec_col)
+    bucket_structs = [
+        F.struct(F.lit(b).alias("band"), lsh_bucket(qv, num_bits, dims, band=b).alias("bucket"))
+        for b in range(num_bands)
+    ]
+    base = df.select(
+        F.col(id_col), qv.alias("_vec"), F.explode(F.array(*bucket_structs)).alias("bb")
+    ).select(id_col, "_vec", "bb.band", "bb.bucket")
+    a, b = base.alias("a"), base.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a._vec").alias("_va"),
+            F.col("b._vec").alias("_vb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "id_a", "id_b", cosine_from_quantized(F.col("_va"), F.col("_vb")).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -71,8 +71,18 @@ def get_spark(
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated parquet table (columnar scan; Catalyst
-    pushes filters/projections down into this scan)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    pushes filters/projections down into this scan).
+
+    The ``events`` table carries nanosecond timestamps, which Spark's
+    parquet reader rejects natively — read them as longs and convert to
+    microsecond timestamps (truncation, matching DuckDB's nanos→µs)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,140 @@
+"""Operator-level tests: text analysis, dedup, similarity, multimodal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_stream_spark.operators import dedup as dd
+from etl_stream_spark.operators import multimodal as mm
+from etl_stream_spark.operators import similarity as sim
+from etl_stream_spark.operators import text_analysis as ta
+
+DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog", "a"),
+    (2, "the quick brown fox jumps over the lazy dog!", "a"),  # near-exact dup of 1
+    (3, "The quick brown fox jumps over a sleepy dog today", "a"),  # near dup
+    (4, "completely different content about spark engines", "b"),
+    (5, "short doc", "b"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, source string")
+
+
+class TestTextAnalysis:
+    def test_tokens_and_fingerprint_normalization(self, docs):
+        out = docs.select("doc_id", ta.fingerprint("text").alias("fp")).collect()
+        fps = {r.doc_id: r.fp for r in out}
+        # case/punctuation-insensitive: doc1 and doc2 share a fingerprint
+        assert fps[1] == fps[2]
+        assert fps[1] != fps[3]
+
+    def test_token_stats(self, docs):
+        rows = {r.doc_id: r for r in ta.with_token_stats(docs).collect()}
+        assert rows[1].n_tokens == 9
+        assert rows[1].n_uniq_tokens == 8  # 'the' twice
+        assert rows[5].n_tokens == 2
+
+    def test_quality(self, docs):
+        rows = {r.doc_id: r for r in ta.with_quality_score(docs).collect()}
+        assert rows[1].quality_keep is True
+        assert rows[5].quality_keep is False  # < 5 tokens
+        assert 0 < rows[1].stopword_ratio < 1
+
+    def test_langid_picks_en_for_english(self, docs):
+        rows = {r.doc_id: r for r in ta.with_language_id(docs).collect()}
+        assert rows[1].predicted_lang == "en"  # 'the'×2 + 'a'... markers hit
+
+
+class TestDedup:
+    def test_exact(self, docs):
+        out = dd.exact_duplicates(docs).collect()
+        groups = {r.fingerprint: r for r in out}
+        assert len(groups) == 4  # docs 1+2 merged
+        dup = [g for g in groups.values() if g.n_copies == 2]
+        assert len(dup) == 1 and dup[0].rep_doc_id == 1
+
+    def test_minhash_identical_docs_identical_signatures(self, docs):
+        sig = {r.doc_id: tuple(r)[1:] for r in dd.minhash_signatures(docs).collect()}
+        assert sig[1] == sig[2]
+        assert sig[1] != sig[4]
+
+    def test_lsh_pairs_find_near_dups(self, docs):
+        pairs = {(r.id_a, r.id_b): r.est_jaccard for r in dd.minhash_lsh_pairs(docs).collect()}
+        assert pairs.get((1, 2)) == 1.0  # identical after normalization
+        assert (1, 4) not in pairs  # unrelated docs shouldn't collide fully
+
+    def test_ngram_jaccard_blocked(self, docs):
+        pairs = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dd.ngram_jaccard_pairs(docs, block_col="source", threshold=0.1).collect()
+        }
+        assert pairs[(1, 2)] == 1.0
+        # doc 3 shares shingles with 1 but less than identity
+        assert 0.1 <= pairs[(1, 3)] < 1.0
+        # cross-block pairs are never considered
+        assert all(a in (1, 2, 3) and b in (1, 2, 3) or a in (4, 5) for a, b in pairs)
+
+    def test_simhash_hamming(self, spark, docs):
+        fp = {r.doc_id: r.simhash for r in dd.simhash_fingerprints(docs).collect()}
+        assert fp[1] == fp[2]
+        ham = spark.createDataFrame(
+            [(fp[1], fp[3]), (fp[1], fp[4])], "a long, b long"
+        ).select(dd.hamming_distance(F.col("a"), F.col("b")).alias("h")).collect()
+        near, far = ham[0].h, ham[1].h
+        assert near < far  # near-dup closer than unrelated
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0, 0.0]),  # close to 0
+    (2, [0.0, 1.0, 0.0, 0.0]),
+    (3, [0.0, 0.0, 1.0, 0.0]),
+    (4, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<float>")
+
+
+class TestSimilarity:
+    def test_brute_force_topk(self, vecs):
+        out = sim.brute_force_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=2)
+        rows = sorted((r.rank, r.neighbor_id, r.cos_sim) for r in out.collect())
+        assert rows[0][1] == 1  # nearest is the 0.9/0.1 vector
+        assert rows[0][2] > 0.99
+        assert len(rows) == 2
+
+    def test_ann_recall_vs_bruteforce(self, spark, vecs):
+        """LSH-ANN with enough bands should find the exact top-1."""
+        exact = sim.brute_force_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=1).collect()
+        approx = sim.ann_lsh_topk(
+            vecs, vecs.filter(F.col("vec_id") == 0), k=1, num_bits=2, num_bands=4, dims=4
+        ).collect()
+        assert approx and approx[0].neighbor_id == exact[0].neighbor_id
+
+    def test_quantized_cosine_bounds(self, vecs):
+        out = sim.brute_force_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=4).collect()
+        sims = {r.neighbor_id: r.cos_sim for r in out}
+        assert sims[4] == -1.0  # opposite vector
+        assert abs(sims[2]) < 1e-9  # orthogonal
+
+
+class TestMultimodal:
+    def test_media_plumbing_roundtrip(self, docs):
+        media = mm.to_media_column(docs)
+        feats = mm.extract_features(media)
+        rows = {r.doc_id: r for r in feats.collect()}
+        assert len(rows) == 5
+        r = rows[1]
+        assert r.n_bytes == len(DOCS[0][1].encode())
+        assert 64 <= r.width < 128 and 64 <= r.height < 128
+        assert r.n_channels == 3
+        # deterministic: same payload → same fake dimensions
+        again = {x.doc_id: x for x in mm.extract_features(media).collect()}
+        assert again[1].width == r.width and again[1].height == r.height
