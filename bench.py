@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+The measured set spans the engine's surfaces: columnar scan+agg (q1),
+shuffle joins (q3/q5), ranking windows (top3), event rollup + session
+windows, CDC dedup/merge semantics, text token stats, exact + MinHash
+dedup, SimHash fingerprints, and brute-force vector top-k.
+
+Each query runs once (cold) and is driven to completion with a
+count()-style action that forces full evaluation without collecting
+rows to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "top3_parts_per_brand",
+    "hourly_event_rollup",
+    "user_session_stats",
+    "cdc_latest_event",
+    "cdc_final_state",
+    "text_token_stats",
+    "text_quality",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_lsh_pairs",
+    "dedup_simhash",
+    "knn_bruteforce",
+    "ann_lsh_topk",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from etl_stream_spark.catalog import CATALOG
+    from etl_stream_spark.session import get_spark
+
+    spark = get_spark(app_name="etl_stream_spark_bench")
+    # warm the JVM/session with a trivial job so q1 doesn't pay startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = CATALOG[name].fn
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()  # forces full evaluation; result stays distributed
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]:.2f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from etl_stream_spark.operators.text_analysis import fingerprint, tokens
+from etl_stream_spark.plans.partitioning import ensure_parallelism
 
 SHINGLE_WIDTH = 3
 
@@ -79,7 +80,9 @@ def minhash_signatures(
     map-side partial min keeps shuffle volume at one 32-char digest per
     (doc, seed).
     """
-    sh = df.select(F.col(id_col), F.explode(shingles(text_col)).alias("shingle"))
+    sh = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(shingles(text_col)).alias("shingle")
+    )
     aggs = [
         F.min(F.md5(F.concat_ws("#", F.col("shingle"), F.lit(str(j))))).alias(f"mh_{j}")
         for j in range(num_hashes)
@@ -164,7 +167,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard over ``width``-token shingle sets for document pairs
     sharing ``block_col`` (blocked equi-join, not a cross join)."""
-    base = df.select(
+    base = ensure_parallelism(df).select(
         F.col(id_col), F.col(block_col).alias("_block"), shingles(text_col, width).alias("_sh")
     )
     a, b = base.alias("a"), base.alias("b")
@@ -203,7 +206,7 @@ def simhash_fingerprints(
     if bits % 4 != 0 or bits > 60:
         raise ValueError("bits must be a multiple of 4, at most 60")
     hex_digits = bits // 4
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tk"))
+    tok = ensure_parallelism(df).select(F.col(id_col), F.explode(tokens(text_col)).alias("tk"))
     h = tok.select(
         id_col,
         F.conv(F.substring(F.md5(F.col("tk")), 1, hex_digits), 16, 10)

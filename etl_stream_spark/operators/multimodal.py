@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_stream_spark.plans.partitioning import ensure_parallelism
+
 MEDIA_SCHEMA = (
     "doc_id long, payload binary, modality string, n_bytes long, content_md5 string"
 )
@@ -85,4 +87,4 @@ def extract_features(media: DataFrame) -> DataFrame:
             ]
             yield out
 
-    return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+    return ensure_parallelism(media).mapInPandas(_extract, schema=FEATURE_SCHEMA)

@@ -30,6 +30,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_stream_spark.plans.partitioning import ensure_parallelism
+
 QUANT_SCALE = 1000  # 10^3: three fractional digits survive quantization
 
 
@@ -71,7 +73,7 @@ def brute_force_topk(
     ``queries`` must be small (it is broadcast); self-matches excluded.
     Returns (query_id, neighbor_id, cos_sim, rank).
     """
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("_cvec")
     )
     q = queries.select(F.col(id_col).alias("query_id"), quantize(vec_col).alias("_qvec"))
@@ -142,7 +144,7 @@ def ann_lsh_topk(
             )
             for b in range(num_bands)
         ]
-        return df.select(
+        return ensure_parallelism(df).select(
             F.col(id_col).alias(id_alias),
             qv.alias(f"_{id_alias}_vec"),
             F.explode(F.array(*bucket_structs)).alias("bb"),
@@ -194,7 +196,7 @@ def embedding_neardup_pairs(
         F.struct(F.lit(b).alias("band"), lsh_bucket(qv, num_bits, dims, band=b).alias("bucket"))
         for b in range(num_bands)
     ]
-    base = df.select(
+    base = ensure_parallelism(df).select(
         F.col(id_col), qv.alias("_vec"), F.explode(F.array(*bucket_structs)).alias("bb")
     ).select(id_col, "_vec", "bb.band", "bb.bucket")
     a, b = base.alias("a"), base.alias("b")
