@@ -711,6 +711,93 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# Source & monitoring layer (S1 envelope decode, S6/G7 WAL aggregation)
+# --------------------------------------------------------------------------
+
+
+def cdc_envelope_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 end-to-end: events → Debezium-style JSON envelopes → typed
+    decode (``decode_cdc_json``). The encode→decode round trip must
+    equal the direct projection the oracle computes from the raw rows."""
+    from pyspark.sql import types as T
+
+    from etl_stream_spark.sources.envelope_decode import decode_cdc_json
+
+    ev = _t(spark, sf_dir, "events")
+    op_code = (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+    )
+    payload = F.struct("event_id", "user_id", "event_type", "value")
+    raw = ev.select(
+        F.to_json(
+            F.struct(
+                op_code.alias("op"),
+                F.unix_millis(F.col("ts")).alias("ts_ms"),
+                F.when(op_code == "d", payload).alias("before"),
+                F.when(op_code != "d", payload).alias("after"),
+                F.struct(
+                    F.col("event_id").alias("lsn"),
+                    F.lit("events").alias("table"),
+                    F.lit("public").alias("schema"),
+                ).alias("source"),
+            )
+        ).alias("value")
+    )
+    payload_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    decoded = decode_cdc_json(raw, payload_schema)
+    return decoded.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("value").cast(DEC).alias("value_dec"),
+        "operation",
+        "sequence",
+        F.col("table").alias("table_name"),
+    )
+
+
+ENVELOPE_SQL = f"""
+SELECT event_id, user_id, event_type,
+       CAST(value AS DECIMAL(18,2)) AS value_dec,
+       {_OP_CASE} AS operation,
+       printf('%016x/%016x', event_id, event_id) AS sequence,
+       'events' AS table_name
+FROM events
+"""
+
+
+def wal_size_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/G7: the per-source size aggregation feeding the alert state
+    machine, over a (source, size_bytes) projection of lineitem."""
+    from etl_stream_spark.streaming.monitor import wal_size_mb
+
+    li = _t(spark, sf_dir, "lineitem")
+    sizes = li.select(
+        F.concat(F.lit("src_"), F.col("l_suppkey").cast("string")).alias("source"),
+        F.col("l_quantity").cast("long").alias("size_bytes"),
+    )
+    return wal_size_mb(sizes).select(
+        "source", F.round(F.col("wal_size_mb"), 6).alias("wal_size_mb")
+    )
+
+
+WAL_SIZE_SQL = """
+SELECT 'src_' || CAST(l_suppkey AS VARCHAR) AS source,
+       ROUND(SUM(CAST(l_quantity AS BIGINT)) / 1048576.0, 6) AS wal_size_mb
+FROM lineitem GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Streaming (no SQL oracle — rows-only check; semantics tested in pytest)
 # --------------------------------------------------------------------------
 
@@ -813,6 +900,7 @@ CATALOG: dict[str, QueryDef] = {
     "hourly_event_rollup": QueryDef(q_hourly_event_rollup, HOURLY_SQL),
     "user_session_stats": QueryDef(q_user_session_stats, SESSION_SQL),
     # CDC
+    "cdc_envelope_decode": QueryDef(cdc_envelope_decode, ENVELOPE_SQL),
     "cdc_metadata_projection": QueryDef(cdc_metadata_projection, CDC_META_SQL),
     "cdc_latest_event": QueryDef(cdc_latest_event, CDC_LATEST_SQL),
     "cdc_final_state": QueryDef(cdc_final_state, CDC_FINAL_SQL),
@@ -833,6 +921,8 @@ CATALOG: dict[str, QueryDef] = {
     "embedding_neardup": QueryDef(embedding_neardup, _neardup_sql()),
     # multimodal
     "multimodal_features": QueryDef(multimodal_features, MULTIMODAL_SQL),
+    # source & monitoring layer
+    "wal_size_monitor": QueryDef(wal_size_monitor, WAL_SIZE_SQL),
     # streaming (real streaming jobs; rollup has no SQL twin → rows-only)
     "streaming_hourly_rollup": QueryDef(streaming_hourly_rollup, None),
     "cdc_streaming_merge": QueryDef(cdc_streaming_merge, CDC_STREAM_SQL),

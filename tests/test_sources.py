@@ -1,0 +1,144 @@
+"""Source layer: envelope decode (S1), initial copy (S2), config scan (S3)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_stream_spark.cdc.merge import ParquetMergeTable
+from etl_stream_spark.schema.identifiers import InvalidIdentifierError
+from etl_stream_spark.sources import (
+    INITIAL_COPY_SEQUENCE,
+    PipelineSpec,
+    decode_cdc_json,
+    initial_copy,
+    load_pipeline_specs,
+    read_cdc_file_stream,
+    specs_from_rows,
+)
+from etl_stream_spark.sources.envelope_decode import cdc_envelope_schema
+
+PAYLOAD = T.StructType(
+    [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+)
+
+
+def _envelope(op, lsn, before=None, after=None, table="users"):
+    return json.dumps(
+        {
+            "op": op,
+            "ts_ms": 1700000000000 + lsn,
+            "before": before,
+            "after": after,
+            "source": {"lsn": lsn, "table": table, "schema": "public"},
+        }
+    )
+
+
+class TestEnvelopeDecode:
+    def test_decode_ops_and_delete_before_image(self, spark):
+        rows = [
+            (_envelope("c", 10, after={"id": 1, "name": "a"}),),
+            (_envelope("u", 20, before={"id": 1, "name": "a"}, after={"id": 1, "name": "b"}),),
+            (_envelope("d", 30, before={"id": 1}),),
+            (_envelope("r", 5, after={"id": 2, "name": "snap"}),),
+            ("{broken json",),
+        ]
+        raw = spark.createDataFrame(rows, "value string")
+        out = decode_cdc_json(raw, PAYLOAD).orderBy("sequence").collect()
+        assert [r["operation"] for r in out] == ["INSERT", "INSERT", "UPDATE", "DELETE"]
+        # DELETE reads the before image (PK-only row → name null)
+        d = out[-1]
+        assert d["id"] == 1 and d["name"] is None
+        assert [r["table"] for r in out] == ["users"] * 4
+        seqs = [r["sequence"] for r in out]
+        assert seqs == sorted(seqs) and len(set(seqs)) == 4
+
+    def test_decode_is_streaming_compatible(self, spark, tmp_path):
+        src = tmp_path / "stream_src"
+        src.mkdir()
+        (src / "a.json").write_text(
+            "\n".join(
+                json.dumps({"value": _envelope("c", i, after={"id": i, "name": f"n{i}"})})
+                for i in range(3)
+            )
+        )
+        raw = read_cdc_file_stream(spark, str(src), "value string", fmt="json")
+        assert raw.isStreaming
+        decoded = decode_cdc_json(raw, PAYLOAD)
+        q = (
+            decoded.writeStream.format("memory")
+            .queryName("decode_stream_test")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        got = spark.sql("SELECT * FROM decode_stream_test").collect()
+        assert len(got) == 3 and all(r["operation"] == "INSERT" for r in got)
+
+
+class TestInitialCopy:
+    def test_snapshot_then_cdc_wins(self, spark, tmp_path):
+        target = ParquetMergeTable(spark, str(tmp_path / "t"), keys=["id"], num_buckets=4)
+        snap = spark.createDataFrame([(1, "one"), (2, "two")], "id long, name string")
+        initial_copy(target, snap)
+        assert {(r["id"], r["name"]) for r in target.read().collect()} == {
+            (1, "one"),
+            (2, "two"),
+        }
+        # a CDC update with any real sequence beats the snapshot stamp
+        upd = spark.createDataFrame(
+            [(1, "one-v2", "UPDATE", "00000000000000000010")],
+            "id long, name string, operation string, sequence string",
+        ).withColumn("cdc_timestamp", F.current_timestamp())
+        target.merge(upd)
+        assert {(r["id"], r["name"]) for r in target.read().collect()} == {
+            (1, "one-v2"),
+            (2, "two"),
+        }
+        assert INITIAL_COPY_SEQUENCE < "00000000000000000010"
+
+
+class TestConfigDb:
+    def test_specs_from_rows_defaults(self):
+        specs = specs_from_rows(
+            [{"pipeline_id": "p1", "source_path": "/s", "destination_path": "/d"}]
+        )
+        s = specs[0]
+        assert s.status == "START"
+        assert s.batch_max_size == 1000 and s.batch_max_fill_ms == 5000
+        assert s.trigger_interval == "5000 milliseconds"
+
+    def test_invalid_pipeline_id_rejected(self):
+        with pytest.raises(InvalidIdentifierError):
+            PipelineSpec(pipeline_id="p1; DROP TABLE", source_path="/s", destination_path="/d")
+
+    def test_load_from_json_config(self, spark, tmp_path):
+        cfg = tmp_path / "config"
+        cfg.mkdir()
+        (cfg / "pipelines.json").write_text(
+            json.dumps(
+                {
+                    "pipeline_id": "p2",
+                    "source_path": "/src",
+                    "destination_path": "/dst",
+                    "status": "PAUSE",
+                    "tables": ["a", "b"],
+                    "batch_max_fill_ms": 250,
+                }
+            )
+        )
+        specs = load_pipeline_specs(spark, str(cfg))
+        assert len(specs) == 1
+        assert specs[0].status == "PAUSE" and specs[0].tables == ("a", "b")
+        assert specs[0].trigger_interval == "250 milliseconds"
+
+
+class TestEnvelopeSchema:
+    def test_schema_shape(self):
+        sch = cdc_envelope_schema(PAYLOAD)
+        assert {f.name for f in sch.fields} == {"op", "ts_ms", "before", "after", "source"}
+        assert sch["before"].dataType == PAYLOAD
