@@ -53,8 +53,14 @@ def main() -> None:
     from etl_stream_spark.session import get_spark
 
     spark = get_spark(app_name="etl_stream_spark_bench")
-    # warm the JVM/session with a trivial job so q1 doesn't pay startup
+    # Warm the fixed per-session machinery so timings measure the engine,
+    # not one-time startup: JVM/codegen, the parquet reader, and the
+    # Python-UDF worker pool (reused across all pandas-UDF queries).
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    spark.createDataFrame([(1,)], "x long").repartition(32).mapInPandas(
+        lambda it: it, "x long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -493,13 +493,20 @@ SHINGLES_CTE = (
 )
 
 _NUM_HASHES = 8
+#: Universal-hash min-aggregates mirroring dedup.minhash_signatures:
+#: one md5 per shingle, k integer perturbations mod 2^31-1.
 _SIG_AGGS = ", ".join(
-    f"min(md5(shingle || '#{j}')) AS mh_{j}" for j in range(_NUM_HASHES)
+    "min((hv * {a} + {b}) % {p}) AS mh_{j}".format(
+        a=dd.minhash_params(j)[0], b=dd.minhash_params(j)[1], p=dd.MINHASH_PRIME, j=j
+    )
+    for j in range(_NUM_HASHES)
 )
 SIG_CTES = (
     f"toks AS ({TOKS_CTE}), shingled AS ({SHINGLES_CTE}), "
     "exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled), "
-    f"sig AS (SELECT doc_id, {_SIG_AGGS} FROM exploded GROUP BY doc_id)"
+    "hashed AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS hv "
+    "FROM exploded), "
+    f"sig AS (SELECT doc_id, {_SIG_AGGS} FROM hashed GROUP BY doc_id)"
 )
 
 

@@ -7,20 +7,25 @@ Five strategies, all shuffle-disciplined for 100 TB corpora:
 * **n-gram Jaccard** — exact set similarity over token shingles, blocked
   by a key (default: a shared MinHash band) so the pair space is an
   equi-join, never a cross join.
-* **MinHash + LSH** — k md5-based min-hashes over 3-token shingles,
-  banded; documents sharing a band bucket are candidate near-dups.
-  Classic Broder sketch: P[minhash match] = Jaccard.
+* **MinHash + LSH** — k min-hashes over 3-token shingles, banded;
+  documents sharing a band bucket are candidate near-dups. Classic
+  Broder sketch: P[minhash match] = Jaccard. Each shingle is md5-hashed
+  ONCE; the k per-seed hashes are a universal-hash family
+  ``(a_j * h + b_j) mod p`` over the digest prefix — integer ops instead
+  of k digests per shingle, and the min-aggregation shuffles 8-byte
+  longs instead of 32-char hex strings.
 * **SimHash** — 60-bit sign-aggregated token-hash fingerprint; near-dups
   have small Hamming distance.
 * **embedding cosine** — see ``similarity.py``; near-dup = cosine above
   threshold among LSH-bucketed candidates.
 
-Everything is md5-hex based and therefore bit-exact reproducible in the
-ANSI-SQL oracle (md5 of a string is engine-independent; lexicographic
-``min`` over hex strings is a valid uniform min-hash).
+Every hash bottoms out in md5 of a string plus integer arithmetic, both
+engine-independent, so the ANSI-SQL oracle reproduces results bit-exact.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -67,27 +72,52 @@ def exact_duplicates(
     )
 
 
+#: Mersenne prime 2^31-1: universal-hash modulus. With 28-bit digest
+#: prefixes and 28-bit coefficients the products stay < 2^59 — no 64-bit
+#: overflow in any engine (DuckDB errors on BIGINT overflow, Spark ANSI
+#: mode too, so staying in range is a correctness requirement).
+MINHASH_PRIME = 2_147_483_647
+_DIGEST_PREFIX_HEX = 7  # 28 bits of the md5 digest
+
+
+def minhash_params(j: int) -> tuple[int, int]:
+    """Deterministic 28-bit universal-hash coefficients for seed ``j``
+    (md5-derived so the SQL oracle regenerates them identically)."""
+    a = int(hashlib.md5(f"mh_a{j}".encode()).hexdigest()[:_DIGEST_PREFIX_HEX], 16) | 1
+    b = int(hashlib.md5(f"mh_b{j}".encode()).hexdigest()[:_DIGEST_PREFIX_HEX], 16)
+    return a, b
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 8,
 ) -> DataFrame:
-    """Per-document MinHash signature: for seed j,
-    ``mh_j = min(md5(shingle || '#' || j))`` over the shingle set.
+    """Per-document MinHash signature: each shingle hashed once
+    (``h = md5-prefix``), then ``mh_j = min((a_j*h + b_j) mod p)`` over
+    the shingle set — one digest per shingle, k integer perturbations.
 
     Explode → groupBy(id) min-aggregates: one shuffle keyed by doc id;
-    map-side partial min keeps shuffle volume at one 32-char digest per
+    map-side partial min keeps shuffle volume at one 8-byte long per
     (doc, seed).
     """
     sh = ensure_parallelism(df).select(
         F.col(id_col), F.explode(shingles(text_col)).alias("shingle")
     )
-    aggs = [
-        F.min(F.md5(F.concat_ws("#", F.col("shingle"), F.lit(str(j))))).alias(f"mh_{j}")
-        for j in range(num_hashes)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    base = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, _DIGEST_PREFIX_HEX), 16, 10)
+        .cast("long")
+        .alias("hv")
+    )
+    hashed = sh.select(F.col(id_col), base)
+    aggs = []
+    for j in range(num_hashes):
+        a, b = minhash_params(j)
+        aggs.append(
+            F.min((F.col("hv") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh_{j}")
+        )
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_band_keys(
