@@ -556,6 +556,40 @@ FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate clusters: connected components by
+    iterative min-label propagation; every document labeled with the
+    min doc_id reachable through the LSH candidate-pair graph."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, num_hashes=_NUM_HASHES, band_size=2)
+    return dd.duplicate_clusters(docs, pairs)
+
+
+def _clusters_sql() -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, md5(mh_{2*b} || '|' || mh_{2*b+1}) AS band_key FROM sig"
+        for b in range(_NUM_HASHES // 2)
+    )
+    return f"""
+WITH RECURSIVE {SIG_CTES}, bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION ALL SELECT id_b, id_a FROM cand
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+)
+SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), block_col="source", threshold=0.1
@@ -920,6 +954,7 @@ CATALOG: dict[str, QueryDef] = {
     "dedup_exact": QueryDef(dedup_exact, EXACT_SQL),
     "dedup_minhash_signatures": QueryDef(dedup_minhash_signatures, MINHASH_SQL),
     "dedup_lsh_pairs": QueryDef(dedup_lsh_pairs, _lsh_pairs_sql()),
+    "dedup_clusters": QueryDef(dedup_clusters, _clusters_sql()),
     "dedup_ngram_jaccard": QueryDef(dedup_ngram_jaccard, NGRAM_SQL),
     "dedup_simhash": QueryDef(dedup_simhash, SIMHASH_SQL),
     # similarity

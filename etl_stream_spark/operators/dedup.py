@@ -264,3 +264,71 @@ def simhash_fingerprints(
 
 def hamming_distance(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def duplicate_clusters(
+    vertices: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-duplicate *pairs* into duplicate *clusters*:
+    connected components, each document labeled with the minimum id
+    reachable through the pair graph (singletons label themselves).
+
+    Iterative min-label propagation with pointer jumping: per round,
+    every active vertex takes the min of its own label, its neighbors'
+    labels, and its label's label (path halving) — convergence in
+    O(log(diameter)) rounds rather than O(diameter).
+
+    Scale discipline:
+
+    * only vertices that appear in a pair propagate — in a dedup
+      workload the overwhelming majority of documents are singletons
+      and never enter the loop; they are unioned back at the end with
+      ``cluster_id = id``;
+    * labels are ``localCheckpoint``-ed each round so plan/lineage stay
+      flat across iterations;
+    * the fixpoint test is the label sum (labels only ever decrease, so
+      an unchanged sum ⇔ fixpoint) — a single-table aggregate, no join;
+      summed as DECIMAL(38,0) so arbitrary id magnitudes cannot
+      overflow. The only driver-side values are these per-round sums.
+    """
+    e = pairs.select(F.col(pair_a).alias("src"), F.col(pair_b).alias("dst"))
+    edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = edges.localCheckpoint(eager=False)
+    endpoints = edges.select(F.col("src").alias("id")).distinct()
+
+    all_ids = vertices.select(F.col(id_col).alias("id"))
+    labels = all_ids.join(endpoints, "id", "leftsemi").withColumn("comp", F.col("id"))
+    labels = labels.localCheckpoint(eager=True)
+    singletons = all_ids.join(endpoints, "id", "leftanti").withColumn("comp", F.col("id"))
+
+    prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        stepped = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select("id", F.least(F.col("comp"), F.col("nmin")).alias("comp"))
+        )
+        # pointer jump: comp := label(comp)
+        parent = stepped.select(F.col("id").alias("pid"), F.col("comp").alias("pcomp"))
+        jumped = (
+            stepped.join(parent, stepped.comp == parent.pid, "left")
+            .select("id", F.least(F.col("comp"), F.col("pcomp")).alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        labels = jumped
+        new_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.union(singletons).select(
+        F.col("id").alias(id_col), F.col("comp").alias("cluster_id")
+    )

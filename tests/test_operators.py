@@ -138,3 +138,26 @@ class TestMultimodal:
         # deterministic: same payload → same fake dimensions
         again = {x.doc_id: x for x in mm.extract_features(media).collect()}
         assert again[1].width == r.width and again[1].height == r.height
+
+
+class TestDuplicateClusters:
+    def test_chain_and_singleton(self, spark):
+        """Chain 1-2, 2-3, plus pair 10-11 and singleton 99: components
+        {1,2,3}→1, {10,11}→10, {99}→99."""
+        from etl_stream_spark.operators.dedup import duplicate_clusters
+
+        vertices = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 99]], "doc_id long")
+        pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+        got = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(vertices, pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+    def test_long_path_converges(self, spark):
+        """A 12-node path needs pointer jumping to converge within the
+        iteration budget; all nodes label to the minimum."""
+        from etl_stream_spark.operators.dedup import duplicate_clusters
+
+        n = 12
+        vertices = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+        got = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(vertices, pairs).collect()}
+        assert got == {i: 0 for i in range(n)}
