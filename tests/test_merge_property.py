@@ -1,0 +1,88 @@
+"""Property-based merge-engine test: random CDC event logs, randomly cut
+into micro-batches, must converge to the state a sequential Python
+oracle computes (state equivalence, SURVEY.md §5).
+
+Hypothesis generates the log shape (ops, keys, payloads, batch cuts,
+truncate placement); one Spark session replays it through
+ParquetMergeTable + the truncate barrier. Examples are kept small and
+the deadline disabled because each replay runs real Spark jobs.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_stream_spark.cdc.envelope import make_sequence
+from etl_stream_spark.cdc.merge import ParquetMergeTable
+from etl_stream_spark.cdc.pipeline import apply_with_truncate_barrier
+
+KEYS = [1, 2, 3]
+OPS = ["INSERT", "UPDATE", "DELETE", "TRUNCATE"]
+
+event_st = st.tuples(
+    st.sampled_from(OPS),
+    st.sampled_from(KEYS),
+    st.integers(min_value=0, max_value=99),
+)
+log_st = st.lists(event_st, min_size=1, max_size=14)
+# cut points that slice the log into consecutive micro-batches
+cuts_st = st.lists(st.integers(min_value=1, max_value=13), max_size=3, unique=True)
+
+
+def oracle_replay(events: list[tuple[str, int, int, str]]) -> dict[int, tuple[int, str]]:
+    """Sequential per-event application — the reference's WAL-order
+    semantics (op, key, payload, seq applied in sequence order)."""
+    state: dict[int, tuple[int, str]] = {}
+    for op, key, payload, seq in events:
+        if op == "TRUNCATE":
+            state.clear()
+        elif op == "DELETE":
+            state.pop(key, None)
+        else:  # INSERT / UPDATE both upsert
+            state[key] = (payload, seq)
+    return state
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(log=log_st, cuts=cuts_st)
+def test_random_log_converges_to_oracle_state(spark, tmp_path_factory, log, cuts):
+    events = [
+        (op, key, payload, make_sequence(1_700_000_000_000_000 + i, i))
+        for i, (op, key, payload) in enumerate(log)
+    ]
+    expected = oracle_replay(events)
+
+    table = ParquetMergeTable(
+        spark,
+        str(tmp_path_factory.mktemp("prop") / f"t_{uuid.uuid4().hex[:8]}"),
+        keys=["id"],
+        num_buckets=4,
+    )
+    bounds = sorted({c for c in cuts if c < len(events)})
+    batches, start = [], 0
+    for b in [*bounds, len(events)]:
+        if b > start:
+            batches.append(events[start:b])
+            start = b
+    for batch in batches:
+        df = spark.createDataFrame(
+            [
+                (key, payload if op != "DELETE" else None, op, seq)
+                for op, key, payload, seq in batch
+            ],
+            "id long, payload long, operation string, sequence string",
+        ).withColumn("cdc_timestamp", F.current_timestamp())
+        apply_with_truncate_barrier(table, df)
+
+    got = {r["id"]: r["payload"] for r in table.read().collect()}
+    assert got == {k: p for k, (p, _) in expected.items()}
