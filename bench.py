@@ -25,6 +25,10 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
     "top3_parts_per_brand",
     "hourly_event_rollup",
     "user_session_stats",

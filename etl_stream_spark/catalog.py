@@ -260,6 +260,200 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight multi-predicate filter + single agg — all
+    three predicates must reach the parquet scan (verified pushdown)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast("decimal(9,4)")
+            )
+            .cast("decimal(38,6)")
+            .alias("revenue")
+        )
+    )
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(9,4)))
+            AS DECIMAL(38,6)) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: 4-way join, filter on the fact side, top-20 by
+    revenue (deterministic tie-break on custkey). Dimensions broadcast."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_revenue_sum().alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name, {_REVENUE_SUM_SQL} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional (CASE) aggregation ratio over a
+    broadcast part join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = _revenue_expr()
+    joined = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0)))
+            .cast("decimal(38,6)")
+            .cast("double")
+            / F.sum(rev).cast("decimal(38,6)").cast("double"),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+Q14_SQL = f"""
+SELECT ROUND(100.0 * CAST(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {_REVENUE_SQL}
+                                        ELSE 0 END) AS DECIMAL(38,6)) AS DOUBLE)
+             / CAST({_REVENUE_SUM_SQL} AS DOUBLE), 6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-then-semi-join — the HAVING filter
+    reduces the fact side *before* joining order/customer attributes."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast(DECSUM).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast(DEC).alias("total_price"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("total_price"), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS total_price, sum_qty
+FROM (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 150
+) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_price DESC, o_orderkey LIMIT 100
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no order in early 1996 (the
+    reference's set-difference drift detection, as a relational shape)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-03-01"))
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+ANTI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-03-01')
+"""
+
+
+def q_active_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join: suppliers with at least one 1997 shipment — EXISTS
+    without materializing the match multiplicity."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    return s.join(
+        li, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+SEMI_SQL = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey
+              AND l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01')
+"""
+
+
+def q_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation: unique ordering customers per priority
+    (two-phase distinct-agg shuffle)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+DISTINCT_SQL = """
+SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def q_hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sz.hourly_event_rollup(_t(spark, sf_dir, "events"))
 
@@ -938,6 +1132,13 @@ CATALOG: dict[str, QueryDef] = {
     "q5_region_revenue": QueryDef(q5_region_revenue, Q5_SQL),
     "top3_parts_per_brand": QueryDef(q_top3_parts_per_brand, TOP3_SQL),
     "order_priority_stats": QueryDef(q_order_priority_stats, PRIORITY_SQL),
+    "q6_forecast_revenue": QueryDef(q6_forecast_revenue, Q6_SQL),
+    "q10_returned_items": QueryDef(q10_returned_items, Q10_SQL),
+    "q14_promo_revenue": QueryDef(q14_promo_revenue, Q14_SQL),
+    "q18_large_orders": QueryDef(q18_large_orders, Q18_SQL),
+    "customers_without_orders": QueryDef(q_customers_without_orders, ANTI_SQL),
+    "active_suppliers": QueryDef(q_active_suppliers, SEMI_SQL),
+    "distinct_customers": QueryDef(q_distinct_customers, DISTINCT_SQL),
     "hourly_event_rollup": QueryDef(q_hourly_event_rollup, HOURLY_SQL),
     "user_session_stats": QueryDef(q_user_session_stats, SESSION_SQL),
     # CDC
