@@ -109,6 +109,39 @@ class CdcBatchApplier:
 
 
 @dataclass
+class MergeTask:
+    """The scheduled landing→target merge loop
+    (``etl-snowflake-py/etl_snowflake/task.py:154-190``): snapshot the
+    landing watermark (G5), dedup+merge everything at or below it (G3/G4,
+    honoring the truncate barrier), then purge the merged landing rows.
+
+    The snapshot-first protocol makes the task safe to run concurrently
+    with ongoing landing appends: rows arriving after the snapshot are
+    untouched by both the merge and the purge and are picked up by the
+    next run. Cadence comes from the caller (the reference's Snowflake
+    TASK ``SCHEDULE`` ≙ however this is scheduled — a processing-time
+    trigger, a cron, or a driver loop).
+    """
+
+    landing: "LandingTable"
+    table: ParquetMergeTable
+
+    def run_once(self) -> str | None:
+        """One merge cycle; returns the consumed watermark sequence, or
+        None when the landing was empty."""
+        try:
+            max_seq = self.landing.max_sequence()
+        except Exception:  # landing path not created yet — nothing landed
+            return None
+        if max_seq == "0":
+            return None
+        batch = self.landing.read().filter(F.col(SEQUENCE_COL) <= max_seq)
+        apply_with_truncate_barrier(self.table, batch)
+        self.landing.purge_upto(max_seq)
+        return max_seq
+
+
+@dataclass
 class LandingTable:
     """Append-only bronze landing log with CDC metadata columns, the
     analog of ``LANDING_<T>`` (``etl-snowflake-py/etl_snowflake/ddl.py:280-353``).

@@ -12,6 +12,9 @@ exactly when the shuffle it introduces is cheap.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "_salt"
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -21,3 +24,33 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join resilient to hot keys on the big side.
+
+    The big side gets a pseudo-random salt in ``[0, salt_buckets)``; the
+    small side is replicated once per salt value, and the join runs on
+    ``on + [salt]`` — a hot key's rows spread across ``salt_buckets``
+    shuffle partitions instead of landing on one straggler task. Use
+    when the small side is too big to broadcast AND the key histogram is
+    skewed; with AQE's ``skewJoin`` (on by default in
+    :func:`~etl_stream_spark.session.get_spark`) prefer letting AQE
+    split first and reach for explicit salting only when a single key
+    exceeds what one task can sort.
+
+    Cost model: small side ×``salt_buckets`` shuffle volume, big side
+    unchanged — choose the smaller input as ``small``.
+    """
+    salts = F.array(*[F.lit(i) for i in range(salt_buckets)])
+    big_s = big.withColumn(
+        SALT_COL, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    )
+    small_s = small.withColumn(SALT_COL, F.explode(salts))
+    return big_s.join(small_s, [*on, SALT_COL], how).drop(SALT_COL)
