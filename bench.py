@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "knn_bruteforce",
     "ann_lsh_topk",
+    "ivf_topk",
+    "embedding_centroids",
     "multimodal_features",
 ]
 

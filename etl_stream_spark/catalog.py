@@ -925,6 +925,76 @@ SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= {threshold}
 # --------------------------------------------------------------------------
 
 
+def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: probe the nprobe nearest label-cells by centroid cosine,
+    score candidates only within them."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, nprobe=2)
+
+
+def _ivf_sql(k: int = 5, nprobe: int = 2) -> str:
+    dot = "CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * c[i])) AS DOUBLE)"
+    nq = "CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)"
+    nc = "CAST(list_sum(list_transform(c, x -> x * x)) AS DOUBLE)"
+    return f"""
+WITH ev AS (SELECT vec_id, label, {QVEC} AS v FROM embeddings),
+cd AS (
+  SELECT label, CAST(unnest(range(len(embedding))) AS INT) AS pos,
+         CAST(round(unnest(embedding) * 1000) AS BIGINT) AS qv
+  FROM embeddings
+),
+cm AS (
+  SELECT label, pos,
+         ROUND(CAST(SUM(qv) AS DOUBLE) / (COUNT(*) * 1000.0), 6) AS centroid_val
+  FROM cd GROUP BY label, pos
+),
+cv AS (
+  SELECT label, list(CAST(round(centroid_val * 1000000) AS BIGINT) ORDER BY pos) AS c
+  FROM cm GROUP BY label
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM ev WHERE vec_id < 5),
+qc AS (
+  SELECT query_id, qv, label, {dot} / sqrt({nq} * {nc}) AS cosc
+  FROM q CROSS JOIN cv
+),
+probed AS (
+  SELECT query_id, qv, label FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosc DESC, label) AS pr FROM qc
+  ) WHERE pr <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, p.qv, e.vec_id AS neighbor_id, e.v AS cv
+  FROM probed p JOIN ev e ON e.label = p.label AND e.vec_id <> p.query_id
+),
+scored AS (SELECT query_id, neighbor_id, {_COS} AS cos_sim FROM cand)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer step: exact-integer per-label centroid
+    components over quantized embeddings."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.centroids(emb, group_col="label", vec_col="embedding")
+
+
+CENTROIDS_SQL = """
+WITH q AS (
+  SELECT label, CAST(unnest(range(len(embedding))) AS INT) AS pos,
+         CAST(round(unnest(embedding) * 1000) AS BIGINT) AS qv
+  FROM embeddings
+)
+SELECT label, pos,
+       ROUND(CAST(SUM(qv) AS DOUBLE) / (COUNT(*) * 1000.0), 6) AS centroid_val
+FROM q GROUP BY label, pos
+"""
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = mm.to_media_column(docs)
@@ -1162,6 +1232,8 @@ CATALOG: dict[str, QueryDef] = {
     "knn_bruteforce": QueryDef(knn_bruteforce, KNN_SQL),
     "ann_lsh_topk": QueryDef(ann_lsh, _ann_sql()),
     "embedding_neardup": QueryDef(embedding_neardup, _neardup_sql()),
+    "embedding_centroids": QueryDef(embedding_centroids, CENTROIDS_SQL),
+    "ivf_topk": QueryDef(ivf_topk_q, _ivf_sql()),
     # multimodal
     "multimodal_features": QueryDef(multimodal_features, MULTIMODAL_SQL),
     # source & monitoring layer

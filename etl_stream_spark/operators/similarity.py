@@ -221,3 +221,105 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def centroids(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = QUANT_SCALE,
+) -> DataFrame:
+    """Per-group centroid components — the coarse-quantizer "training"
+    step of an IVF index (one Lloyd iteration over given assignments).
+
+    Vectors are quantized so the component sums are exact integers
+    (order-independent across partitions — a raw float sum would not
+    reproduce, even against itself); the mean is one double division at
+    the end. Shape: posexplode → groupBy(group, pos) — shuffle volume is
+    |groups| × dims rows of three ints, map-side partial aggregation
+    collapses the rest. Returns (group, pos, centroid_val) rows.
+    """
+    base = ensure_parallelism(df).select(
+        F.col(group_col), F.posexplode(quantize(vec_col, scale)).alias("pos", "qv")
+    )
+    return (
+        base.groupBy(group_col, "pos")
+        .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            group_col,
+            "pos",
+            F.round(F.col("s").cast("double") / (F.col("n") * float(scale)), 6).alias(
+                "centroid_val"
+            ),
+        )
+    )
+
+
+CENTROID_INT_SCALE = 1_000_000  # 6-dp centroid components → exact ints
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    scale: int = QUANT_SCALE,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the scale path beyond LSH.
+
+    The corpus is pre-partitioned into cells (``cell_col`` — a trained
+    coarse-quantizer assignment); search computes each query's cosine to
+    every cell *centroid* (|cells| comparisons, broadcast), probes only
+    the ``nprobe`` nearest cells, and scores candidates within them —
+    work scales with ``nprobe/|cells|`` of the corpus instead of all of
+    it. At 100 TB the corpus is stored partitioned BY cell, so probing
+    prunes file-level partitions and each probe is a co-located scan.
+
+    Determinism: centroids and all dot products are exact-integer
+    (quantized), ties broken on (cell) and (neighbor id) — bit-stable
+    across engines and partitionings.
+    """
+    cents = centroids(corpus, group_col=cell_col, vec_col=vec_col, scale=scale)
+    cvec = cents.groupBy(cell_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "centroid_val"))),
+            lambda s: F.round(s["centroid_val"] * CENTROID_INT_SCALE, 0).cast("long"),
+        ).alias("_cent")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), quantize(vec_col, scale).alias("_qvec"))
+    qc = q.join(F.broadcast(cvec))  # |queries| × |cells| — cells are few
+    cos_c = (
+        int_dot(F.col("_qvec"), F.col("_cent")).cast("double")
+        / F.sqrt(
+            int_norm_sq(F.col("_qvec")).cast("double")
+            * int_norm_sq(F.col("_cent")).cast("double")
+        )
+    ).alias("_cosc")
+    probe_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("_cosc"), F.col(cell_col)
+    )
+    probed = (
+        qc.select("query_id", "_qvec", F.col(cell_col), cos_c)
+        .withColumn("_pr", F.row_number().over(probe_rank))
+        .filter(F.col("_pr") <= nprobe)
+        .select("query_id", "_qvec", cell_col)
+    )
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(cell_col),
+        quantize(vec_col, scale).alias("_cvec"),
+    )
+    cand = probed.join(c, cell_col).filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine_from_quantized(F.col("_qvec"), F.col("_cvec")).alias("cos_sim"),
+    )
+    rank = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(rank))
+        .filter(F.col("rank") <= k)
+    )

@@ -161,3 +161,33 @@ class TestDuplicateClusters:
         pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
         got = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(vertices, pairs).collect()}
         assert got == {i: 0 for i in range(n)}
+
+
+class TestIvf:
+    def test_full_probe_equals_bruteforce(self, spark):
+        """With nprobe >= |cells| IVF degenerates to exact search."""
+        from etl_stream_spark.operators import similarity as sim
+        from etl_stream_spark.session import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        queries = emb.filter("vec_id < 3")
+        n_cells = emb.select("label").distinct().count()
+        exact = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in sim.brute_force_topk(emb, queries, k=3).collect()
+        }
+        ivf = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in sim.ivf_topk(emb, queries, k=3, nprobe=n_cells).collect()
+        }
+        assert ivf == exact
+
+    def test_narrow_probe_subsets_candidates(self, spark):
+        from etl_stream_spark.operators import similarity as sim
+        from etl_stream_spark.session import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        queries = emb.filter("vec_id < 3")
+        got = sim.ivf_topk(emb, queries, k=3, nprobe=1).collect()
+        assert len(got) == 9  # 3 queries × 3 ranks
+        assert all(r["neighbor_id"] != r["query_id"] for r in got)
