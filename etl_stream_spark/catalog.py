@@ -1180,6 +1180,87 @@ def cdc_streaming_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_sustained_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful sustained-threshold alert operator (§2.8) as a real
+    keyed stream (``applyInPandasWithState``), verified value-exact
+    against a declarative gaps-and-islands SQL oracle: events become
+    (source, wal_size_mb, obs_ts) observations; an alert fires once per
+    episode when a non-NORMAL status has been sustained ≥ 10 minutes."""
+    from etl_stream_spark.streaming.alerting import sustained_threshold_alerts
+
+    _ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.select(
+        F.col("user_id").cast("string").alias("source"),
+        (F.col("value") * 20).alias("wal_size_mb"),
+        (F.unix_micros(F.col("ts")).cast("double") / F.lit(1e6)).alias("obs_ts"),
+    )
+    root = tempfile.mkdtemp(prefix="alerts_stream_")
+    src = os.path.join(root, "obs")
+    obs.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(obs.schema).parquet(src)
+    alerts = sustained_threshold_alerts(stream)
+    name = "alerts_" + uuid.uuid4().hex[:8]
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "source",
+        "status",
+        F.round("wal_size_mb", 6).alias("wal_size_mb"),
+        "threshold_mb",
+        F.round("duration_mins", 6).alias("duration_mins"),
+        F.round("alert_ts", 6).alias("alert_ts"),
+    )
+
+
+ALERTS_SQL = """
+WITH obs AS (
+  SELECT CAST(user_id AS VARCHAR) AS source, value * 20 AS mb,
+         epoch_us(ts) / 1000000.0 AS t
+  FROM events
+),
+cls AS (
+  SELECT source, mb, t,
+         CASE WHEN mb >= 6000 THEN 'DANGER'
+              WHEN mb >= 3000 THEN 'WARNING' ELSE 'NORMAL' END AS status
+  FROM obs
+),
+seg AS (
+  SELECT *, CASE WHEN status IS DISTINCT FROM
+                 LAG(status) OVER (PARTITION BY source ORDER BY t)
+            THEN 1 ELSE 0 END AS chg
+  FROM cls
+),
+ep AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY source ORDER BY t
+                           ROWS UNBOUNDED PRECEDING) AS epi
+  FROM seg
+),
+d AS (SELECT *, MIN(t) OVER (PARTITION BY source, epi) AS ep_start FROM ep),
+cand AS (
+  SELECT source, status, mb, t, epi, (t - ep_start) / 60.0 AS dur
+  FROM d WHERE status <> 'NORMAL' AND (t - ep_start) / 60.0 >= 10.0
+),
+fired AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY source, epi ORDER BY t) AS rn
+    FROM cand
+  ) WHERE rn = 1
+)
+SELECT source, status, ROUND(mb, 6) AS wal_size_mb,
+       CAST(CASE WHEN status = 'DANGER' THEN 6000 ELSE 3000 END AS DOUBLE) AS threshold_mb,
+       ROUND(dur, 6) AS duration_mins, ROUND(t, 6) AS alert_ts
+FROM fired
+"""
+
+
 CDC_STREAM_SQL = f"""
 SELECT user_id, event_type AS last_event_type,
        CAST(value AS DECIMAL(18,2)) AS last_value
@@ -1240,5 +1321,6 @@ CATALOG: dict[str, QueryDef] = {
     "wal_size_monitor": QueryDef(wal_size_monitor, WAL_SIZE_SQL),
     # streaming (real streaming jobs; rollup has no SQL twin → rows-only)
     "streaming_hourly_rollup": QueryDef(streaming_hourly_rollup, None),
+    "streaming_sustained_alerts": QueryDef(streaming_sustained_alerts, ALERTS_SQL),
     "cdc_streaming_merge": QueryDef(cdc_streaming_merge, CDC_STREAM_SQL),
 }
