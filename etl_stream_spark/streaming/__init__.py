@@ -29,3 +29,7 @@ __all__ = [
     "ProgressCapture",
     "wal_size_mb",
 ]
+
+from etl_stream_spark.streaming.metrics import MetricsRegistry, health_snapshot  # noqa: E402
+
+__all__ += ["MetricsRegistry", "health_snapshot"]

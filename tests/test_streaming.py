@@ -300,3 +300,38 @@ class TestPipelineManagerAndE2E:
         landed = spark.read.parquet(str(tmp_path / "landing"))
         assert landed.count() == 5
         assert set(landed.columns) >= {"id", "name", "operation", "sequence", "cdc_timestamp"}
+
+
+class TestMetrics:
+    def test_counters_gauges_exposition(self):
+        from etl_stream_spark.streaming.metrics import MetricsRegistry
+
+        m = MetricsRegistry()
+        m.describe("events_applied_total", "CDC events applied")
+        m.inc("events_applied_total", 5, labels={"table": "users"})
+        m.inc("events_applied_total", 2, labels={"table": "users"})
+        m.set_gauge("wal_size_mb", 123.5, labels={"source": "s1"})
+        assert m.get("events_applied_total", {"table": "users"}) == 7
+        text = m.exposition()
+        assert "# HELP events_applied_total CDC events applied" in text
+        assert '# TYPE events_applied_total counter' in text
+        assert 'events_applied_total{table="users"} 7' in text
+        assert 'wal_size_mb{source="s1"} 123.5' in text
+
+    def test_health_snapshot(self, spark):
+        from etl_stream_spark.streaming.metrics import health_snapshot
+
+        class FakeQuery:
+            def __init__(self, active):
+                self.isActive = active
+
+        mgr = PipelineManager(spark, build=lambda s, sp: FakeQuery(True))
+        spec = PipelineSpec(
+            pipeline_id="hp", source_path="/s", destination_path="/d", tables=("t",)
+        )
+        mgr.sync([spec])
+        snap = health_snapshot(mgr)
+        assert snap["status"] == "healthy"
+        assert snap["pipelines"]["hp"] == {"active": True, "tables": ["t"]}
+        mgr.running["hp"].isActive = False
+        assert health_snapshot(mgr)["status"] == "degraded"
