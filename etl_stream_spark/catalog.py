@@ -673,6 +673,23 @@ SELECT doc_id, md5(array_to_string(t, ' ')) AS fingerprint FROM toks
 """
 
 
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", ta.rolling_fingerprint("text").alias("rolling_fp"))
+
+
+ROLLING_FP_SQL = f"""
+WITH toks AS ({TOKS_CTE})
+SELECT doc_id,
+       CASE WHEN len(t) = 0 THEN 0
+            ELSE list_reduce(
+                   list_transform(t, tk -> ('0x' || substr(md5(tk), 1, 7))::BIGINT),
+                   (a, b) -> (a * 131 + b) % 2147483647)
+       END AS rolling_fp
+FROM toks
+"""
+
+
 # --------------------------------------------------------------------------
 # Deduplication (documents table)
 # --------------------------------------------------------------------------
@@ -1302,6 +1319,7 @@ CATALOG: dict[str, QueryDef] = {
     "text_quality": QueryDef(text_quality, QUALITY_SQL),
     "text_langid": QueryDef(text_langid, _langid_sql()),
     "text_fingerprint": QueryDef(text_fingerprint, FINGERPRINT_SQL),
+    "text_rolling_fingerprint": QueryDef(text_rolling_fingerprint, ROLLING_FP_SQL),
     # dedup
     "dedup_exact": QueryDef(dedup_exact, EXACT_SQL),
     "dedup_minhash_signatures": QueryDef(dedup_minhash_signatures, MINHASH_SQL),

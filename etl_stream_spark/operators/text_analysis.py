@@ -128,3 +128,26 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         pred = cur if pred is None else F.when(F.col(f"score_{lang}") == best, cur).otherwise(pred)
     out = out.withColumn("predicted_lang", pred)
     return out.drop("_toks")
+
+
+ROLLING_BASE = 131
+ROLLING_PRIME = 2_147_483_647  # 2^31-1: keeps every Horner step < 2^39
+
+
+def rolling_fingerprint(col: Column | str) -> Column:
+    """Rabin-Karp polynomial rolling hash over the token stream:
+    ``h = fold(tokens, (acc, t) -> (acc*B + md5_28(t)) mod p)`` — an
+    order-sensitive fingerprint (anagram documents hash differently,
+    unlike a bag-of-tokens digest). One sequential fold per document,
+    JVM-side via ``F.aggregate``; 28-bit token hashes and B=131 keep
+    every intermediate below 2^39, safe for engines that error on
+    64-bit overflow. Empty documents hash to 0."""
+    h = F.transform(
+        tokens(col),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long"),
+    )
+    return F.aggregate(
+        h,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * ROLLING_BASE + x) % ROLLING_PRIME,
+    )

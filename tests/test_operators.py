@@ -191,3 +191,19 @@ class TestIvf:
         got = sim.ivf_topk(emb, queries, k=3, nprobe=1).collect()
         assert len(got) == 9  # 3 queries × 3 ranks
         assert all(r["neighbor_id"] != r["query_id"] for r in got)
+
+
+class TestRollingFingerprint:
+    def test_order_sensitive_and_stable(self, spark):
+        from etl_stream_spark.operators.text_analysis import rolling_fingerprint
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma"), (4, "")],
+            "id long, text string",
+        )
+        got = {r["id"]: r["fp"] for r in df.select("id", rolling_fingerprint("text").alias("fp")).collect()}
+        assert got[1] == got[3]          # identical docs → identical hash
+        assert got[1] != got[2]          # reordered tokens → different hash
+        assert got[4] == 0               # empty doc
+        assert all(0 <= v < 2_147_483_647 for v in got.values())
