@@ -514,6 +514,35 @@ def _seq_col() -> F.Column:
     return F.lpad(F.col("event_id").cast("string"), 20, "0")
 
 
+def cdc_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: landed JSON-string column → typed struct at merge time
+    (TRY_PARSE_JSON semantics — malformed input nulls, never errors),
+    then aggregated to prove the typed value is usable downstream."""
+    from etl_stream_spark.functions.parsing import parse_json_columns
+
+    ev = _t(spark, sf_dir, "events")
+    typed = parse_json_columns(ev, {"props": "struct<k: bigint>"})
+    return (
+        typed.select("event_type", F.col("props.k").alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_parsed"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+JSON_PROPS_SQL = """
+SELECT event_type, COUNT(k) AS n_parsed, SUM(k) AS sum_k,
+       MIN(k) AS min_k, MAX(k) AS max_k
+FROM (SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+GROUP BY event_type
+"""
+
+
 def cdc_metadata_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2: append OPERATION/SEQUENCE/TIMESTAMP metadata columns."""
     ev = _t(spark, sf_dir, "events")
@@ -1312,6 +1341,7 @@ CATALOG: dict[str, QueryDef] = {
     # CDC
     "cdc_envelope_decode": QueryDef(cdc_envelope_decode, ENVELOPE_SQL),
     "cdc_metadata_projection": QueryDef(cdc_metadata_projection, CDC_META_SQL),
+    "cdc_json_props": QueryDef(cdc_json_props, JSON_PROPS_SQL),
     "cdc_latest_event": QueryDef(cdc_latest_event, CDC_LATEST_SQL),
     "cdc_final_state": QueryDef(cdc_final_state, CDC_FINAL_SQL),
     # text analysis

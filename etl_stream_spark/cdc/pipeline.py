@@ -70,11 +70,13 @@ class CdcBatchApplier:
         tables: dict[str, CdcTableConfig],
         table_col: str = "table",
         max_parallel_tables: int = 4,
+        metrics=None,
     ) -> None:
         self.spark = spark
         self.base_path = base_path.rstrip("/")
         self.table_col = table_col
         self.max_parallel_tables = max_parallel_tables
+        self.metrics = metrics  # optional MetricsRegistry
         self._targets: dict[str, ParquetMergeTable] = {}
         self._configs = dict(tables)
 
@@ -99,6 +101,8 @@ class CdcBatchApplier:
         def run(name: str) -> None:
             per_table = events.filter(F.col(self.table_col) == name).drop(self.table_col)
             apply_with_truncate_barrier(self.target(name), per_table)
+            if self.metrics is not None:
+                self.metrics.inc("cdc_batches_applied_total", labels={"table": name})
 
         if len(names) == 1 or self.max_parallel_tables <= 1:
             for n in names:

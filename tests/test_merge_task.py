@@ -86,3 +86,23 @@ class TestSaltedJoin:
             for r in salted_join(big, small, ["k"], salt_buckets=8).collect()
         }
         assert salted == plain and len(salted) == 300
+
+
+class TestApplierMetrics:
+    def test_batches_counted_per_table(self, spark, tmp_path):
+        from etl_stream_spark.cdc.pipeline import CdcBatchApplier, CdcTableConfig
+        from etl_stream_spark.streaming.metrics import MetricsRegistry
+
+        m = MetricsRegistry()
+        applier = CdcBatchApplier(
+            spark,
+            str(tmp_path / "s"),
+            {"t1": CdcTableConfig(keys=["id"])},
+            metrics=m,
+        )
+        batch = _events(spark, [(1, "a", "INSERT", "01")]).withColumn(
+            "table", F.lit("t1")
+        )
+        applier.apply_batch(batch)
+        applier.apply_batch(batch)
+        assert m.get("cdc_batches_applied_total", {"table": "t1"}) == 2
