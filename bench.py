@@ -72,12 +72,17 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = CATALOG[name].fn
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()  # forces full evaluation; result stays distributed
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()  # forces full evaluation; result stays distributed
+        except Exception as exc:  # record the failure, keep benching
+            timings[name] = -1.0
+            print(f"# {name}: FAILED {exc}", file=sys.stderr)
+            continue
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]:.2f}s", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
             {

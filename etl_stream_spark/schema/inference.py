@@ -81,3 +81,15 @@ def infer_struct_type(rows: list[dict[str, object]]) -> T.StructType:
             dtype = infer_spark_type(first_nonnull.get(k))
         fields.append(T.StructField(k, dtype, True))
     return T.StructType(fields)
+
+
+def arrow_to_struct_type(arrow_schema) -> T.StructType:
+    """Arrow-schema → Spark StructType recovery — the Arrow-based
+    inference fallback (``etl-snowflake-py/etl_snowflake/client.py:
+    624-656``). Uses PySpark's own Arrow conversion so every Arrow type
+    Spark can exchange is covered; fields become nullable (landed CDC
+    columns are all-nullable, ``ddl.py:290-321``)."""
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    struct = from_arrow_schema(arrow_schema, prefer_timestamp_ntz=True)
+    return T.StructType([T.StructField(f.name, f.dataType, True) for f in struct.fields])

@@ -179,3 +179,26 @@ class TestInference:
         assert st["a"].dataType == T.BooleanType()
         assert st["b"].dataType == T.LongType()
         assert st["c"].dataType == T.StringType()
+
+
+class TestArrowInference:
+    def test_arrow_schema_roundtrip(self):
+        import pyarrow as pa
+
+        from etl_stream_spark.schema.inference import arrow_to_struct_type
+        from pyspark.sql import types as T
+
+        arrow = pa.schema(
+            [
+                pa.field("id", pa.int64(), nullable=False),
+                pa.field("name", pa.string()),
+                pa.field("score", pa.float64()),
+                pa.field("tags", pa.list_(pa.string())),
+                pa.field("ts", pa.timestamp("us")),
+            ]
+        )
+        st = arrow_to_struct_type(arrow)
+        assert st["id"].dataType == T.LongType()
+        assert st["id"].nullable is True  # forced nullable
+        assert st["tags"].dataType == T.ArrayType(T.StringType())
+        assert isinstance(st["ts"].dataType, T.TimestampNTZType)
