@@ -54,3 +54,29 @@ def salted_join(
     )
     small_s = small.withColumn(SALT_COL, F.explode(salts))
     return big_s.join(small_s, [*on, SALT_COL], how).drop(SALT_COL)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    keys: list[str],
+    num_buckets: int,
+    sort: bool = True,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Persist a table hash-bucketed (and sorted) on its join/merge keys.
+
+    Two tables bucketed on the same keys with the same bucket count
+    join WITHOUT a shuffle exchange — the scan itself satisfies the
+    join's partitioning requirement, and with ``sort`` the sort-merge
+    join skips its sorts too. This is the co-location strategy for the
+    repeated big-big joins of a 100 TB deployment (fact-fact joins,
+    landing→target merges): pay the shuffle once at write time, never
+    at read time. Requires a catalog table (``saveAsTable``) — plain
+    ``.parquet(path)`` writes cannot record bucketing metadata.
+    """
+    writer = df.write.format(fmt).mode(mode).bucketBy(num_buckets, *keys)
+    if sort:
+        writer = writer.sortBy(*keys)
+    writer.saveAsTable(table_name)

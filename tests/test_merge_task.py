@@ -106,3 +106,31 @@ class TestApplierMetrics:
         applier.apply_batch(batch)
         applier.apply_batch(batch)
         assert m.get("cdc_batches_applied_total", {"table": "t1"}) == 2
+
+
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_shuffle(self, spark):
+        from etl_stream_spark.plans.partitioning import write_bucketed
+
+        facts = spark.range(0, 10_000).selectExpr("id AS k", "id * 2 AS v")
+        dims = spark.range(0, 1_000).selectExpr("id AS k", "id + 1 AS w")
+        write_bucketed(facts, "bj_facts", ["k"], 8)
+        write_bucketed(dims, "bj_dims", ["k"], 8)
+        try:
+            a, b = spark.table("bj_facts"), spark.table("bj_dims")
+            joined = a.hint("merge").join(b, "k")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan  # bucketing satisfies distribution
+            assert joined.count() == 1_000
+            # same join unbucketed shuffles both sides
+            plain = (
+                facts.hint("merge")
+                .join(dims, "k")
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert "Exchange" in plain
+        finally:
+            spark.sql("DROP TABLE IF EXISTS bj_facts")
+            spark.sql("DROP TABLE IF EXISTS bj_dims")
