@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Plan audit: machine-checkable physical-plan signals per catalog query.
+
+For each (or a --only subset of) catalog query, prints one line with the
+signals that matter at 100 TB: number of shuffle exchanges, broadcast
+joins vs shuffle joins, whether parquet scans carry pushed filters, and
+the width of the narrowest ReadSchema (column pruning). Use after
+changing an operator to confirm the plan is still the one you want.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def audit_plan(formatted: str, simple: str) -> dict:
+    return {
+        "exchanges": len(re.findall(r"\(\d+\) Exchange", formatted)),
+        "broadcasts": len(re.findall(r"\(\d+\) BroadcastExchange", formatted)),
+        "broadcast_joins": formatted.count("BroadcastHashJoin")
+        + formatted.count("BroadcastNestedLoopJoin"),
+        "shuffle_joins": formatted.count("SortMergeJoin")
+        + formatted.count("ShuffledHashJoin"),
+        "pushed_filters": len(re.findall(r"PushedFilters: \[[^\]]+\]", formatted)),
+        "scans": len(re.findall(r"\(\d+\) Scan parquet", formatted)),
+        "codegen_stages": len(set(re.findall(r"\*\((\d+)\)", simple))),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default=None, help="comma-separated query names")
+    args = ap.parse_args()
+
+    from etl_stream_spark.catalog import CATALOG
+    from etl_stream_spark.session import get_spark
+
+    # streaming queries execute at build time — skip them in a plan audit
+    skip = {"streaming_hourly_rollup", "cdc_streaming_merge", "streaming_sustained_alerts"}
+    names = args.only.split(",") if args.only else [n for n in CATALOG if n not in skip]
+
+    spark = get_spark(app_name="explain_audit")
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+    fmt = jmode.fromString("formatted")
+    simple = jmode.fromString("simple")
+    for name in names:
+        try:
+            df = CATALOG[name].fn(spark, args.sf_dir)
+            qe = df._jdf.queryExecution()
+            a = audit_plan(qe.explainString(fmt), qe.explainString(simple))
+            print(
+                f"{name:32s} exch={a['exchanges']:2d} bcast={a['broadcasts']:2d} "
+                f"bjoin={a['broadcast_joins']:2d} sjoin={a['shuffle_joins']:2d} "
+                f"scans={a['scans']:2d} pushed={a['pushed_filters']:2d} "
+                f"codegen={a['codegen_stages']:2d}"
+            )
+        except Exception as exc:  # noqa: BLE001
+            print(f"{name:32s} ERROR {exc}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -142,3 +142,45 @@ class TestEnvelopeSchema:
         sch = cdc_envelope_schema(PAYLOAD)
         assert {f.name for f in sch.fields} == {"op", "ts_ms", "before", "after", "source"}
         assert sch["before"].dataType == PAYLOAD
+
+
+class TestSnapshotStreamHandoff:
+    def test_initial_copy_then_stream_converges(self, spark, tmp_path):
+        """S2 handoff: bulk snapshot loads first, then the CDC stream
+        replays — including an event that raced the snapshot (already
+        reflected in it): the end state is as if each change applied
+        exactly once."""
+        import json as _json
+
+        from etl_stream_spark.cdc.pipeline import CdcBatchApplier, CdcTableConfig
+        from etl_stream_spark.sinks.append import start_merge_stream
+
+        target_base = tmp_path / "silver"
+        table = ParquetMergeTable(
+            spark, str(target_base / "users"), keys=["id"], num_buckets=4
+        )
+        # snapshot already contains the effect of the lsn=5 update
+        snap = spark.createDataFrame([(1, "one-v2"), (2, "two")], "id long, name string")
+        initial_copy(table, snap)
+
+        src = tmp_path / "cdc"
+        src.mkdir()
+        events = [
+            _envelope("u", 5, before={"id": 1, "name": "one"}, after={"id": 1, "name": "one-v2"}),
+            _envelope("c", 9, after={"id": 3, "name": "three"}),
+            _envelope("d", 12, before={"id": 2}),
+        ]
+        (src / "a.json").write_text(
+            "\n".join(_json.dumps({"value": e}) for e in events)
+        )
+        raw = read_cdc_file_stream(spark, str(src), "value string")
+        decoded = decode_cdc_json(raw, PAYLOAD).withColumn("table", F.lit("users"))
+        applier = CdcBatchApplier(
+            spark, str(target_base), {"users": CdcTableConfig(keys=["id"], num_buckets=4)}
+        )
+        q = start_merge_stream(
+            decoded, applier, checkpoint=str(tmp_path / "ckpt"), available_now=True
+        )
+        q.awaitTermination(120)
+        state = {(r["id"], r["name"]) for r in table.read().collect()}
+        assert state == {(1, "one-v2"), (3, "three")}
