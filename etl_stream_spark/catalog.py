@@ -1226,6 +1226,45 @@ def cdc_streaming_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window aggregation as a real stateful stream
+    (``F.session_window`` with a 30-minute gap + watermark): per-user
+    sessions with event counts. Complete-mode memory sink so the tail
+    sessions that a watermark would withhold are still emitted (no SQL
+    oracle — rows-only; the *batch* sessionization semantics are
+    oracle-checked by ``user_session_stats``)."""
+    _ensure_utc(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    name = "sessions_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 def streaming_sustained_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stateful sustained-threshold alert operator (§2.8) as a real
     keyed stream (``applyInPandasWithState``), verified value-exact
@@ -1370,5 +1409,6 @@ CATALOG: dict[str, QueryDef] = {
     # streaming (real streaming jobs; rollup has no SQL twin → rows-only)
     "streaming_hourly_rollup": QueryDef(streaming_hourly_rollup, None),
     "streaming_sustained_alerts": QueryDef(streaming_sustained_alerts, ALERTS_SQL),
+    "streaming_session_windows": QueryDef(streaming_session_windows, None),
     "cdc_streaming_merge": QueryDef(cdc_streaming_merge, CDC_STREAM_SQL),
 }

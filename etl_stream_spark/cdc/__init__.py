@@ -12,13 +12,25 @@ from etl_stream_spark.cdc.envelope import (
     with_cdc_metadata,
 )
 from etl_stream_spark.cdc.merge import ParquetMergeTable
+from etl_stream_spark.cdc.pipeline import (
+    CdcBatchApplier,
+    CdcTableConfig,
+    LandingTable,
+    MergeTask,
+    apply_with_truncate_barrier,
+)
 
 __all__ = [
     "OP_DELETE",
     "OP_INSERT",
     "OP_TRUNCATE",
     "OP_UPDATE",
+    "CdcBatchApplier",
+    "CdcTableConfig",
+    "LandingTable",
+    "MergeTask",
     "ParquetMergeTable",
+    "apply_with_truncate_barrier",
     "effective_row",
     "last_writer_wins",
     "make_sequence",

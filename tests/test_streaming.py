@@ -335,3 +335,26 @@ class TestMetrics:
         assert snap["pipelines"]["hp"] == {"active": True, "tables": ["t"]}
         mgr.running["hp"].isActive = False
         assert health_snapshot(mgr)["status"] == "degraded"
+
+
+class TestStreamingSessionWindows:
+    def test_agrees_with_batch_sessionization(self, spark):
+        """F.session_window streaming sessions must produce the same
+        per-user session counts as the oracle-checked batch
+        gaps-and-islands query (same 30-minute gap)."""
+        from etl_stream_spark.catalog import CATALOG
+
+        sf = "/root/testdata/sf0.001"
+        sw = {
+            r["user_id"]: r["n"]
+            for r in CATALOG["streaming_session_windows"]
+            .fn(spark, sf)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        batch = {
+            r["user_id"]: r["n_sessions"]
+            for r in CATALOG["user_session_stats"].fn(spark, sf).collect()
+        }
+        assert sw == batch
