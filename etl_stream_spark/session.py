@@ -49,6 +49,18 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
 
+    # Python workers must be able to import this package even when the
+    # driver script runs from elsewhere and added it via sys.path (on a
+    # cluster this is --py-files / spark.submit.pyFiles; in local mode
+    # the worker processes only see PYTHONPATH).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker_path = os.pathsep.join(
+        p for p in (pkg_root, os.environ.get("PYTHONPATH")) if p
+    )
+    if pkg_root not in (os.environ.get("PYTHONPATH") or "").split(os.pathsep):
+        # local-mode workers are forked with the driver's env
+        os.environ["PYTHONPATH"] = worker_path
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -61,6 +73,7 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.executorEnv.PYTHONPATH", worker_path)
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
