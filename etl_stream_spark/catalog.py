@@ -1412,3 +1412,10 @@ CATALOG: dict[str, QueryDef] = {
     "streaming_session_windows": QueryDef(streaming_session_windows, None),
     "cdc_streaming_merge": QueryDef(cdc_streaming_merge, CDC_STREAM_SQL),
 }
+
+# Extended relational shapes (TPC-H Q2..Q22 adaptations, rollup, window
+# frames, exact quantiles) live in their own module; registered here so
+# the driver contract sees one flat catalog.
+from etl_stream_spark.relational_ext import EXTRA_QUERIES as _EXTRA  # noqa: E402
+
+CATALOG.update({name: QueryDef(fn, sql) for name, fn, sql in _EXTRA})

@@ -1,0 +1,649 @@
+"""Extended relational query shapes (TPC-H Q2/Q4/Q7/Q8/Q9/Q12/Q13/Q15/
+Q16/Q17/Q19/Q22 adapted to the driver's star schema) + rollup and
+window-frame analytics.
+
+The reference engine has no relational query surface of its own — its
+generated SQL covers only the dedup-window MERGE (SURVEY §2.4-2.7,
+``etl-snowflake-py/etl_snowflake/task.py:154-190``) — so these queries
+exist to prove the Spark substrate the rebuild stands on: every classic
+OLAP shape (multi-way joins, correlated aggregates, disjunctive
+pushdown, scalar subqueries, rollups, window frames) expressed
+declaratively so Catalyst plans them (broadcast dims, partial aggs,
+pushed filters).
+
+Determinism follows the catalog conventions: exact decimal sums,
+IEEE-double expressions only when both engines evaluate the identical
+tree, 6-dp rounding on ratios, explicit tie-breaks under every LIMIT,
+64-bit integral outputs.
+
+Exports ``EXTRA_QUERIES: list[tuple[name, fn, oracle_sql]]`` consumed by
+:mod:`etl_stream_spark.catalog` (no import cycle: this module never
+imports the catalog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_stream_spark.session import load_table
+
+DEC = "decimal(18,2)"
+DECSUM = "decimal(38,2)"
+
+_REV_SQL = (
+    "(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(9,4))))"
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return load_table(spark, sf_dir, name)
+
+
+def _rev() -> F.Column:
+    return F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast("decimal(9,4)"))
+
+
+def _rev_sum() -> F.Column:
+    return F.sum(_rev()).cast("decimal(38,6)")
+
+
+# --------------------------------------------------------------------------
+# Q2-style: min-per-group via window, join-free
+# --------------------------------------------------------------------------
+
+
+def q2_cheapest_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts priced at the minimum retail price of their (type, size)
+    group — the Q2 correlated-min shape as a single window (one shuffle,
+    no self-join)."""
+    part = _t(spark, sf_dir, "part")
+    price = F.col("p_retailprice").cast(DEC)
+    w = Window.partitionBy("p_type", "p_size")
+    return (
+        part.withColumn("min_price", F.min(price).over(w))
+        .filter(price == F.col("min_price"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_type",
+            "p_size",
+            price.alias("retail_price"),
+        )
+    )
+
+
+Q2_SQL = """
+SELECT p_partkey, p_name, p_type, p_size,
+       CAST(p_retailprice AS DECIMAL(18,2)) AS retail_price
+FROM (
+  SELECT *, MIN(CAST(p_retailprice AS DECIMAL(18,2)))
+              OVER (PARTITION BY p_type, p_size) AS min_price
+  FROM part
+)
+WHERE CAST(p_retailprice AS DECIMAL(18,2)) = min_price
+"""
+
+
+# --------------------------------------------------------------------------
+# Q4-style: EXISTS semi-join + aggregation
+# --------------------------------------------------------------------------
+
+
+def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders (per priority) having at least one line shipped after the
+    order date — Q4's EXISTS shape as a left-semi join; the count is a
+    partial agg after the semi-join output."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# Q7-style: nation-pair trade volume by year
+# --------------------------------------------------------------------------
+
+
+def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue flow between nation pairs (3-nation trade bloc, self-pairs
+    excluded) by ship year (Q7): the big fact joins shuffle on
+    orderkey/custkey; both nation dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    trio = ("NATION_1", "NATION_2", "NATION_3")
+    pair_ok = (
+        F.col("supp_nation").isin(*trio)
+        & F.col("cust_nation").isin(*trio)
+        & (F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair_ok)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(_rev_sum().alias("revenue"))
+    )
+
+
+Q7_SQL = f"""
+SELECT supp_nation, cust_nation, ship_year,
+       CAST(SUM(rev) AS DECIMAL(38,6)) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+         {_REV_SQL} AS rev
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name IN ('NATION_1','NATION_2','NATION_3')
+    AND n2.n_name IN ('NATION_1','NATION_2','NATION_3')
+    AND n1.n_name <> n2.n_name
+)
+GROUP BY supp_nation, cust_nation, ship_year
+"""
+
+
+# --------------------------------------------------------------------------
+# Q8-style: market share (conditional sum / total ratio)
+# --------------------------------------------------------------------------
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_5 suppliers' share of PROMO-part revenue per order year —
+    sum(CASE)/sum ratio from exact decimal sums, one double division."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    rev = _rev()
+    nation_rev = F.sum(F.when(F.col("n_name") == "NATION_5", rev).otherwise(F.lit(0).cast(DEC)))
+    total_rev = F.sum(rev)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            F.round(nation_rev.cast("double") / total_rev.cast("double"), 6).alias(
+                "market_share"
+            )
+        )
+    )
+
+
+Q8_SQL = f"""
+SELECT order_year,
+       ROUND(CAST(SUM(CASE WHEN n_name = 'NATION_5' THEN rev
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(rev) AS DOUBLE), 6) AS market_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year, n_name,
+         {_REV_SQL} AS rev
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_type = 'PROMO'
+)
+GROUP BY order_year
+"""
+
+
+# --------------------------------------------------------------------------
+# Q9-style: profit by nation x year with a decimal cost model
+# --------------------------------------------------------------------------
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit per supplier nation per year; cost modeled as 60% of part
+    retail price (the schema has no partsupp), all decimal-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    cost = (
+        F.expr("CAST(0.6 AS DECIMAL(2,1))")
+        * F.col("p_retailprice").cast(DEC)
+        * F.col("l_quantity").cast("decimal(9,2)")
+    )
+    amount = _rev() - cost
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(F.sum(amount).cast("decimal(38,6)").alias("profit"))
+    )
+
+
+Q9_SQL = f"""
+SELECT nation, ship_year, CAST(SUM(amount) AS DECIMAL(38,6)) AS profit
+FROM (
+  SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+         {_REV_SQL}
+           - CAST(0.6 AS DECIMAL(2,1)) * CAST(p_retailprice AS DECIMAL(18,2))
+             * CAST(l_quantity AS DECIMAL(9,2)) AS amount
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+)
+GROUP BY nation, ship_year
+"""
+
+
+# --------------------------------------------------------------------------
+# Q12-style: conditional counts (sum of CASE)
+# --------------------------------------------------------------------------
+
+
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High/low-priority line counts per return flag for one ship year —
+    Q12's dual conditional count; the orders side of the join carries
+    only two columns after pruning."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# Q13-style: two-level aggregation over a left outer join
+# --------------------------------------------------------------------------
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of customers by order count (urgent orders excluded):
+    left-outer join so zero-order customers survive, then a second
+    aggregation over the per-customer counts."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))  # count skips nulls
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+# --------------------------------------------------------------------------
+# Q15-style: aggregate + join back on the maximum
+# --------------------------------------------------------------------------
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with the maximum quarterly revenue: the revenue CTE is
+    aggregated once, its max computed as a single-row broadcast, and the
+    equality join-back is exact (decimal, not float)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    revenue = li.groupBy("l_suppkey").agg(_rev_sum().alias("total_revenue"))
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey, CAST(SUM({_REV_SQL}) AS DECIMAL(38,6)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q16-style: anti-filtered distinct-count per group
+# --------------------------------------------------------------------------
+
+
+def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers per (brand, type, size) for observed
+    part-supplier pairs, excluding negative-balance suppliers (NOT IN)
+    and one brand — lineitem stands in for partsupp."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(F.broadcast(bad_supp), pairs.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# --------------------------------------------------------------------------
+# Q17-style: correlated average via exact cross-multiplication
+# --------------------------------------------------------------------------
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from lines whose quantity is below 20% of their part's
+    average. ``qty < 0.2 * sum/cnt`` is evaluated as
+    ``qty * 5 * cnt < sum`` — exact decimal integer arithmetic, no
+    engine-dependent division or rounding on the comparison boundary."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    qty = F.col("l_quantity").cast("decimal(9,2)")
+    per_part = li.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
+        F.sum(qty).alias("sum_qty"), F.count(F.lit(1)).cast("decimal(9,0)").alias("cnt")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == F.col("agg_partkey"))
+        .filter(qty * 5 * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast(DECSUM).alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q17_SQL = """
+WITH per_part AS (
+  SELECT l_partkey AS agg_partkey,
+         SUM(CAST(l_quantity AS DECIMAL(9,2))) AS sum_qty,
+         CAST(COUNT(*) AS DECIMAL(9,0)) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS small_qty_revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN per_part ON l_partkey = agg_partkey
+WHERE p_brand = 'Brand#3'
+  AND CAST(l_quantity AS DECIMAL(9,2)) * 5 * cnt < sum_qty
+"""
+
+
+# --------------------------------------------------------------------------
+# Q19-style: disjunction of conjunctive ranges
+# --------------------------------------------------------------------------
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs predicate across the part join (Q19): Catalyst extracts
+    the common join key and pushes brand/size bounds into both scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & qty.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(_rev_sum().alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+Q19_SQL = f"""
+SELECT CAST(SUM({_REV_SQL}) AS DECIMAL(38,6)) AS revenue, COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q22-style: scalar-subquery threshold + anti join
+# --------------------------------------------------------------------------
+
+
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers above the positive-balance average with no orders in
+    the final data year (lapsed), by market segment. The average is a
+    broadcast single row; the threshold compare is the identical double
+    expression on both engines."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count(F.lit(1))
+            ).alias("avg_bal")
+        )
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast(DECSUM).alias("totacctbal"),
+        )
+    )
+
+
+Q22_SQL = """
+SELECT c_mktsegment, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# Multi-level aggregation: ROLLUP
+# --------------------------------------------------------------------------
+
+
+def rollup_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order totals rolled up over (priority, status) with subtotal and
+    grand-total rows — Spark's partial-agg rollup in one pass."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast(DECSUM).alias("total_price"),
+    )
+
+
+ROLLUP_SQL = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+# --------------------------------------------------------------------------
+# Window frames: running totals, lag deltas, inter-order gaps
+# --------------------------------------------------------------------------
+
+
+def customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order history analytics: running decimal total
+    (ROWS UNBOUNDED PRECEDING), previous order price (lag), and days
+    since the previous order — frame specs beyond the reference's lone
+    row_number (SURVEY §2.5)."""
+    orders = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast(DEC)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(price).over(run).cast(DECSUM).alias("running_total"),
+        F.lag(price).over(w).alias("prev_price"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("long")
+        .alias("days_since_prev"),
+    )
+
+
+HISTORY_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS running_total,
+       LAG(CAST(o_totalprice AS DECIMAL(18,2)))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+       CAST(date_diff('day',
+              LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey),
+              o_orderdate) AS BIGINT) AS days_since_prev
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact percentiles (interpolated) per group
+# --------------------------------------------------------------------------
+
+
+def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median / p90 of order value per priority —
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
+    sorted-interpolation definition; both sides round to 6 dp."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90_price"),
+    )
+
+
+QUANTILES_SQL = """
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50_price,
+       ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+#: (name, spark_fn, duckdb_oracle) consumed by the catalog registry.
+EXTRA_QUERIES: list[tuple] = [
+    ("q2_cheapest_parts", q2_cheapest_parts, Q2_SQL),
+    ("q4_late_shipment_priority", q4_late_shipment_priority, Q4_SQL),
+    ("q7_nation_trade", q7_nation_trade, Q7_SQL),
+    ("q8_market_share", q8_market_share, Q8_SQL),
+    ("q9_product_profit", q9_product_profit, Q9_SQL),
+    ("q12_priority_lines", q12_priority_lines, Q12_SQL),
+    ("q13_customer_distribution", q13_customer_distribution, Q13_SQL),
+    ("q15_top_supplier", q15_top_supplier, Q15_SQL),
+    ("q16_part_supplier_counts", q16_part_supplier_counts, Q16_SQL),
+    ("q17_small_quantity_revenue", q17_small_quantity_revenue, Q17_SQL),
+    ("q19_disjunctive_revenue", q19_disjunctive_revenue, Q19_SQL),
+    ("q22_idle_rich_customers", q22_idle_rich_customers, Q22_SQL),
+    ("rollup_order_revenue", rollup_order_revenue, ROLLUP_SQL),
+    ("customer_order_history", customer_order_history, HISTORY_SQL),
+    ("order_price_quantiles", order_price_quantiles, QUANTILES_SQL),
+]
