@@ -29,6 +29,7 @@ from pyspark.sql import Window
 
 from etl_stream_spark.cdc.dedup import last_writer_wins
 from etl_stream_spark.cdc.envelope import with_cdc_metadata
+from etl_stream_spark.operators import corpus as cp
 from etl_stream_spark.operators import dedup as dd
 from etl_stream_spark.operators import multimodal as mm
 from etl_stream_spark.operators import sessionize as sz
@@ -720,6 +721,133 @@ FROM toks
 
 
 # --------------------------------------------------------------------------
+# Corpus / training-data pipeline operators (documents + events tables)
+# --------------------------------------------------------------------------
+
+#: Per-language keep percentages for the stratified sample: downsample
+#: the majority language, keep half of everything else.
+_SAMPLE_RATES = {"en": 20, "de": 50, "es": 50, "fr": 50, "zh": 50}
+
+
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic stratified sampling over language strata —
+    membership depends only on doc_id, so the sample is reproducible at
+    any scale/partitioning (no ``rand()``)."""
+    docs = _t(spark, sf_dir, "documents")
+    return cp.stratified_sample(docs, "doc_id", "lang", _SAMPLE_RATES).select(
+        "doc_id", "lang", "source"
+    )
+
+
+_RATE_CASE = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in sorted(_SAMPLE_RATES.items())
+) + " ELSE 0 END"
+
+SAMPLE_SQL = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {cp.bucket_sql("doc_id")} < {_RATE_CASE}
+"""
+
+
+def corpus_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/valid/test split of the event stream by user
+    hash (all events of a user share a split — the leakage guard),
+    summarized per split."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        cp.train_test_split(ev, "user_id")
+        .groupBy("split")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast(DECSUM).alias("total_value"),
+        )
+    )
+
+
+SPLIT_SQL = f"""
+SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split,
+       COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+FROM (SELECT *, {cp.bucket_sql("user_id")} AS b FROM events)
+GROUP BY 1
+"""
+
+
+def corpus_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-removal normalization; emits the cleaned-text
+    fingerprint (not the text) to keep result rows narrow."""
+    docs = _t(spark, sf_dir, "documents")
+    return cp.remove_stopwords(docs).select(
+        "doc_id", F.md5("clean_text").alias("clean_fp"), "n_removed"
+    )
+
+
+NORMALIZE_SQL = f"""
+WITH toks AS ({TOKS_CTE})
+SELECT doc_id,
+       md5(array_to_string(list_filter(t, x -> x NOT IN ({{stops}})), ' ')) AS clean_fp,
+       CAST(len(t) - len(list_filter(t, x -> x NOT IN ({{stops}}))) AS BIGINT) AS n_removed
+FROM toks
+""".format(stops=", ".join(f"'{w}'" for w in ta.STOPWORDS))
+
+
+#: 8-token passages, mirroring corpus.duplicated_passages(width=8).
+_PASSAGE_CTE = (
+    "SELECT doc_id, CASE WHEN len(t) >= 8 THEN "
+    "list_distinct(list_transform(range(1, len(t) - 6), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || "
+    "t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7])) "
+    "ELSE [array_to_string(t, ' ')] END AS ps FROM toks"
+)
+
+
+def corpus_duplicated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-document passage duplication (8-gram inverted
+    index): the substring-level dedup signal for a training corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    return cp.duplicated_passages(docs, width=8, min_docs=2)
+
+
+PASSAGES_SQL = f"""
+WITH toks AS ({TOKS_CTE}), p AS ({_PASSAGE_CTE}),
+ex AS (SELECT doc_id, unnest(ps) AS passage FROM p)
+SELECT passage, COUNT(DISTINCT doc_id) AS n_docs
+FROM ex GROUP BY passage HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
+def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with term and document frequencies."""
+    docs = _t(spark, sf_dir, "documents")
+    return cp.vocabulary(docs)
+
+
+VOCAB_SQL = f"""
+WITH toks AS ({TOKS_CTE}), ex AS (SELECT doc_id, unnest(t) AS token FROM toks)
+SELECT token, COUNT(*) AS term_freq, COUNT(DISTINCT doc_id) AS doc_freq
+FROM ex GROUP BY token
+"""
+
+
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (50-char buckets) with corpus share."""
+    docs = _t(spark, sf_dir, "documents")
+    return cp.length_histogram(docs)
+
+
+HISTOGRAM_SQL = """
+WITH c AS (
+  SELECT CAST(FLOOR(n_chars / 50) AS BIGINT) * 50 AS bucket_lo, COUNT(*) AS n_docs
+  FROM documents GROUP BY 1
+)
+SELECT bucket_lo, n_docs,
+       ROUND(CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS DOUBLE), 6) AS share
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
 # Deduplication (documents table)
 # --------------------------------------------------------------------------
 
@@ -1389,6 +1517,13 @@ CATALOG: dict[str, QueryDef] = {
     "text_langid": QueryDef(text_langid, _langid_sql()),
     "text_fingerprint": QueryDef(text_fingerprint, FINGERPRINT_SQL),
     "text_rolling_fingerprint": QueryDef(text_rolling_fingerprint, ROLLING_FP_SQL),
+    # corpus / training-data pipeline
+    "corpus_stratified_sample": QueryDef(corpus_stratified_sample, SAMPLE_SQL),
+    "corpus_train_test_split": QueryDef(corpus_train_test_split, SPLIT_SQL),
+    "corpus_normalize": QueryDef(corpus_normalize, NORMALIZE_SQL),
+    "corpus_duplicated_passages": QueryDef(corpus_duplicated_passages, PASSAGES_SQL),
+    "corpus_vocabulary": QueryDef(corpus_vocabulary, VOCAB_SQL),
+    "corpus_length_histogram": QueryDef(corpus_length_histogram, HISTOGRAM_SQL),
     # dedup
     "dedup_exact": QueryDef(dedup_exact, EXACT_SQL),
     "dedup_minhash_signatures": QueryDef(dedup_minhash_signatures, MINHASH_SQL),

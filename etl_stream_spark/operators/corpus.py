@@ -1,0 +1,164 @@
+"""Corpus-level training-data operators: deterministic sampling,
+group-aware dataset splits, stopword normalization, cross-document
+passage duplication, vocabulary statistics, length histograms.
+
+These extend the reference's data-processing surface toward what a
+large-scale LLM training-data pipeline needs (the reference itself stops
+at CDC replication — SURVEY §0). Everything is expressed with built-in
+``pyspark.sql.functions`` (JVM-side, codegen'd): sampling and splits are
+*hash-deterministic*, never ``rand()``, so results are reproducible
+across runs, engines, and cluster sizes — the property that makes a
+100 TB sample auditable.
+
+Scale notes: hash-sampling and splitting are narrow (no shuffle);
+vocabulary and passage stats are explode → partial-agg → shuffle-on-key,
+the same shape Spark uses for word count at any scale; histograms
+aggregate to a handful of rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_stream_spark.operators.text_analysis import STOPWORDS, tokens
+
+#: md5-prefix bucketing: 28 bits keeps the integer below 2^63 on both
+#: engines (DuckDB errors on BIGINT overflow where Spark would wrap).
+_HASH_BITS_HEX = 7
+
+
+def hash_bucket(col: Column | str, buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets) from the md5 of a value.
+
+    The engine-portable contract (same value → same bucket in any
+    engine): ``int(md5(cast(x as string))[:7], 16) % buckets``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    prefix = F.substring(F.md5(c.cast("string")), 1, _HASH_BITS_HEX)
+    return F.conv(prefix, 16, 10).cast("long") % buckets
+
+
+def bucket_sql(expr: str, buckets: int = 100) -> str:
+    """DuckDB twin of :func:`hash_bucket`."""
+    return (
+        f"(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, {_HASH_BITS_HEX}))::BIGINT"
+        f" % {buckets})"
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, int],
+    default_rate: int = 0,
+) -> DataFrame:
+    """Keep a per-stratum percentage of rows, chosen by key hash.
+
+    ``rates`` maps stratum value → percentage (0-100). Deterministic and
+    stable under re-partitioning: membership depends only on the key,
+    so the same document is kept at every scale factor — unlike
+    ``df.sample``, whose output depends on partition layout.
+    """
+    bucket = hash_bucket(key_col)
+    rate = F.lit(default_rate)
+    for value, pct in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(pct)).otherwise(rate)
+    return df.filter(bucket < rate)
+
+
+def train_test_split(
+    df: DataFrame,
+    group_col: str,
+    train_pct: int = 80,
+    valid_pct: int = 10,
+) -> DataFrame:
+    """Assign a ``split`` column (train/valid/test) by *group* hash.
+
+    Group-aware: every row of a group (user, document cluster, session)
+    lands in the same split — the leakage guard a model-training
+    pipeline needs. Pure projection, no shuffle.
+    """
+    bucket = hash_bucket(group_col, 100)
+    return df.withColumn(
+        "split",
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + valid_pct, "valid")
+        .otherwise("test"),
+    )
+
+
+def remove_stopwords(
+    df: DataFrame,
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = STOPWORDS,
+) -> DataFrame:
+    """Stopword-removal normalization: tokens minus the stopword set,
+    re-joined; records how many tokens were dropped."""
+    toks = tokens(text_col)
+    kept = F.filter(toks, lambda t: ~t.isin(*stopwords))
+    return df.withColumn("clean_text", F.array_join(kept, " ")).withColumn(
+        "n_removed", (F.size(toks) - F.size(kept)).cast("long")
+    )
+
+
+def duplicated_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document exact passage duplication: word ``width``-grams
+    occurring in ≥ ``min_docs`` distinct documents.
+
+    The inverted-index shape of exact substring dedup: explode distinct
+    n-grams per document (map side), count distinct documents per gram
+    (one shuffle on the gram). At 100 TB the gram key is md5-hashable to
+    a fixed-width join key; partial aggregation keeps the explode local.
+    """
+    from etl_stream_spark.operators.dedup import shingles
+
+    grams = df.select(
+        F.col(id_col), F.explode(shingles(text_col, width)).alias("passage")
+    )
+    return (
+        grams.groupBy("passage")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def vocabulary(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary: term frequency + document frequency per token.
+
+    Classic word-count: explode → partial agg → single shuffle on the
+    token. ``doc_freq`` uses count-distinct over the doc id, which AQE
+    plans as a two-stage aggregate at scale.
+    """
+    exploded = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    return exploded.groupBy("token").agg(
+        F.count(F.lit(1)).alias("term_freq"),
+        F.countDistinct(id_col).alias("doc_freq"),
+    )
+
+
+def length_histogram(
+    df: DataFrame, length_col: str = "n_chars", bucket_width: int = 50
+) -> DataFrame:
+    """Document-length histogram with corpus share per bucket."""
+    bucket = (
+        F.floor(F.col(length_col) / bucket_width).cast("long") * bucket_width
+    ).alias("bucket_lo")
+    counts = df.groupBy(bucket).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("total"))
+    return counts.join(F.broadcast(total)).select(
+        "bucket_lo",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.col("total").cast("double"), 6).alias(
+            "share"
+        ),
+    )
