@@ -30,6 +30,11 @@ BENCH_QUERIES = [
     "q14_promo_revenue",
     "q18_large_orders",
     "top3_parts_per_brand",
+    "q7_nation_trade",
+    "q13_customer_distribution",
+    "customer_order_history",
+    "corpus_duplicated_passages",
+    "corpus_vocabulary",
     "hourly_event_rollup",
     "user_session_stats",
     "cdc_latest_event",

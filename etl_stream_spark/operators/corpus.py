@@ -119,8 +119,9 @@ def duplicated_passages(
     a fixed-width join key; partial aggregation keeps the explode local.
     """
     from etl_stream_spark.operators.dedup import shingles
+    from etl_stream_spark.plans.partitioning import ensure_parallelism
 
-    grams = df.select(
+    grams = ensure_parallelism(df).select(
         F.col(id_col), F.explode(shingles(text_col, width)).alias("passage")
     )
     return (
