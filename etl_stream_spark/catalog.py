@@ -1315,6 +1315,48 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def streaming_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joined to the customer
+    dimension (broadcast hash join — the dim is re-read per micro-batch,
+    never shuffled) and aggregated per segment × event type.
+
+    The result is batching-invariant (inner join + full agg), so the
+    DuckDB twin is a plain join — the streaming machinery itself is what
+    is under test."""
+    _ensure_utc(spark)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    # load_table pinned nanosAsLong, so the raw schema reads events.ts as long
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    enriched = stream.join(F.broadcast(cust), stream.user_id == cust.c_custkey)
+    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).cast(DECSUM).alias("total_value"),
+    )
+    name = "enrich_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+ENRICH_SQL = """
+SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment, event_type
+"""
+
+
 def cdc_streaming_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real CDC engine end-to-end: events → CDC envelope → streaming
     foreachBatch → bucketed parquet MERGE target; returns the final
@@ -1545,6 +1587,7 @@ CATALOG: dict[str, QueryDef] = {
     "streaming_hourly_rollup": QueryDef(streaming_hourly_rollup, None),
     "streaming_sustained_alerts": QueryDef(streaming_sustained_alerts, ALERTS_SQL),
     "streaming_session_windows": QueryDef(streaming_session_windows, None),
+    "streaming_enrichment": QueryDef(streaming_enrichment, ENRICH_SQL),
     "cdc_streaming_merge": QueryDef(cdc_streaming_merge, CDC_STREAM_SQL),
 }
 
