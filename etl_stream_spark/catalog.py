@@ -721,6 +721,82 @@ FROM toks
 
 
 # --------------------------------------------------------------------------
+# Temporal joins (events × orders)
+# --------------------------------------------------------------------------
+
+
+def asof_latest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click attaches the user's most recent
+    purchase at-or-before the click time (union + last-value
+    carry-forward, one shuffle on the key — no range nested loop).
+    Right side deduped to max event_id per (user, ts) so ties are
+    deterministic."""
+    from etl_stream_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("p_ts"))
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        right_cols=["purchase_id"],
+    ).select("event_id", "user_id", "purchase_id")
+
+
+ASOF_SQL = """
+WITH c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, ts AS p_ts, MAX(event_id) AS purchase_id
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT event_id, c.user_id AS user_id, purchase_id
+FROM c ASOF LEFT JOIN p
+  ON c.user_id = p.user_id AND c.ts >= p.p_ts
+"""
+
+
+def signup_window_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join: events of the same user inside the
+    6 hours after each signup event (equi-key hash join + range filter —
+    never a nested loop), counted per signup."""
+    from etl_stream_spark.operators.temporal import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    activity = ev.select(F.col("user_id").alias("a_user"), F.col("ts").alias("a_ts"))
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("end_ts"),
+    )
+    joined = interval_join(
+        activity, signups, on=("a_user", "user_id"), ts_col="a_ts",
+        start_col="start_ts", end_col="end_ts",
+    )
+    return joined.groupBy("signup_id").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+INTERVAL_SQL = """
+SELECT s.event_id AS signup_id, COUNT(*) AS n_events
+FROM events a JOIN events s
+  ON a.user_id = s.user_id
+ AND s.event_type = 'signup'
+ AND a.ts >= s.ts
+ AND a.ts < s.ts + INTERVAL 6 HOUR
+GROUP BY s.event_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Corpus / training-data pipeline operators (documents + events tables)
 # --------------------------------------------------------------------------
 
@@ -1559,6 +1635,9 @@ CATALOG: dict[str, QueryDef] = {
     "text_langid": QueryDef(text_langid, _langid_sql()),
     "text_fingerprint": QueryDef(text_fingerprint, FINGERPRINT_SQL),
     "text_rolling_fingerprint": QueryDef(text_rolling_fingerprint, ROLLING_FP_SQL),
+    # temporal joins
+    "asof_latest_purchase": QueryDef(asof_latest_purchase, ASOF_SQL),
+    "signup_window_activity": QueryDef(signup_window_activity, INTERVAL_SQL),
     # corpus / training-data pipeline
     "corpus_stratified_sample": QueryDef(corpus_stratified_sample, SAMPLE_SQL),
     "corpus_train_test_split": QueryDef(corpus_train_test_split, SPLIT_SQL),

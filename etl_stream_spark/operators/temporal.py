@@ -1,0 +1,102 @@
+"""Temporal join operators: as-of (point-in-time) join and
+interval-containment join.
+
+Spark has no native as-of join; the scalable formulation here is the
+union + last-value carry-forward: tag both inputs, union them, and for
+each left row take the most recent right row via ``last(..,
+ignorenulls)`` over a (key, time)-ordered window. One shuffle on the
+key, no range-condition nested loop, no per-row Python — the plan is a
+single sort-based window over the co-partitioned union, which survives
+any scale where the per-key history fits a partition (keys are hash
+distributed; no global sort).
+
+The interval join keeps the equi-key as the join key so Catalyst plans
+a hash join; the range predicate is a post-join filter, never a
+BroadcastNestedLoopJoin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    suffix: str = "",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right_ts <= left_ts`` for the same key (backward as-of join).
+
+    Right rows at exactly ``left_ts`` match (inclusive). Rows with no
+    earlier right row keep nulls. ``right_cols`` defaults to every
+    right column except the key and timestamp.
+
+    If several right rows share (key, right_ts), make the choice
+    deterministic upstream (e.g. keep the max id per timestamp);
+    otherwise ``last`` picks the union-sort's tie order.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, right_ts)]
+
+    lcols = left.columns
+    # marker orders right before left at equal timestamps → inclusive
+    tagged_l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in lcols if c != on],
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in right_cols],
+    )
+    tagged_r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols if c != on],
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged_l.unionByName(tagged_r).select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
+            for c in right_cols
+        ],
+    )
+    out_suffix = suffix or ""
+    return carried.filter(F.col("_is_left") == 1).select(
+        F.col("_k").alias(on),
+        *[F.col(c) for c in lcols if c != on],
+        *[F.col(f"_m_{c}").alias(c + out_suffix) for c in right_cols],
+    )
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    on: tuple[str, str],
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join events to intervals containing them: equi-join on the key
+    (hash join, shuffle on key), range predicate ``start <= ts < end``
+    applied as a join condition — no nested-loop plan.
+    """
+    ekey, ikey = on
+    cond = (
+        (events[ekey] == intervals[ikey])
+        & (events[ts_col] >= intervals[start_col])
+        & (events[ts_col] < intervals[end_col])
+    )
+    return events.join(intervals, cond, how)

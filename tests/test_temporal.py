@@ -1,0 +1,93 @@
+"""As-of and interval join semantics on constructed micro-data (the
+DuckDB ASOF JOIN oracle checks value-exactness at sf0.01; these pin the
+corner cases: inclusive ties, no-match nulls, per-key isolation)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from etl_stream_spark.operators.temporal import asof_join, interval_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2026-01-01 10:00:00")),  # before any right → null
+            (2, "u1", _ts("2026-01-01 12:00:00")),  # after r1 → r1
+            (3, "u1", _ts("2026-01-01 13:00:00")),  # tie with r2 → r2 (inclusive)
+            (4, "u1", _ts("2026-01-01 15:00:00")),  # after r2 → r2
+            (5, "u2", _ts("2026-01-01 23:00:00")),  # other key, no right rows
+        ],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2026-01-01 11:00:00"), 100),
+            ("u1", _ts("2026-01-01 13:00:00"), 200),
+        ],
+        "k string, rts timestamp, val long",
+    )
+    out = {
+        r["id"]: r["val"]
+        for r in asof_join(left, right, on="k", left_ts="ts", right_ts="rts").collect()
+    }
+    assert out == {1: None, 2: 100, 3: 200, 4: 200, 5: None}
+
+
+def test_asof_join_keeps_all_left_rows(spark):
+    left = spark.range(10).select(
+        F.lit("k").alias("k"),
+        F.col("id"),
+        F.expr("timestamp_micros(cast(id * 1000000 as long))").alias("ts"),
+    )
+    right = spark.createDataFrame([], "k string, rts timestamp, v long")
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts")
+    assert out.count() == 10
+    assert out.filter(F.col("v").isNotNull()).count() == 0
+
+
+def test_interval_join_bounds(spark):
+    events = spark.createDataFrame(
+        [
+            ("u1", _ts("2026-01-01 10:00:00")),  # == start → in
+            ("u1", _ts("2026-01-01 10:59:59")),  # just inside
+            ("u1", _ts("2026-01-01 11:00:00")),  # == end → out (half-open)
+            ("u2", _ts("2026-01-01 10:30:00")),  # wrong key
+        ],
+        "a_user string, a_ts timestamp",
+    )
+    spans = spark.createDataFrame(
+        [("u1", _ts("2026-01-01 10:00:00"), _ts("2026-01-01 11:00:00"), 7)],
+        "k string, lo timestamp, hi timestamp, span_id long",
+    )
+    out = interval_join(
+        events, spans, on=("a_user", "k"), ts_col="a_ts", start_col="lo", end_col="hi"
+    )
+    assert out.count() == 2
+
+
+def test_asof_plan_is_single_shuffle_window(spark):
+    left = spark.range(100).select(
+        (F.col("id") % 5).cast("string").alias("k"),
+        F.col("id"),
+        F.expr("timestamp_micros(id * 1000000)").alias("ts"),
+    )
+    right = spark.range(20).select(
+        (F.col("id") % 5).cast("string").alias("k"),
+        F.expr("timestamp_micros(id * 5000000)").alias("rts"),
+        (F.col("id") * 10).alias("v"),
+    )
+    plan = (
+        asof_join(left, right, on="k", left_ts="ts", right_ts="rts")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # carry-forward formulation: a window over the union — no join node,
+    # no cartesian/range nested loop anywhere in the plan
+    assert "Window" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
