@@ -46,6 +46,11 @@ def main() -> None:
     names = args.only.split(",") if args.only else [n for n in CATALOG if n not in skip]
 
     spark = get_spark(app_name="explain_audit")
+    # Under AQE the pre-execution plan is an AdaptiveSparkPlan shell with
+    # no codegen ids assigned yet; disable it for the audit so the
+    # WholeStageCodegen spans (and the final join strategy Catalyst
+    # would pick without runtime stats) are visible in the explain.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
     fmt = jmode.fromString("formatted")
     simple = jmode.fromString("simple")
