@@ -906,6 +906,47 @@ FROM ex GROUP BY token
 """
 
 
+def corpus_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (document, token): exact integer counts, one ln."""
+    docs = _t(spark, sf_dir, "documents")
+    return cp.tf_idf(docs)
+
+
+TFIDF_SQL = f"""
+WITH toks AS ({TOKS_CTE}),
+ex AS (SELECT doc_id, unnest(t) AS token FROM toks),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
+dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM ex GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, tf.token AS token,
+       ROUND(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
+"""
+
+
+def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot the event stream into one column per event type (explicit
+    value list — no extra distinct pass), zero-filled counts."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    pivoted = ev.groupBy("user_id").pivot("event_type", types).count()
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types],
+    )
+
+
+PIVOT_SQL = """
+SELECT user_id,
+       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+FROM events GROUP BY user_id
+"""
+
+
 def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-length histogram (50-char buckets) with corpus share."""
     docs = _t(spark, sf_dir, "documents")
@@ -1644,7 +1685,9 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_normalize": QueryDef(corpus_normalize, NORMALIZE_SQL),
     "corpus_duplicated_passages": QueryDef(corpus_duplicated_passages, PASSAGES_SQL),
     "corpus_vocabulary": QueryDef(corpus_vocabulary, VOCAB_SQL),
+    "corpus_tfidf": QueryDef(corpus_tfidf, TFIDF_SQL),
     "corpus_length_histogram": QueryDef(corpus_length_histogram, HISTOGRAM_SQL),
+    "user_event_pivot": QueryDef(user_event_pivot, PIVOT_SQL),
     # dedup
     "dedup_exact": QueryDef(dedup_exact, EXACT_SQL),
     "dedup_minhash_signatures": QueryDef(dedup_minhash_signatures, MINHASH_SQL),

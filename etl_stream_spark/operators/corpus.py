@@ -147,6 +147,36 @@ def vocabulary(
     )
 
 
+def tf_idf(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per (document, token) TF-IDF: ``tf * ln(N / df)``.
+
+    Two aggregations over the exploded token stream (per-doc term
+    frequency, per-token document frequency) joined back on the token;
+    the document count is a broadcast single row. All counts are exact
+    integers; the only float math is the final ``ln`` + multiply, the
+    identical expression on any engine.
+    """
+    exploded = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    tf = exploded.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = exploded.groupBy("token").agg(F.countDistinct(id_col).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(dfreq, "token")
+        .join(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "token",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
 def length_histogram(
     df: DataFrame, length_col: str = "n_chars", bucket_width: int = 50
 ) -> DataFrame:

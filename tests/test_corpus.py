@@ -84,6 +84,39 @@ def test_vocabulary_freqs(spark):
     assert vocab.filter(F.col("doc_freq") > n_docs).count() == 0
 
 
+def test_tfidf_ubiquitous_tokens_score_zero(spark):
+    docs = load_table(spark, SF, "documents")
+    out = cp.tf_idf(docs)
+    n_docs = docs.count()
+    from etl_stream_spark.operators.text_analysis import tokens
+
+    ubiquitous = (
+        docs.select(F.explode(tokens("text")).alias("token"), "doc_id")
+        .groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") == n_docs)
+    )
+    if ubiquitous.count() > 0:
+        zeroed = out.join(ubiquitous.select("token"), "token")
+        assert zeroed.filter(F.col("tfidf") != 0.0).count() == 0
+    # no negative scores (df <= N always)
+    assert out.filter(F.col("tfidf") < 0).count() == 0
+
+
+def test_pivot_counts_cover_all_events(spark):
+    ev = load_table(spark, SF, "events")
+    from etl_stream_spark.catalog import CATALOG
+
+    out = CATALOG["user_event_pivot"].fn(spark, SF)
+    total = out.select(
+        (
+            F.col("n_click") + F.col("n_error") + F.col("n_purchase")
+            + F.col("n_signup") + F.col("n_view")
+        ).alias("s")
+    ).agg(F.sum("s")).first()[0]
+    assert total == ev.count()
+
+
 def test_length_histogram_shares_sum_to_one(spark):
     docs = load_table(spark, SF, "documents")
     hist = cp.length_histogram(docs).collect()
