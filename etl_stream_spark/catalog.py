@@ -1267,6 +1267,27 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 """
 
 
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max int8 scalar quantization of the embedding corpus (the
+    4x-compression codec under an IVF/PQ index)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.scalar_quantize_int8(emb)
+
+
+QUANT8_SQL = """
+WITH ex AS (
+  SELECT vec_id, unnest(range(len(embedding))) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+rng AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY pos)
+SELECT vec_id, ex.pos AS pos,
+       CAST(CASE WHEN mx = mn THEN 0.0
+                 ELSE LEAST(255.0, FLOOR((x - mn) * 255.0 / (mx - mn))) END AS BIGINT) AS q
+FROM ex JOIN rng ON ex.pos = rng.pos
+"""
+
+
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer step: exact-integer per-label centroid
     components over quantized embeddings."""
@@ -1700,6 +1721,7 @@ CATALOG: dict[str, QueryDef] = {
     "ann_lsh_topk": QueryDef(ann_lsh, _ann_sql()),
     "embedding_neardup": QueryDef(embedding_neardup, _neardup_sql()),
     "embedding_centroids": QueryDef(embedding_centroids, CENTROIDS_SQL),
+    "embedding_quantize_int8": QueryDef(embedding_quantize_int8, QUANT8_SQL),
     "ivf_topk": QueryDef(ivf_topk_q, _ivf_sql()),
     # multimodal
     "multimodal_features": QueryDef(multimodal_features, MULTIMODAL_SQL),

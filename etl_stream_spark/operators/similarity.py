@@ -61,6 +61,29 @@ def cosine_from_quantized(a: Column, b: Column) -> Column:
     )
 
 
+def scalar_quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension min-max scalar quantization to 0..255 — the storage
+    codec an IVF/PQ index uses to cut vector bytes 4× before search.
+
+    One ``posexplode`` pass computes per-dimension ranges (dims rows —
+    broadcast back); each value maps to ``floor((x-min)*255/(max-min))``
+    (floor, not round: no round-half ambiguity across engines), clamped
+    to 255 at the max, degenerate constant dimensions to 0.
+    """
+    ex = df.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "x")
+    ).select(id_col, F.col("pos").cast("long").alias("pos"), F.col("x").cast("double").alias("x"))
+    rng = ex.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    q = F.when(F.col("mx") == F.col("mn"), F.lit(0.0)).otherwise(
+        F.least(F.lit(255.0), F.floor((F.col("x") - F.col("mn")) * 255.0 / (F.col("mx") - F.col("mn"))))
+    )
+    return ex.join(F.broadcast(rng), "pos").select(
+        id_col, "pos", q.cast("long").alias("q")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -15,6 +15,8 @@ from __future__ import annotations
 import json
 import os
 
+import pyspark.sql.functions as F
+
 from etl_stream_spark.streaming.windows import dedup_within_watermark, tumbling_counts
 
 SCHEMA = "k string, ts timestamp"
@@ -109,6 +111,52 @@ def test_on_time_row_within_watermark_is_counted(spark, tmp_path):
     )
     fifty = [r for r in rows if r["window_start"].minute == 50]
     assert max(r["n_events"] for r in fifty) == 2  # 10:55 + 10:56
+
+
+def test_stream_stream_join_with_time_bound(spark, tmp_path):
+    """Stream-stream inner join: clicks matched to purchases of the same
+    user within the preceding hour. Watermarks on both sides bound the
+    join state; the inner-join result itself is batching-invariant."""
+    cdir, pdir = tmp_path / "clicks", tmp_path / "purch"
+    cdir.mkdir(), pdir.mkdir()
+    (cdir / "c.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"cu": "u1", "c_ts": "2026-01-01 10:30:00"},  # purchase 10:00 in range
+                {"cu": "u1", "c_ts": "2026-01-01 11:30:00"},  # 10:00 too old
+                {"cu": "u2", "c_ts": "2026-01-01 10:30:00"},  # no purchase for u2
+            ]
+        )
+    )
+    (pdir / "p.json").write_text(
+        json.dumps({"pu": "u1", "p_ts": "2026-01-01 10:00:00"})
+    )
+    clicks = (
+        spark.readStream.schema("cu string, c_ts timestamp").json(str(cdir))
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        spark.readStream.schema("pu string, p_ts timestamp").json(str(pdir))
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr("cu = pu AND p_ts BETWEEN c_ts - INTERVAL 1 HOUR AND c_ts"),
+    )
+    name = "ssj_" + tmp_path.name.replace("-", "_")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.table(name).collect()
+    assert len(rows) == 1
+    assert rows[0]["cu"] == "u1" and rows[0]["c_ts"].hour == 10
 
 
 def test_dedup_within_watermark_suppresses_cross_batch_duplicate(spark, tmp_path):
