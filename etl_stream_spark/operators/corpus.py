@@ -160,7 +160,9 @@ def tf_idf(
     """
     exploded = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
     tf = exploded.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = exploded.groupBy("token").agg(F.countDistinct(id_col).alias("df"))
+    # document frequency derives from tf's (doc, token) rows — no second
+    # explode pass, and this shuffle carries distinct pairs, not tokens
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         tf.join(dfreq, "token")

@@ -1,0 +1,71 @@
+"""StreamingQueryListener → MetricsRegistry bridge.
+
+The reference polls Postgres for WAL size and serves Prometheus
+counters from its own bookkeeping (``src/wal_monitor.rs``,
+``etl-telemetry``). Spark already *measures* everything per micro-batch
+— rows, durations, watermarks, state size — via query progress events;
+this listener is the missing bridge that turns those into the engine's
+pipeline-level metric families, so the same exposition endpoint serves
+both custom counters (merge cycles, alerts) and execution telemetry.
+Driver-side only; no executor cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.streaming import StreamingQueryListener
+
+from etl_stream_spark.streaming.metrics import MetricsRegistry
+
+
+class ProgressMetricsListener(StreamingQueryListener):
+    """Feeds per-query progress into a :class:`MetricsRegistry`.
+
+    Metric families (labeled by query name, falling back to the run id):
+
+    * ``stream_input_rows_total`` — counter of rows admitted
+    * ``stream_batches_total`` — counter of micro-batches completed
+    * ``stream_batch_duration_ms`` — gauge, last batch wall time
+    * ``stream_input_rows_per_sec`` — gauge, source-reported rate
+    * ``stream_state_rows`` — gauge, total stateful-operator rows
+    * ``stream_active`` — gauge 1/0 per query lifecycle
+    """
+
+    def __init__(self, registry: MetricsRegistry) -> None:
+        self.registry = registry
+        registry.describe("stream_input_rows_total", "Rows admitted per query")
+        registry.describe("stream_batches_total", "Micro-batches completed")
+        registry.describe("stream_batch_duration_ms", "Last batch duration")
+        registry.describe("stream_input_rows_per_sec", "Source input rate")
+        registry.describe("stream_state_rows", "Stateful operator rows")
+        registry.describe("stream_active", "Query active flag")
+
+    # -- listener contract -------------------------------------------------
+
+    def onQueryStarted(self, event) -> None:
+        self.registry.set_gauge(
+            "stream_active", 1.0, {"query": event.name or event.runId}
+        )
+
+    def onQueryProgress(self, event) -> None:
+        p = event.progress
+        labels = {"query": p.name or p.runId}
+        self.registry.inc("stream_input_rows_total", float(p.numInputRows), labels)
+        self.registry.inc("stream_batches_total", 1.0, labels)
+        self.registry.set_gauge(
+            "stream_batch_duration_ms",
+            float(p.durationMs.get("triggerExecution", 0)),
+            labels,
+        )
+        self.registry.set_gauge(
+            "stream_input_rows_per_sec", float(p.inputRowsPerSecond or 0.0), labels
+        )
+        state_rows = sum(op.numRowsTotal for op in p.stateOperators)
+        self.registry.set_gauge("stream_state_rows", float(state_rows), labels)
+
+    def onQueryIdle(self, event) -> None:
+        pass
+
+    def onQueryTerminated(self, event) -> None:
+        # terminated events carry no name — flip every known active flag
+        # for this runId; name-labeled flags are handled by the manager
+        self.registry.set_gauge("stream_active", 0.0, {"query": str(event.runId)})
