@@ -947,6 +947,57 @@ FROM events GROUP BY user_id
 """
 
 
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operators composed end-to-end the way a training-data run
+    uses them: quality filter → exact dedup (min-id representative per
+    fingerprint) → stratified sample → leak-free split. One declarative
+    plan — Catalyst fuses the filter/projection steps; the only
+    shuffles are the dedup window and nothing else (sampling and
+    splitting are hash projections)."""
+    docs = _t(spark, sf_dir, "documents")
+    q = ta.with_quality_score(docs).filter(F.col("quality_keep"))
+    fp = q.withColumn("fp", ta.fingerprint("text"))
+    w = Window.partitionBy("fp")
+    kept = fp.withColumn("rep", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("rep")
+    )
+    sampled = cp.stratified_sample(kept, "doc_id", "lang", _SAMPLE_RATES)
+    return cp.train_test_split(sampled, "doc_id").select(
+        "doc_id", "lang", "source", "split"
+    )
+
+
+PREP_SQL = f"""
+WITH toks AS ({TOKS_CTE}),
+q AS (
+  SELECT doc_id, lang, source, t,
+         ROUND(CASE WHEN length(text) > 0
+               THEN CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+                    / length(text)
+               ELSE 0.0 END, 6) AS punct_ratio
+  FROM toks
+),
+keepq AS (
+  SELECT doc_id, lang, source, md5(array_to_string(t, ' ')) AS fp
+  FROM q WHERE len(t) >= 5 AND punct_ratio < 0.3
+),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS rep FROM keepq
+  ) WHERE doc_id = rep
+),
+sampled AS (
+  SELECT doc_id, lang, source FROM dedup
+  WHERE {cp.bucket_sql("doc_id")} < {_RATE_CASE}
+)
+SELECT doc_id, lang, source,
+       CASE WHEN {cp.bucket_sql("doc_id")} < 80 THEN 'train'
+            WHEN {cp.bucket_sql("doc_id")} < 90 THEN 'valid'
+            ELSE 'test' END AS split
+FROM sampled
+"""
+
+
 def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-length histogram (50-char buckets) with corpus share."""
     docs = _t(spark, sf_dir, "documents")
@@ -1708,6 +1759,7 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_vocabulary": QueryDef(corpus_vocabulary, VOCAB_SQL),
     "corpus_tfidf": QueryDef(corpus_tfidf, TFIDF_SQL),
     "corpus_length_histogram": QueryDef(corpus_length_histogram, HISTOGRAM_SQL),
+    "corpus_prep_pipeline": QueryDef(corpus_prep_pipeline, PREP_SQL),
     "user_event_pivot": QueryDef(user_event_pivot, PIVOT_SQL),
     # dedup
     "dedup_exact": QueryDef(dedup_exact, EXACT_SQL),

@@ -27,14 +27,21 @@ def tumbling_counts(
     key_col: str | None = "event_type",
     window: str = "10 minutes",
     watermark: str = "10 minutes",
+    slide: str | None = None,
 ) -> DataFrame:
     """Per-window (optionally per-key) event counts with a watermark.
 
     Rows older than the watermark are dropped, never re-opening closed
     windows — the property the late-data tests pin down. State per key
     is one count, evicted at ``window end < watermark``.
+
+    With ``slide`` set shorter than ``window``, windows overlap
+    (sliding): each row contributes to ``window/slide`` window
+    instances, and state grows by the same factor — size the watermark
+    accordingly.
     """
-    keys = [F.window(ts_col, window).alias("win")]
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    keys = [win.alias("win")]
     if key_col is not None:
         keys.append(F.col(key_col))
     return (

@@ -113,6 +113,28 @@ def test_on_time_row_within_watermark_is_counted(spark, tmp_path):
     assert max(r["n_events"] for r in fifty) == 2  # 10:55 + 10:56
 
 
+def test_sliding_windows_overlap(spark, tmp_path):
+    # one row at 10:07 with window=10m slide=5m lands in BOTH the
+    # 10:00 and the 10:05 window instances
+    src = _write_batches(tmp_path, [{"k": "a", "ts": "2026-01-01 10:07:00"}])
+    stream = spark.readStream.schema(SCHEMA).json(src)
+    name = "slide_" + tmp_path.name.replace("-", "_")
+    q = (
+        tumbling_counts(stream, ts_col="ts", key_col="k", slide="5 minutes")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    starts = sorted(
+        (r["window_start"].minute, r["n_events"]) for r in spark.table(name).collect()
+    )
+    assert starts == [(0, 1), (5, 1)]
+
+
 def test_stream_stream_join_with_time_bound(spark, tmp_path):
     """Stream-stream inner join: clicks matched to purchases of the same
     user within the preceding hour. Watermarks on both sides bound the
