@@ -97,3 +97,38 @@ def decode_cdc_json(
         timestamp=F.timestamp_millis(F.col("ts_ms")),
     ).drop("_operation_tmp", "op", "ts_ms", "source")
     return effective_row(decoded)
+
+
+def decode_cdc_json_with_dlq(
+    raw: DataFrame,
+    payload_schema: T.StructType,
+    value_col: str = "value",
+) -> tuple[DataFrame, DataFrame]:
+    """Like :func:`decode_cdc_json`, but malformed envelopes are routed
+    to a dead-letter DataFrame instead of silently dropped.
+
+    Returns ``(decoded, dead_letters)``; the dead-letter side carries
+    the raw value plus the failure reason. Both are projections of the
+    same input, so on a stream each can feed its own sink (the DLQ is
+    an append-only audit table — the reference logs-and-skips,
+    losing the rows; SURVEY §2.3 P1).
+    """
+    # from_json is PERMISSIVE: malformed input yields an all-null struct,
+    # not NULL — try_parse_json distinguishes truly unparseable bytes
+    parsed = raw.withColumn(
+        "_e",
+        F.from_json(
+            F.col(value_col).cast("string"), cdc_envelope_schema(payload_schema)
+        ),
+    ).withColumn("_json_ok", F.expr(f"try_parse_json(cast({value_col} as string))").isNotNull())
+    known_ops = list(_OP_MAP.keys())
+    ok = F.col("_json_ok") & F.col("_e.op").isNotNull() & F.col("_e.op").isin(*known_ops)
+    bad = parsed.filter(~ok).select(
+        F.col(value_col).cast("string").alias("raw_value"),
+        F.when(~F.col("_json_ok"), "unparseable_json")
+        .when(F.col("_e.op").isNull(), "missing_op")
+        .otherwise("unknown_op")
+        .alias("reason"),
+    )
+    good = parsed.filter(ok).drop("_e", "_json_ok")
+    return decode_cdc_json(good, payload_schema, value_col), bad
