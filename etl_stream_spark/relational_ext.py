@@ -610,6 +610,38 @@ FROM orders
 # --------------------------------------------------------------------------
 
 
+def order_value_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-function family beyond row_number (§2.5): quartile
+    ntile, percent_rank, cume_dist, dense_rank per priority — one sort
+    per partition serves all four. Tie-break on orderkey keeps every
+    rank deterministic."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.col("o_totalprice").cast(DEC).alias("total_price"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.dense_rank().over(w).cast("long").alias("drank"),
+    )
+
+
+RANKINGS_SQL = """
+SELECT o_orderpriority, o_orderkey,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS total_price,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS drank
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
 def order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated median / p90 of order value per priority —
     Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
@@ -646,4 +678,5 @@ EXTRA_QUERIES: list[tuple] = [
     ("rollup_order_revenue", rollup_order_revenue, ROLLUP_SQL),
     ("customer_order_history", customer_order_history, HISTORY_SQL),
     ("order_price_quantiles", order_price_quantiles, QUANTILES_SQL),
+    ("order_value_rankings", order_value_rankings, RANKINGS_SQL),
 ]
