@@ -1,5 +1,7 @@
-"""Plan-level utilities: partitioning discipline, explain helpers."""
+"""Plan-level utilities: partitioning discipline, compaction, explain
+helpers."""
 
-from etl_stream_spark.plans.partitioning import ensure_parallelism
+from etl_stream_spark.plans.compaction import compact_parquet
+from etl_stream_spark.plans.partitioning import ensure_parallelism, salted_join
 
-__all__ = ["ensure_parallelism"]
+__all__ = ["compact_parquet", "ensure_parallelism", "salted_join"]

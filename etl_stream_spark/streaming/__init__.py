@@ -31,5 +31,16 @@ __all__ = [
 ]
 
 from etl_stream_spark.streaming.metrics import MetricsRegistry, health_snapshot  # noqa: E402
+from etl_stream_spark.streaming.progress import ProgressMetricsListener  # noqa: E402
+from etl_stream_spark.streaming.windows import (  # noqa: E402
+    dedup_within_watermark,
+    tumbling_counts,
+)
 
-__all__ += ["MetricsRegistry", "health_snapshot"]
+__all__ += [
+    "MetricsRegistry",
+    "health_snapshot",
+    "ProgressMetricsListener",
+    "dedup_within_watermark",
+    "tumbling_counts",
+]
