@@ -1,0 +1,92 @@
+"""Executable evidence for the scale claims in the README: bucket-pruned
+merge rewrites, parquet partition pruning, and broadcast-planned
+dimension joins."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from etl_stream_spark.cdc import OP_INSERT, OP_UPDATE, ParquetMergeTable, make_sequence
+
+
+def _bucket_files(path: str) -> dict[str, float]:
+    """parquet file → mtime, keyed by relative path."""
+    out = {}
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                full = os.path.join(root, f)
+                out[os.path.relpath(full, path)] = os.path.getmtime(full)
+    return out
+
+
+def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """A trickle batch must not rewrite the whole table: files in
+    buckets the batch does not touch stay byte-for-byte untouched —
+    the rewrite-amplification bound (touched/num_buckets)."""
+    path = str(tmp_path / "t")
+    target = ParquetMergeTable(spark, path, keys=["id"], num_buckets=16)
+    seed = spark.createDataFrame(
+        [(i, f"v{i}", OP_INSERT, make_sequence(1000, i)) for i in range(500)],
+        "id long, v string, operation string, sequence string",
+    )
+    target.merge(seed)
+    before = _bucket_files(path)
+    buckets_before = {p.split(os.sep)[0] for p in before}
+    assert len(buckets_before) == 16  # all buckets materialized
+
+    # single-row update → exactly one bucket touched
+    one = spark.createDataFrame(
+        [(7, "updated", OP_UPDATE, make_sequence(2000, 0))],
+        "id long, v string, operation string, sequence string",
+    )
+    target.merge(one)
+    after = _bucket_files(path)
+
+    touched_bucket = (
+        spark.createDataFrame([(7,)], "id long")
+        .select(F.pmod(F.xxhash64("id"), F.lit(16)).cast("int").alias("b"))
+        .first()["b"]
+    )
+    unchanged = {p: t for p, t in before.items() if p in after and after[p] == t}
+    changed_dirs = {
+        p.split(os.sep)[0]
+        for p in set(before) ^ set(after)
+        | {p for p in before if p in after and after[p] != before[p]}
+    }
+    # every changed file lives in the single touched bucket
+    assert changed_dirs <= {f"_bucket={touched_bucket}"}
+    # and the other 15 buckets' files were not rewritten
+    untouched_dirs = {p.split(os.sep)[0] for p in unchanged}
+    assert len(untouched_dirs) >= 15
+    # correctness of the merge itself
+    got = {r["id"]: r["v"] for r in target.read().collect()}
+    assert got[7] == "updated" and got[8] == "v8" and len(got) == 500
+
+
+def test_partition_pruning_reaches_the_scan(spark, tmp_path):
+    path = str(tmp_path / "pt")
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 10).alias("day")
+    )
+    df.write.partitionBy("day").parquet(path)
+    q = spark.read.parquet(path).filter(F.col("day") == 3).select("id")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "day" in plan
+    # pruned scan must read 1/10th of the rows
+    assert q.count() == 100
+
+
+def test_star_join_plans_broadcasts_not_sortmerge(spark):
+    from etl_stream_spark.catalog import CATALOG
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = CATALOG["q5_region_revenue"].fn(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
