@@ -764,6 +764,59 @@ FROM c ASOF LEFT JOIN p
 """
 
 
+def user_value_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with forward-fill: each user's `value`
+    observations resampled onto an hourly grid (per-user bounds), the
+    last observation at-or-before each grid point carried forward via
+    the as-of join. Grid generation is `sequence()` per user — no
+    driver loop; the fill is one shuffle (the as-of union window)."""
+    from etl_stream_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    obs = ev.groupBy("user_id", F.col("ts").alias("o_ts")).agg(
+        F.expr("max_by(value, event_id)").alias("value")
+    ).select(
+        "user_id", "o_ts", F.col("value").cast(DEC).alias("value")
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"), F.max("ts").alias("t1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("t0"), F.col("t1"), F.expr("interval 1 hour"))
+        ).alias("grid_ts"),
+    )
+    return asof_join(
+        grid,
+        obs,
+        on="user_id",
+        left_ts="grid_ts",
+        right_ts="o_ts",
+        right_cols=["value"],
+    ).select("user_id", "grid_ts", "value")
+
+
+RESAMPLE_SQL = """
+WITH obs AS (
+  SELECT user_id, ts AS o_ts,
+         CAST(max_by(value, event_id) AS DECIMAL(18,2)) AS value
+  FROM events GROUP BY user_id, ts
+),
+bounds AS (
+  SELECT user_id, date_trunc('hour', MIN(ts)) AS t0, MAX(ts) AS t1
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS grid_ts
+  FROM bounds
+)
+SELECT g.user_id AS user_id, g.grid_ts AS grid_ts, o.value AS value
+FROM grid g ASOF LEFT JOIN obs o
+  ON g.user_id = o.user_id AND g.grid_ts >= o.o_ts
+"""
+
+
 def signup_window_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-containment join: events of the same user inside the
     6 hours after each signup event (equi-key hash join + range filter —
@@ -1751,6 +1804,7 @@ CATALOG: dict[str, QueryDef] = {
     # temporal joins
     "asof_latest_purchase": QueryDef(asof_latest_purchase, ASOF_SQL),
     "signup_window_activity": QueryDef(signup_window_activity, INTERVAL_SQL),
+    "user_value_resampled": QueryDef(user_value_resampled, RESAMPLE_SQL),
     # corpus / training-data pipeline
     "corpus_stratified_sample": QueryDef(corpus_stratified_sample, SAMPLE_SQL),
     "corpus_train_test_split": QueryDef(corpus_train_test_split, SPLIT_SQL),
