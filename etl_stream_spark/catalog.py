@@ -1436,6 +1436,31 @@ FROM documents
 # --------------------------------------------------------------------------
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling through the Arrow-batched flatMap
+    plumbing (1-4 frames per payload, count from the payload hash)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.to_media_column(docs, modality="video")
+    return mm.sample_frames(media)
+
+
+FRAMES_SQL = """
+WITH m AS (
+  SELECT doc_id, md5(text) AS content_md5,
+         1 + ('0x' || substr(md5(text), 5, 2))::BIGINT % 4 AS n_frames
+  FROM documents
+),
+f AS (
+  SELECT doc_id, content_md5,
+         unnest(range(n_frames)) AS frame_idx
+  FROM m
+)
+SELECT doc_id, frame_idx, frame_idx * 1000 AS frame_ts_ms,
+       md5(content_md5 || '_' || CAST(frame_idx AS VARCHAR)) AS frame_md5
+FROM f
+"""
+
+
 def cdc_envelope_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 end-to-end: events → Debezium-style JSON envelopes → typed
     decode (``decode_cdc_json``). The encode→decode round trip must
@@ -1831,6 +1856,7 @@ CATALOG: dict[str, QueryDef] = {
     "ivf_topk": QueryDef(ivf_topk_q, _ivf_sql()),
     # multimodal
     "multimodal_features": QueryDef(multimodal_features, MULTIMODAL_SQL),
+    "multimodal_frame_sample": QueryDef(multimodal_frame_sample, FRAMES_SQL),
     # source & monitoring layer
     "wal_size_monitor": QueryDef(wal_size_monitor, WAL_SIZE_SQL),
     # streaming (real streaming jobs; rollup has no SQL twin → rows-only)

@@ -88,3 +88,65 @@ def extract_features(media: DataFrame) -> DataFrame:
             yield out
 
     return ensure_parallelism(media).mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, payload binary, modality string, content_md5 string, "
+    "width int, height int, scale_x double, scale_y double"
+)
+
+
+def resize_media(media: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Arrow-batched resize: 1:1 row transform re-emitting the payload
+    with target dimensions and the scale factors a real kernel would
+    apply. STUB: the pixel resample itself would be PIL/ffmpeg (not in
+    this container); payload passes through unchanged, dimensions come
+    from the deterministic stub decode."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [decode_image_stub(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["payload"],  # stub: unresampled bytes
+                    "modality": pdf["modality"],
+                    "content_md5": pdf["content_md5"],
+                    "width": target_w,
+                    "height": target_h,
+                    "scale_x": [round(target_w / m["width"], 6) for m in meta],
+                    "scale_y": [round(target_h / m["height"], 6) for m in meta],
+                }
+            )
+
+    return ensure_parallelism(media).mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_ts_ms long, frame_md5 string"
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """Frame sampling for video payloads: each input row fans out to
+    1-4 frame rows (the flatMap shape — output cardinality decided per
+    row inside the batch). STUB kernel: the frame count derives from the
+    payload hash (3rd md5 byte, deterministic and SQL-reproducible);
+    a real deployment would seek the container every N ms with ffmpeg.
+    Frame ids are content-addressed (md5 of content hash + index)."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, fmds = [], [], [], []
+            for doc_id, payload, cmd5 in zip(
+                pdf["doc_id"], pdf["payload"], pdf["content_md5"]
+            ):
+                n = 1 + hashlib.md5(bytes(payload)).digest()[2] % 4
+                for i in range(n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    tss.append(i * 1000)
+                    fmds.append(hashlib.md5(f"{cmd5}_{i}".encode()).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_ts_ms": tss, "frame_md5": fmds}
+            )
+
+    return ensure_parallelism(media).mapInPandas(_frames, schema=FRAME_SCHEMA)

@@ -139,6 +139,31 @@ class TestMultimodal:
         again = {x.doc_id: x for x in mm.extract_features(media).collect()}
         assert again[1].width == r.width and again[1].height == r.height
 
+    def test_resize_targets_and_scales(self, docs):
+        media = mm.to_media_column(docs)
+        out = {r.doc_id: r for r in mm.resize_media(media, 224, 112).collect()}
+        feats = {r.doc_id: r for r in mm.extract_features(media).collect()}
+        assert all(r.width == 224 and r.height == 112 for r in out.values())
+        r, f = out[1], feats[1]
+        assert abs(r.scale_x - round(224 / f.width, 6)) < 1e-9
+        assert abs(r.scale_y - round(112 / f.height, 6)) < 1e-9
+        # payload passes through (stub) so content addressing is stable
+        assert r.content_md5 == f.content_md5
+
+    def test_frame_sampling_fans_out(self, docs):
+        media = mm.to_media_column(docs, modality="video")
+        frames = mm.sample_frames(media).collect()
+        per_doc = {}
+        for r in frames:
+            per_doc.setdefault(r.doc_id, []).append(r)
+        assert set(per_doc) == {1, 2, 3, 4, 5}
+        for doc_id, rows in per_doc.items():
+            rows.sort(key=lambda r: r.frame_idx)
+            assert 1 <= len(rows) <= 4
+            assert [r.frame_idx for r in rows] == list(range(len(rows)))
+            assert all(r.frame_ts_ms == r.frame_idx * 1000 for r in rows)
+            assert len({r.frame_md5 for r in rows}) == len(rows)  # content-addressed
+
 
 class TestDuplicateClusters:
     def test_chain_and_singleton(self, spark):
