@@ -282,6 +282,77 @@ GROUP BY nation, ship_year
 # --------------------------------------------------------------------------
 
 
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11's HAVING-against-scalar shape: parts whose revenue exceeds
+    1/1500 of total revenue — per-part aggregate filtered against a
+    broadcast single-row aggregate. The threshold is exact decimal
+    cross-multiplication (rev * 1500 > total), no division."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(_rev_sum().alias("part_revenue"))
+    total = per_part.agg(
+        F.sum("part_revenue").cast("decimal(38,6)").alias("total_revenue")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_revenue") * 1500 > F.col("total_revenue"))
+        .select("l_partkey", "part_revenue")
+    )
+
+
+Q11_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey, CAST(SUM({_REV_SQL}) AS DECIMAL(38,6)) AS part_revenue
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, part_revenue
+FROM per_part
+WHERE part_revenue * 1500 > (
+  SELECT CAST(SUM(part_revenue) AS DECIMAL(38,6)) FROM per_part)
+"""
+
+
+def q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20's nested-IN shape: suppliers who shipped more than half of
+    any single part's total shipped quantity in a year — supplier keys
+    come from a subquery over an aggregated join, then semi-join the
+    supplier dim. Halving is exact: 2*supplier_qty > part_qty."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(F.sum(qty).alias("ps_qty"))
+    per_p = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        F.sum(qty).alias("p_qty")
+    )
+    heavy = (
+        per_ps.join(per_p, per_ps.l_partkey == F.col("p_key"))
+        .filter(F.col("ps_qty") * 2 > F.col("p_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+Q20_SQL = """
+WITH y AS (
+  SELECT l_partkey, l_suppkey, CAST(l_quantity AS DECIMAL(18,2)) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+),
+per_ps AS (SELECT l_partkey, l_suppkey, SUM(qty) AS ps_qty FROM y GROUP BY 1, 2),
+per_p AS (SELECT l_partkey, SUM(qty) AS p_qty FROM y GROUP BY 1)
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM per_ps JOIN per_p USING (l_partkey)
+  WHERE ps_qty * 2 > p_qty)
+"""
+
+
 def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """High/low-priority line counts per return flag for one ship year —
     Q12's dual conditional count; the orders side of the join carries
@@ -668,6 +739,8 @@ EXTRA_QUERIES: list[tuple] = [
     ("q7_nation_trade", q7_nation_trade, Q7_SQL),
     ("q8_market_share", q8_market_share, Q8_SQL),
     ("q9_product_profit", q9_product_profit, Q9_SQL),
+    ("q11_important_parts", q11_important_parts, Q11_SQL),
+    ("q20_heavy_suppliers", q20_heavy_suppliers, Q20_SQL),
     ("q12_priority_lines", q12_priority_lines, Q12_SQL),
     ("q13_customer_distribution", q13_customer_distribution, Q13_SQL),
     ("q15_top_supplier", q15_top_supplier, Q15_SQL),
