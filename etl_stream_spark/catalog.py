@@ -1371,6 +1371,30 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 """
 
 
+def kmeans_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means assignment round (deterministic init: vectors 0..7
+    seed the centroids), exact integer squared-L2 argmin."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.kmeans_assign(emb, k=8)
+
+
+KMEANS_SQL = f"""
+WITH v AS (SELECT vec_id, {QVEC} AS vv FROM embeddings),
+c AS (SELECT vec_id AS cluster_id, {QVEC} AS cv FROM embeddings WHERE vec_id < 8),
+p AS (
+  SELECT v.vec_id AS vec_id, cluster_id,
+         list_sum(list_transform(range(1, {_DIMS + 1}),
+                                 i -> (vv[i] - cv[i]) * (vv[i] - cv[i]))) AS dist_sq
+  FROM v CROSS JOIN c
+)
+SELECT vec_id, cluster_id, dist_sq FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY dist_sq, cluster_id) AS rn
+  FROM p
+) WHERE rn = 1
+"""
+
+
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-max int8 scalar quantization of the embedding corpus (the
     4x-compression codec under an IVF/PQ index)."""
@@ -1853,6 +1877,7 @@ CATALOG: dict[str, QueryDef] = {
     "embedding_neardup": QueryDef(embedding_neardup, _neardup_sql()),
     "embedding_centroids": QueryDef(embedding_centroids, CENTROIDS_SQL),
     "embedding_quantize_int8": QueryDef(embedding_quantize_int8, QUANT8_SQL),
+    "kmeans_assignment": QueryDef(kmeans_assignment, KMEANS_SQL),
     "ivf_topk": QueryDef(ivf_topk_q, _ivf_sql()),
     # multimodal
     "multimodal_features": QueryDef(multimodal_features, MULTIMODAL_SQL),

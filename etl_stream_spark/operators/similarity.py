@@ -278,6 +278,44 @@ def centroids(
     )
 
 
+def kmeans_assign(
+    corpus: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = QUANT_SCALE,
+) -> DataFrame:
+    """One Lloyd *assignment* round with deterministic init (the first
+    ``k`` vectors by id are the starting centroids): every vector maps
+    to the centroid minimizing exact integer squared-L2 distance, ties
+    to the lowest cluster id.
+
+    Together with :func:`centroids` (the *update* step — means per
+    assignment) this is the k-means training loop an IVF index runs a
+    few rounds of; both steps are single-shuffle DataFrame ops, so the
+    loop is driver-bounded with no per-row Python. The k centroids ride
+    along as one broadcast; distances never leave the executors.
+    """
+    cents = corpus.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("cluster_id"), quantize(vec_col, scale).alias("_cent")
+    )
+    vecs = ensure_parallelism(corpus).select(
+        F.col(id_col), quantize(vec_col, scale).alias("_v")
+    )
+    dist_sq = F.aggregate(
+        F.zip_with(F.col("_v"), F.col("_cent"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    ).alias("dist_sq")
+    pairs = vecs.join(F.broadcast(cents)).select(id_col, "cluster_id", dist_sq)
+    w = Window.partitionBy(id_col).orderBy("dist_sq", "cluster_id")
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "cluster_id", "dist_sq")
+    )
+
+
 CENTROID_INT_SCALE = 1_000_000  # 6-dp centroid components → exact ints
 
 
