@@ -302,6 +302,12 @@ def kmeans_assign(
     vecs = ensure_parallelism(corpus).select(
         F.col(id_col), quantize(vec_col, scale).alias("_v")
     )
+    return _assign_to(vecs, cents, id_col)
+
+
+def _assign_to(vecs: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """argmin exact-integer squared-L2 over a broadcast centroid set.
+    ``vecs``: (id, _v array<long>); ``cents``: (cluster_id, _cent)."""
     dist_sq = F.aggregate(
         F.zip_with(F.col("_v"), F.col("_cent"), lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("long"),
@@ -314,6 +320,70 @@ def kmeans_assign(
         .filter(F.col("_rn") == 1)
         .select(id_col, "cluster_id", "dist_sq")
     )
+
+
+def kmeans_train(
+    corpus: DataFrame,
+    k: int = 8,
+    rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = QUANT_SCALE,
+) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
+    """Full Lloyd's loop: ``rounds`` alternations of integer-L2 argmin
+    assignment and per-cluster mean update.
+
+    Deterministic throughout: init = first ``k`` vectors by id; updated
+    centroids are element-wise integer means (exact sums, half-up to
+    the quantization grid); empty clusters keep their previous
+    centroid. Per round the driver holds only k × dims ints (bounded
+    metadata, like the merge engine's bucket lists) — the corpus never
+    leaves the executors, so the loop is O(rounds) Spark jobs at any
+    scale. Returns (final assignment DataFrame, centroid list).
+    """
+    vecs = ensure_parallelism(corpus).select(
+        F.col(id_col), quantize(vec_col, scale).alias("_v")
+    )
+    cent_rows = sorted(
+        (r[id_col], list(r["_v"]))
+        for r in vecs.filter(F.col(id_col) < k).collect()
+    )
+    cents_py: list[tuple[int, list[int]]] = [
+        (cid, v) for cid, v in zip(range(len(cent_rows)), (v for _i, v in cent_rows))
+    ]
+    spark = corpus.sparkSession
+    for _ in range(rounds):
+        cents = spark.createDataFrame(
+            [(cid, v) for cid, v in cents_py], f"cluster_id long, _cent array<long>"
+        )
+        assigned = _assign_to(vecs, cents, id_col)
+        sums = (
+            vecs.join(assigned.select(id_col, "cluster_id"), id_col)
+            .select("cluster_id", F.posexplode("_v").alias("pos", "q"))
+            .groupBy("cluster_id", "pos")
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, int]] = {}
+        for r in sums:
+            # exact integer mean, half-up — engine-independent
+            mean = (2 * r["s"] + r["n"]) // (2 * r["n"]) if r["s"] >= 0 else -(
+                (2 * -r["s"] + r["n"]) // (2 * r["n"])
+            )
+            by_cluster.setdefault(r["cluster_id"], {})[r["pos"]] = mean
+        cents_py = [
+            (
+                cid,
+                [by_cluster[cid][p] for p in range(len(old))]
+                if cid in by_cluster
+                else old,  # empty cluster keeps its centroid
+            )
+            for cid, old in cents_py
+        ]
+    final_cents = spark.createDataFrame(
+        cents_py, "cluster_id long, _cent array<long>"
+    )
+    return _assign_to(vecs, final_cents, id_col), cents_py
 
 
 CENTROID_INT_SCALE = 1_000_000  # 6-dp centroid components → exact ints

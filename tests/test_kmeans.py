@@ -1,0 +1,71 @@
+"""Iterative k-means: on well-separated synthetic clusters the loop
+must recover the ground truth and reach a fixpoint."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from etl_stream_spark.operators.similarity import kmeans_assign, kmeans_train
+
+
+def _clustered(spark):
+    """Three tight 4-d clusters around distant centers; ids 0..2 are one
+    point of each cluster (so the first-k init starts in distinct
+    clusters — deterministic and well-posed)."""
+    centers = {0: [0.0, 0.0, 0.0, 0.0], 1: [10.0, 10.0, 0.0, 0.0], 2: [0.0, 0.0, 10.0, 10.0]}
+    rows = []
+    vid = 3
+    for c, base in centers.items():
+        rows.append((c, [x + 0.01 for x in base]))  # ids 0,1,2 seed the init
+        for j in range(15):
+            jitter = ((j * 7 + c) % 10) / 100.0  # deterministic, < 0.1
+            rows.append((vid, [x + jitter for x in base]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), centers
+
+
+def test_kmeans_recovers_separated_clusters(spark):
+    df, centers = _clustered(spark)
+    assigned, cents = kmeans_train(df, k=3, rounds=3)
+    rows = assigned.collect()
+    # ground truth: points were appended per center in blocks of 15
+    # after the three seeds; map each vec back to its true center
+    truth = {}
+    vid = 3
+    for c in centers:
+        truth[c] = c
+        for _ in range(15):
+            truth[vid] = c
+            vid += 1
+    got = {r["vec_id"]: r["cluster_id"] for r in rows}
+    # cluster ids are seeded by ids 0..2 which sit in distinct true
+    # clusters, so labels must match identity
+    assert got == truth
+    assert len(cents) == 3
+    # fixpoint: one more round must not change assignments
+    assigned2, _ = kmeans_train(df, k=3, rounds=4)
+    got2 = {r["vec_id"]: r["cluster_id"] for r in assigned2.collect()}
+    assert got2 == got
+
+
+def test_kmeans_assign_matches_one_round_of_train(spark):
+    df, _ = _clustered(spark)
+    one = {r["vec_id"]: r["cluster_id"] for r in kmeans_assign(df, k=3).collect()}
+    # round 0 of train assigns against the same init
+    trained, _ = kmeans_train(df, k=3, rounds=0)
+    zero = {r["vec_id"]: r["cluster_id"] for r in trained.collect()}
+    assert one == zero
+
+
+def test_empty_cluster_keeps_centroid(spark):
+    # k=3 but ids 0 and 1 are identical points → cluster 1 goes empty
+    # (all points closer to 0 by tie-break), must not crash or vanish
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [5.0, 5.0])] + [
+        (i, [5.0 + i / 100.0, 5.0]) for i in range(3, 8)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, cents = kmeans_train(df, k=3, rounds=2)
+    assert len(cents) == 3
+    clusters = {r["cluster_id"] for r in assigned.collect()}
+    assert 1 not in clusters  # starved by the tie-break, centroid retained
+    assert {0, 2} <= clusters
