@@ -386,6 +386,66 @@ def kmeans_train(
     return _assign_to(vecs, final_cents, id_col), cents_py
 
 
+def ivf_trained_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = QUANT_SCALE,
+) -> DataFrame:
+    """IVF search over a *trained* coarse quantizer: k-means cells from
+    :func:`kmeans_train` replace the pre-labeled cells of
+    :func:`ivf_topk`. Queries probe their ``nprobe`` nearest trained
+    centroids (integer L2, broadcast), then score only vectors assigned
+    to those cells — the full index pipeline (train → assign → probe →
+    score) as DataFrame ops.
+    """
+    assigned, cents_py = kmeans_train(
+        corpus, k=n_cells, rounds=rounds, id_col=id_col, vec_col=vec_col, scale=scale
+    )
+    spark = corpus.sparkSession
+    cents = spark.createDataFrame(cents_py, "cluster_id long, _cent array<long>")
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), quantize(vec_col, scale).alias("_v")
+    )
+    # rank every (query, cell) pair and keep the nprobe nearest cells
+    dist_sq = F.aggregate(
+        F.zip_with(F.col("_v"), F.col("_cent"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    ).alias("dist_sq")
+    qc = qvecs.join(F.broadcast(cents)).select("query_id", "_v", "cluster_id", dist_sq)
+    pr = Window.partitionBy("query_id").orderBy("dist_sq", "cluster_id")
+    probes = (
+        qc.withColumn("_pr", F.row_number().over(pr))
+        .filter(F.col("_pr") <= nprobe)
+        .select("query_id", "_v", "cluster_id")
+    )
+    cvecs = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"), quantize(vec_col, scale).alias("_c")
+    ).join(assigned.select(F.col(id_col).alias("neighbor_id"), "cluster_id"), "neighbor_id")
+    cand = probes.join(cvecs, "cluster_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = F.round(
+        int_dot(F.col("_v"), F.col("_c")).cast("double")
+        / F.sqrt(
+            int_norm_sq(F.col("_v")).cast("double")
+            * int_norm_sq(F.col("_c")).cast("double")
+        ),
+        6,
+    ).alias("cos_sim")
+    scored = cand.select("query_id", "neighbor_id", cos)
+    rank = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(rank)).filter(
+        F.col("rank") <= k
+    )
+
+
 CENTROID_INT_SCALE = 1_000_000  # 6-dp centroid components → exact ints
 
 
