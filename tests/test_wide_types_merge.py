@@ -154,6 +154,28 @@ def test_stale_update_loses_on_wide_schema(spark, target):
     assert state == {1: "fresh"}
 
 
+def test_exact_batch_replay_is_idempotent(spark, target):
+    """Exactly-once under at-least-once delivery: re-merging the very
+    same batch (identical sequences) must leave the target unchanged —
+    checkpoint recovery replays batches, the merge must absorb them."""
+    batch = spark.createDataFrame(
+        [row(1, OP_INSERT, 0), row(2, OP_INSERT, 1),
+         row(2, OP_UPDATE, 2, customer_name="Bobby")],
+        SALES_SCHEMA,
+    )
+    def snapshot():
+        return sorted(
+            (r["sale_id"], r["customer_name"], str(r["unit_price"]))
+            for r in target.read().collect()
+        )
+
+    target.merge(batch)
+    first = snapshot()
+    assert [(i, n) for i, n, _p in first] == [(1, "Alice"), (2, "Bobby")]
+    target.merge(batch)  # replay after a simulated checkpoint recovery
+    assert snapshot() == first
+
+
 def test_json_metadata_parses_after_merge(spark, target):
     from etl_stream_spark.functions.parsing import parse_json_columns
 
