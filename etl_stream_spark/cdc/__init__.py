@@ -12,6 +12,7 @@ from etl_stream_spark.cdc.envelope import (
     with_cdc_metadata,
 )
 from etl_stream_spark.cdc.merge import ParquetMergeTable
+from etl_stream_spark.cdc.rollup import IncrementalRollup
 from etl_stream_spark.cdc.pipeline import (
     CdcBatchApplier,
     CdcTableConfig,
@@ -27,6 +28,7 @@ __all__ = [
     "OP_UPDATE",
     "CdcBatchApplier",
     "CdcTableConfig",
+    "IncrementalRollup",
     "LandingTable",
     "MergeTask",
     "ParquetMergeTable",
