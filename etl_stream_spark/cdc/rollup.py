@@ -57,14 +57,55 @@ class IncrementalRollup:
         )
         self._refresh_seq = 0
 
-    def refresh(self, batch: DataFrame) -> None:
-        """Fold one applied micro-batch's group impact into gold.
+    def touched_groups(self, batch: DataFrame) -> list[tuple]:
+        """Group keys whose aggregates this batch can change, captured
+        BEFORE the silver merge: the batch's own (non-null) groups plus
+        the *pre-image* groups of every key the batch touches — a
+        PK-only DELETE carries no group value, so the group it shrinks
+        is only discoverable in pre-merge silver. Collected to the
+        driver (bounded by batch key count) because the lazy pre-image
+        lineage would read post-merge files if evaluated later."""
+        batch_groups = batch.select(*self.group_cols).na.drop(how="any").distinct()
+        if self.silver.exists():
+            keys = batch.select(*self.silver.keys).distinct()
+            pre = (
+                self.silver.read()
+                .join(F.broadcast(keys), self.silver.keys, "left_semi")
+                .select(*self.group_cols)
+                .distinct()
+            )
+            batch_groups = batch_groups.unionByName(pre).distinct()
+        return [tuple(r) for r in batch_groups.collect()]
 
-        Call after ``silver.merge(batch)`` with the same batch."""
-        touched = batch.select(*self.group_cols).distinct()
-        silver_rows = self.silver.read().join(
-            F.broadcast(touched), self.group_cols, "inner"
+    def merge_and_refresh(self, batch: DataFrame) -> None:
+        """Silver merge + gold refresh in the correct order — handles
+        PK-only DELETE rows (null group columns in the batch)."""
+        touched = self.touched_groups(batch)
+        self.silver.merge(batch)
+        self.refresh_groups(touched)
+
+    def refresh(self, batch: DataFrame) -> None:
+        """Fold one applied micro-batch's group impact into gold, called
+        after ``silver.merge(batch)``. Correct when every batch row
+        carries its group value (replica-identity-full deletes); for
+        PK-only deletes use :meth:`merge_and_refresh`."""
+        self.refresh_groups(
+            [tuple(r) for r in batch.select(*self.group_cols).na.drop(how="any").distinct().collect()]
         )
+
+    def refresh_groups(self, touched_rows: list[tuple]) -> None:
+        if not touched_rows:
+            return
+        schema_src = self.silver.read() if self.silver.exists() else None
+        touched = self.spark.createDataFrame(
+            touched_rows,
+            schema_src.select(*self.group_cols).schema
+            if schema_src is not None
+            else ", ".join(f"{c} string" for c in self.group_cols),
+        )
+        if schema_src is None:
+            return
+        silver_rows = schema_src.join(F.broadcast(touched), self.group_cols, "inner")
         recomputed = silver_rows.groupBy(*self.group_cols).agg(
             *[build().alias(name) for name, build in self.aggs.items()]
         )

@@ -77,6 +77,33 @@ def test_rollup_tracks_full_recompute(spark, tables):
     assert gold_state(rollup) == full_recompute(silver) == {"a": (1, 50), "c": (1, 3)}
 
 
+def test_pk_only_delete_shrinks_its_group(spark, tables):
+    """A DELETE carrying only the PK (no group value — the reference's
+    no-REPLICA-IDENTITY-FULL case) must still shrink the right group:
+    merge_and_refresh captures the pre-image group before the merge."""
+    silver, rollup = tables
+    b1 = spark.createDataFrame(
+        [ev(1, "a", 10, OP_INSERT, 0), ev(2, "a", 5, OP_INSERT, 1), ev(3, "b", 7, OP_INSERT, 2)],
+        SCHEMA,
+    )
+    rollup.merge_and_refresh(b1)
+    assert gold_state(rollup) == {"a": (2, 15), "b": (1, 7)}
+
+    # PK-only delete: grp and v are NULL in the event
+    b2 = spark.createDataFrame(
+        [(1, None, None, OP_DELETE, make_sequence(1000, 3))], SCHEMA
+    )
+    rollup.merge_and_refresh(b2)
+    assert gold_state(rollup) == full_recompute(silver) == {"a": (1, 5), "b": (1, 7)}
+
+    # PK-only delete of a group's last row → group extinction in gold
+    b3 = spark.createDataFrame(
+        [(3, None, None, OP_DELETE, make_sequence(1000, 4))], SCHEMA
+    )
+    rollup.merge_and_refresh(b3)
+    assert gold_state(rollup) == full_recompute(silver) == {"a": (1, 5)}
+
+
 def test_untouched_groups_not_recomputed(spark, tables):
     """The refresh only scans touched groups: a batch touching only
     group c must not rewrite group a's gold bucket files."""
