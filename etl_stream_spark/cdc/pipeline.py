@@ -71,12 +71,14 @@ class CdcBatchApplier:
         table_col: str = "table",
         max_parallel_tables: int = 4,
         metrics=None,
+        rollups: dict[str, "IncrementalRollup"] | None = None,
     ) -> None:
         self.spark = spark
         self.base_path = base_path.rstrip("/")
         self.table_col = table_col
         self.max_parallel_tables = max_parallel_tables
         self.metrics = metrics  # optional MetricsRegistry
+        self.rollups = dict(rollups or {})  # table name → IncrementalRollup
         self._targets: dict[str, ParquetMergeTable] = {}
         self._configs = dict(tables)
 
@@ -100,7 +102,25 @@ class CdcBatchApplier:
 
         def run(name: str) -> None:
             per_table = events.filter(F.col(self.table_col) == name).drop(self.table_col)
+            rollup = self.rollups.get(name)
+            touched: list[tuple] = []
+            has_trunc = False
+            if rollup is not None:
+                # pre-image group capture must precede the merge
+                data_rows = per_table.filter(F.col(OPERATION_COL) != OP_TRUNCATE)
+                touched = rollup.touched_groups(data_rows)
+                has_trunc = (
+                    per_table.filter(F.col(OPERATION_COL) == OP_TRUNCATE).limit(1).count()
+                    > 0
+                )
             apply_with_truncate_barrier(self.target(name), per_table)
+            if rollup is not None:
+                if has_trunc:
+                    # a truncate may extinguish groups absent from this
+                    # batch — rebuild gold from the (small) post-truncate
+                    # state instead of trusting the touched set
+                    rollup.gold.truncate()
+                rollup.refresh_groups(touched)
             if self.metrics is not None:
                 self.metrics.inc("cdc_batches_applied_total", labels={"table": name})
 

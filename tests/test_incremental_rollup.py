@@ -104,6 +104,60 @@ def test_pk_only_delete_shrinks_its_group(spark, tables):
     assert gold_state(rollup) == full_recompute(silver) == {"a": (1, 5)}
 
 
+def test_streaming_medallion_applier_with_rollup(spark, tmp_path):
+    """Full medallion in one stream: CDC files → foreachBatch applier →
+    silver merge → incremental gold, with a truncate mid-stream."""
+    from etl_stream_spark.cdc.pipeline import CdcBatchApplier, CdcTableConfig
+
+    silver = ParquetMergeTable(spark, str(tmp_path / "s" / "t1"), keys=["id"], num_buckets=4)
+    rollup = IncrementalRollup(
+        spark, silver, str(tmp_path / "gold"), ["grp"],
+        {"n_rows": lambda: F.count(F.lit(1)).cast("long"),
+         "sum_v": lambda: F.sum("v").cast("long")},
+        num_buckets=2,
+    )
+    applier = CdcBatchApplier(
+        spark, str(tmp_path / "s"), {"t1": CdcTableConfig(keys=["id"], num_buckets=4)},
+        rollups={"t1": rollup},
+    )
+    applier._targets["t1"] = silver  # share the instance the rollup wraps
+
+    import json, os
+
+    src = tmp_path / "in"
+    src.mkdir()
+    batches = [
+        [dict(id=1, grp="a", v=10, operation="INSERT"),
+         dict(id=2, grp="b", v=5, operation="INSERT")],
+        [dict(id=1, grp="a", v=20, operation="UPDATE"),
+         dict(id=0, grp=None, v=None, operation="TRUNCATE"),
+         dict(id=3, grp="c", v=9, operation="INSERT")],
+    ]
+    seq = 0
+    for i, b in enumerate(batches):
+        rows = []
+        for r in b:
+            r = dict(r, sequence=make_sequence(1000, seq), table="t1")
+            seq += 1
+            rows.append(json.dumps(r))
+        f = src / f"b{i}.json"
+        f.write_text("\n".join(rows))
+        os.utime(f, (1_000_000_000 + i * 100,) * 2)
+
+    schema = "id long, grp string, v long, operation string, sequence string, table string"
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").json(str(src))
+    q = (
+        stream.writeStream.foreachBatch(applier.apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # post-truncate state: only id=3 survives
+    assert {r["id"]: r["grp"] for r in silver.read().collect()} == {3: "c"}
+    assert gold_state(rollup) == {"c": (1, 9)}
+
+
 def test_untouched_groups_not_recomputed(spark, tables):
     """The refresh only scans touched groups: a batch touching only
     group c must not rewrite group a's gold bucket files."""
