@@ -1818,6 +1818,119 @@ FROM (
 """
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality over documents (top-bigram /
+    top-trigram mass, longest identical-token run, keep flag)."""
+    docs = _t(spark, sf_dir, "documents")
+    return ta.with_repetition_stats(docs).select(
+        "doc_id",
+        "n_tokens",
+        "top_bigram_frac",
+        "top_trigram_frac",
+        "max_token_run",
+        "repetition_keep",
+    )
+
+
+def _top_frac_sql(arr: str) -> str:
+    return (
+        f"ROUND(CASE WHEN len({arr}) > 0 THEN "
+        f"CAST(list_max(list_transform(list_distinct({arr}), "
+        f"g -> len(list_filter({arr}, x -> x = g)))) AS DOUBLE) / len({arr}) "
+        f"ELSE 0.0 END, 6)"
+    )
+
+
+# The packed-run fold mirrors text_analysis.max_token_run exactly:
+# acc = prev_hash<<32 | best<<16 | cur, 16-bit md5 token hashes.
+# list_reduce seeds with the first element; f(0, x1) == x1 by
+# construction, so the DuckDB fold equals Spark's aggregate(init=0).
+_RUN_STEP = (
+    "CAST(floor(b / 4294967296) AS BIGINT) * 4294967296 "
+    "+ GREATEST(CAST(floor(a / 65536) AS BIGINT) % 65536, "
+    "CASE WHEN CAST(floor(a / 4294967296) AS BIGINT) = CAST(floor(b / 4294967296) AS BIGINT) "
+    "THEN a % 65536 + 1 ELSE 1 END) * 65536 "
+    "+ CASE WHEN CAST(floor(a / 4294967296) AS BIGINT) = CAST(floor(b / 4294967296) AS BIGINT) "
+    "THEN a % 65536 + 1 ELSE 1 END"
+)
+
+REPETITION_SQL = f"""
+WITH toks AS ({TOKS_CTE}),
+g AS (
+  SELECT doc_id, t,
+         list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bg,
+         list_transform(range(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS tg,
+         list_transform(t, tk ->
+           ('0x' || substr(md5(tk), 1, 4))::BIGINT * 4294967296 + 65537) AS packed
+  FROM toks
+),
+m AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         {_top_frac_sql('bg')} AS top_bigram_frac,
+         {_top_frac_sql('tg')} AS top_trigram_frac,
+         CASE WHEN len(packed) = 0 THEN 0
+              ELSE CAST(floor(list_reduce(packed, (a, b) -> {_RUN_STEP}) / 65536)
+                   AS BIGINT) % 65536
+         END AS max_token_run
+  FROM g
+)
+SELECT doc_id, n_tokens, top_bigram_frac, top_trigram_frac, max_token_run,
+       (top_bigram_frac <= {ta.TOP_BIGRAM_MAX} AND top_trigram_frac <= {ta.TOP_TRIGRAM_MAX}
+        AND max_token_run < {ta.MAX_RUN_MAX}) AS repetition_keep
+FROM m
+"""
+
+
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction counts + fingerprint of the scrubbed text
+    (URLs, emails, long digit runs). The synthetic corpus contains no
+    PII, so counts are zero here — pattern semantics are pinned by
+    crafted-input unit tests; this entry pins engine determinism of
+    the extract/replace pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    return ta.with_redaction(docs).select(
+        "doc_id", "n_url", "n_email", "n_digits", "redacted_fp"
+    )
+
+
+def _redact_sql() -> str:
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in ta.REDACT_PATTERNS
+    )
+    scrub = "text"
+    for _, pat, token in ta.REDACT_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{token}', 'g')"
+    return f"SELECT doc_id, {counts}, md5({scrub}) AS redacted_fp FROM documents"
+
+
+def corpus_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 32-token / stride-16 context windows per document —
+    the sequence-packing prep step (chunk ordinal, offset, length,
+    content fingerprint)."""
+    docs = _t(spark, sf_dir, "documents")
+    return cp.chunk_documents(docs)
+
+
+CHUNKS_SQL = f"""
+WITH toks AS ({TOKS_CTE}),
+nz AS (SELECT doc_id, t FROM toks WHERE len(t) > 0),
+st AS (SELECT doc_id, t, range(1, len(t) + 1, {cp.CHUNK_STRIDE}) AS starts FROM nz),
+ex AS (SELECT doc_id, t,
+              unnest(range(len(starts))) AS chunk_index,
+              unnest(starts) AS start_token
+       FROM st)
+SELECT doc_id, CAST(chunk_index AS BIGINT) AS chunk_index,
+       CAST(start_token AS BIGINT) AS start_token,
+       CAST(len(list_slice(t, start_token, start_token + {cp.CHUNK_TOKENS - 1})) AS BIGINT)
+         AS chunk_tokens,
+       md5(array_to_string(list_slice(t, start_token, start_token + {cp.CHUNK_TOKENS - 1}), ' '))
+         AS chunk_fp
+FROM ex
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1850,6 +1963,9 @@ CATALOG: dict[str, QueryDef] = {
     "text_langid": QueryDef(text_langid, _langid_sql()),
     "text_fingerprint": QueryDef(text_fingerprint, FINGERPRINT_SQL),
     "text_rolling_fingerprint": QueryDef(text_rolling_fingerprint, ROLLING_FP_SQL),
+    "text_repetition": QueryDef(text_repetition, REPETITION_SQL),
+    "text_redact": QueryDef(text_redact, _redact_sql()),
+    "corpus_chunks": QueryDef(corpus_chunks, CHUNKS_SQL),
     # temporal joins
     "asof_latest_purchase": QueryDef(asof_latest_purchase, ASOF_SQL),
     "signup_window_activity": QueryDef(signup_window_activity, INTERVAL_SQL),

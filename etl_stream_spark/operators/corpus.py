@@ -195,3 +195,46 @@ def length_histogram(
             "share"
         ),
     )
+
+
+#: Context-window chunking defaults: 32-token windows, stride 16
+#: (50% overlap) — the sequence-packing prep step of an LLM pipeline.
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 16
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Split each document into overlapping token windows.
+
+    Narrow plan: tokenize once (let-bound), ``posexplode`` the 1-based
+    window starts ``sequence(1, n_tokens, stride)``, slice per start —
+    no shuffle, output rows ≈ rows × n_tokens/stride. Each chunk carries
+    its ordinal, start offset, token count (the tail chunk may be
+    short), and an md5 fingerprint of the joined tokens so downstream
+    chunk-level dedup needs no text column. Empty documents produce no
+    chunks.
+    """
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_toks")).filter(
+        F.size("_toks") > 0
+    )
+    exploded = toked.select(
+        id_col,
+        "_toks",
+        F.posexplode(F.sequence(F.lit(1), F.size("_toks"), F.lit(stride))).alias(
+            "chunk_index", "start"
+        ),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("start"), window)
+    return exploded.select(
+        id_col,
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        F.col("start").cast("long").alias("start_token"),
+        F.size(chunk).cast("long").alias("chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_fp"),
+    )

@@ -130,6 +130,158 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.drop("_toks")
 
 
+def token_ngrams(toks: Column, n: int) -> Column:
+    """Order-preserving token ``n``-grams as space-joined strings.
+
+    ``zip_with`` over shifted slices of the (pre-bound) token array —
+    JVM-side, no shuffle, empty for documents shorter than ``n``
+    tokens. Callers must let-bind ``toks`` (see ``dedup._let``) so the
+    tokenizer runs once per document, not once per gram."""
+    if n == 2:
+        a = F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
+        b = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+        return F.zip_with(a, b, lambda x, y: F.concat_ws(" ", x, y))
+    m = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(m >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def _top_frac(grams: Column) -> Column:
+    """max frequency of any gram / number of grams (0.0 when empty).
+
+    Per-document array scan: O(distinct · total) per row, parallel
+    across rows, no shuffle — the Gopher-style repetition signal
+    computed without a per-gram explode."""
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda x: x == g)),
+        )
+    )
+    return F.round(
+        F.when(F.size(grams) > 0, top.cast("double") / F.size(grams)).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
+
+
+#: Packed-run fold constants: 16-bit token hashes, runs capped < 2^16,
+#: acc = prev_hash<<32 | best_run<<16 | cur_run stays far below 2^63.
+_RUN_SHIFT_PREV = 4294967296  # 2^32
+_RUN_SHIFT_BEST = 65536  # 2^16
+
+
+def max_token_run(toks: Column) -> Column:
+    """Length of the longest run of consecutive identical tokens.
+
+    One sequential fold per document (``F.aggregate``): tokens map to
+    16-bit md5 prefixes and the fold carries (prev_hash, best_run,
+    cur_run) packed into one BIGINT, so the same expression runs on any
+    engine that lacks struct accumulators. Hash collisions can merge
+    adjacent runs of *different* tokens (p≈2⁻¹⁶ per boundary) — the
+    result is deterministic and engine-identical, which is what the
+    oracle gate needs. Empty documents → 0."""
+    packed = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long")
+        * _RUN_SHIFT_PREV
+        + F.lit(_RUN_SHIFT_BEST + 1).cast("long"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        prev = F.floor(acc / _RUN_SHIFT_PREV).cast("long")
+        best = (F.floor(acc / _RUN_SHIFT_BEST) % _RUN_SHIFT_BEST).cast("long")
+        cur = (acc % _RUN_SHIFT_BEST).cast("long")
+        h = F.floor(x / _RUN_SHIFT_PREV).cast("long")
+        new_cur = F.when(prev == h, cur + 1).otherwise(F.lit(1).cast("long"))
+        new_best = F.greatest(best, new_cur)
+        return h * _RUN_SHIFT_PREV + new_best * _RUN_SHIFT_BEST + new_cur
+
+    folded = F.aggregate(packed, F.lit(0).cast("long"), step)
+    return (F.floor(folded / _RUN_SHIFT_BEST) % _RUN_SHIFT_BEST).cast("long")
+
+
+#: Gopher-style repetition thresholds (Rae et al. 2021, table A1):
+#: drop documents whose top bigram covers >20% / top trigram >18% of
+#: grams, or that contain an 8+-token run of one repeated token.
+TOP_BIGRAM_MAX = 0.20
+TOP_TRIGRAM_MAX = 0.18
+MAX_RUN_MAX = 8
+
+
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality: top-bigram / top-trigram mass
+    fraction, longest identical-token run, and the keep/drop flag."""
+    from etl_stream_spark.operators.dedup import _let
+
+    def build(toks: Column):
+        def with_bg(bg: Column):
+            def with_tg(tg: Column):
+                return F.struct(
+                    F.size(toks).cast("long").alias("n_tokens"),
+                    _top_frac(bg).alias("top_bigram_frac"),
+                    _top_frac(tg).alias("top_trigram_frac"),
+                    max_token_run(toks).alias("max_run"),
+                )
+
+            return _let(token_ngrams(toks, 3), with_tg)
+
+        return _let(token_ngrams(toks, 2), with_bg)
+
+    stats = _let(tokens(text_col), build)
+    out = df.withColumn("_rep", stats)
+    keep = (
+        (F.col("_rep.top_bigram_frac") <= TOP_BIGRAM_MAX)
+        & (F.col("_rep.top_trigram_frac") <= TOP_TRIGRAM_MAX)
+        & (F.col("_rep.max_run") < MAX_RUN_MAX)
+    )
+    return out.select(
+        "*",
+        F.col("_rep.n_tokens").alias("n_tokens"),
+        F.col("_rep.top_bigram_frac").alias("top_bigram_frac"),
+        F.col("_rep.top_trigram_frac").alias("top_trigram_frac"),
+        F.col("_rep.max_run").alias("max_token_run"),
+        keep.alias("repetition_keep"),
+    ).drop("_rep")
+
+
+#: Redaction patterns (PII scrub for training corpora). Kept to syntax
+#: shared by Java regex and RE2 so the Spark expression and the DuckDB
+#: oracle agree byte-for-byte. Order matters: URLs first (they may
+#: contain @ and digits), then emails, then long digit runs.
+REDACT_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("digits", r"[0-9]{4,}", "<NUM>"),
+)
+
+
+def redact(col: Column | str) -> Column:
+    """Apply all redaction patterns in declared order."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, token in REDACT_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def with_redaction(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-pattern match counts plus the md5 of the redacted text (the
+    fingerprint proves replace semantics without shipping full text)."""
+    cols = ["*"]
+    for name, pat, _ in REDACT_PATTERNS:
+        cols.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+    cols.append(F.md5(redact(text_col)).alias("redacted_fp"))
+    return df.select(*cols)
+
+
 ROLLING_BASE = 131
 ROLLING_PRIME = 2_147_483_647  # 2^31-1: keeps every Horner step < 2^39
 

@@ -732,8 +732,96 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21's double-correlated EXISTS/NOT-EXISTS shape (suppliers who
+    were the *sole* late shipper on a multi-supplier order), rewritten
+    Spark-first: instead of two self-joins of lineitem (the literal SQL
+    plan), one pass builds per-(order, supplier) lateness, a second
+    per-order aggregate counts suppliers and late suppliers, and the
+    EXISTS pair becomes a filter on those counts — two shuffles on
+    l_orderkey total, and AQE coalesces the tiny tail. "Late" adapts
+    the reference-less schema: shipped >60 days after order date."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS")
+    per_pair = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("sup_late"))
+    )
+    per_order = per_pair.groupBy(F.col("l_orderkey").alias("o_key")).agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.when(F.col("sup_late"), 1).otherwise(0)).alias("n_late"),
+    )
+    waiting = (
+        per_pair.filter(F.col("sup_late"))
+        .join(per_order, per_pair.l_orderkey == F.col("o_key"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+Q21_SQL = """
+WITH per_pair AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(l_shipdate > o_orderdate + INTERVAL 60 DAY) AS sup_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_orderkey, l_suppkey
+),
+per_order AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp,
+         SUM(CASE WHEN sup_late THEN 1 ELSE 0 END) AS n_late
+  FROM per_pair GROUP BY l_orderkey
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM per_pair
+JOIN per_order USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE sup_late AND n_supp >= 2 AND n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+def cube_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (priority, status) with the grouping-id bitmask —
+    the grouping-sets surface beyond ROLLUP. One partial-agg + exchange;
+    Spark expands grouping sets before the shuffle so the exchange
+    carries pre-aggregated rows."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).cast(DECSUM).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
 #: (name, spark_fn, duckdb_oracle) consumed by the catalog registry.
 EXTRA_QUERIES: list[tuple] = [
+    ("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL),
+    ("cube_order_revenue", cube_order_revenue, CUBE_SQL),
     ("q2_cheapest_parts", q2_cheapest_parts, Q2_SQL),
     ("q4_late_shipment_priority", q4_late_shipment_priority, Q4_SQL),
     ("q7_nation_trade", q7_nation_trade, Q7_SQL),

@@ -5,6 +5,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from etl_stream_spark.operators import corpus as cp
 from etl_stream_spark.operators import dedup as dd
 from etl_stream_spark.operators import multimodal as mm
 from etl_stream_spark.operators import similarity as sim
@@ -232,3 +233,97 @@ class TestRollingFingerprint:
         assert got[1] != got[2]          # reordered tokens → different hash
         assert got[4] == 0               # empty doc
         assert all(0 <= v < 2_147_483_647 for v in got.values())
+
+
+class TestRepetition:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            [(i + 1, t) for i, t in enumerate(rows)], ["doc_id", "text"]
+        )
+
+    def test_max_token_run(self, spark):
+        df = self._df(
+            spark,
+            [
+                "a b b b c",          # run of 3
+                "x y z",              # all distinct -> 1
+                "",                   # empty -> 0
+                "w w w w w w w w",    # run of 8
+            ],
+        )
+        rows = {r.doc_id: r for r in ta.with_repetition_stats(df).collect()}
+        assert rows[1].max_token_run == 3
+        assert rows[2].max_token_run == 1
+        assert rows[3].max_token_run == 0
+        assert rows[4].max_token_run == 8
+        assert rows[4].repetition_keep is False  # run >= 8
+
+    def test_top_gram_fractions(self, spark):
+        # "a b a b a b": bigrams = [a b, b a, a b, b a, a b] -> top 3/5
+        df = self._df(spark, ["a b a b a b", "one two three four"])
+        rows = {r.doc_id: r for r in ta.with_repetition_stats(df).collect()}
+        assert rows[1].top_bigram_frac == 0.6
+        assert rows[1].repetition_keep is False
+        assert rows[2].top_bigram_frac == 0.333333  # 3 distinct bigrams of 3
+        assert rows[2].top_trigram_frac == 0.5
+
+    def test_short_docs_no_grams(self, spark):
+        df = self._df(spark, ["solo", "two words"])
+        rows = {r.doc_id: r for r in ta.with_repetition_stats(df).collect()}
+        assert rows[1].top_bigram_frac == 0.0
+        assert rows[1].top_trigram_frac == 0.0
+        assert rows[2].top_bigram_frac == 1.0  # exactly one bigram
+        assert rows[2].top_trigram_frac == 0.0
+
+
+class TestRedaction:
+    def test_patterns_and_replacement(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "mail me at jane.doe+x@example.co.uk or visit https://a.io/p?q=1 now"),
+                (2, "call 5551234567 ref 1234 and 987 short"),
+                (3, "clean text with no pii at all"),
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {r.doc_id: r for r in ta.with_redaction(df).collect()}
+        assert (rows[1].n_email, rows[1].n_url) == (1, 1)
+        assert rows[2].n_digits == 2  # 5551234567 and 1234; 987 too short
+        assert (rows[3].n_email, rows[3].n_url, rows[3].n_digits) == (0, 0, 0)
+
+        red = df.select("doc_id", ta.redact("text").alias("r")).collect()
+        by_id = {r.doc_id: r.r for r in red}
+        assert by_id[1] == "mail me at <EMAIL> or visit <URL> now"
+        assert by_id[2] == "call <NUM> ref <NUM> and 987 short"
+        assert by_id[3] == "clean text with no pii at all"
+
+    def test_url_wins_over_email_inside_url(self, spark):
+        df = spark.createDataFrame(
+            [(1, "see https://x.com/a@b.com/path end")], ["doc_id", "text"]
+        )
+        r = df.select(ta.redact("text").alias("r")).collect()[0].r
+        assert r == "see <URL> end"
+
+
+class TestChunking:
+    def test_windows_and_tail(self, spark):
+        text_40 = " ".join(f"t{i}" for i in range(40))
+        df = spark.createDataFrame(
+            [(1, text_40), (2, "a b c"), (3, "")], ["doc_id", "text"]
+        )
+        out = cp.chunk_documents(df).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        # 40 tokens, stride 16 -> starts 1,17,33: lengths 32,24,8
+        c1 = sorted(by_doc[1], key=lambda r: r.chunk_index)
+        assert [(r.start_token, r.chunk_tokens) for r in c1] == [
+            (1, 32), (17, 24), (33, 8),
+        ]
+        assert c1[0].chunk_index == 0
+        # 3 tokens -> one short chunk
+        assert [(r.start_token, r.chunk_tokens) for r in by_doc[2]] == [(1, 3)]
+        # empty doc -> no chunks
+        assert 3 not in by_doc
+        # fingerprints are distinct across overlapping windows
+        assert len({r.chunk_fp for r in c1}) == 3
