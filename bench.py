@@ -33,6 +33,9 @@ BENCH_QUERIES = [
     "q7_nation_trade",
     "q13_customer_distribution",
     "customer_order_history",
+    "q21_waiting_suppliers",
+    "text_repetition",
+    "corpus_chunks",
     "corpus_duplicated_passages",
     "corpus_vocabulary",
     "hourly_event_rollup",

@@ -1931,6 +1931,97 @@ FROM ex
 """
 
 
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking → offset-based sequence packing: per (shard, bin) chunk
+    counts and token totals. Per-shard windows only — no global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    return cp.pack_chunks(cp.chunk_documents(docs))
+
+
+PACK_SQL = f"""
+WITH toks AS ({TOKS_CTE}),
+nz AS (SELECT doc_id, t FROM toks WHERE len(t) > 0),
+st AS (SELECT doc_id, t, range(1, len(t) + 1, {cp.CHUNK_STRIDE}) AS starts FROM nz),
+ex AS (SELECT doc_id,
+              unnest(range(len(starts))) AS chunk_index,
+              unnest(starts) AS start_token,
+              t
+       FROM st),
+ch AS (
+  SELECT doc_id, chunk_index,
+         len(list_slice(t, start_token, start_token + {cp.CHUNK_TOKENS - 1})) AS chunk_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % {cp.PACK_SHARDS} AS shard
+  FROM ex
+),
+laid AS (
+  SELECT shard, chunk_tokens,
+         SUM(chunk_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_index
+                                 ROWS UNBOUNDED PRECEDING) - chunk_tokens AS off
+  FROM ch
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(floor(off / {cp.PACK_TARGET}) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(chunk_tokens) AS BIGINT) AS bin_tokens
+FROM laid
+GROUP BY 1, 2
+"""
+
+
+def text_bpe_pretokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenizer counts (sequence-length estimation)."""
+    docs = _t(spark, sf_dir, "documents")
+    return ta.with_bpe_pretokens(docs).select(
+        "doc_id", "n_pretokens", "n_alpha", "n_num", "n_other"
+    )
+
+
+BPE_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '{ta.BPE_PRETOKEN}')) AS BIGINT) AS n_pretokens,
+       CAST(len(regexp_extract_all(lower(text), '{ta.BPE_ALPHA}')) AS BIGINT) AS n_alpha,
+       CAST(len(regexp_extract_all(lower(text), '{ta.BPE_NUM}')) AS BIGINT) AS n_num,
+       CAST(len(regexp_extract_all(lower(text), '{ta.BPE_OTHER}')) AS BIGINT) AS n_other
+FROM documents
+"""
+
+
+def corpus_language_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus rollup over the quality scores: doc counts,
+    token totals, mean token count, quality-keep rate — the summary a
+    curation run reports per language shard."""
+    docs = _t(spark, sf_dir, "documents")
+    q = ta.with_quality_score(docs)
+    n = F.count(F.lit(1))
+    return q.groupBy("lang").agg(
+        n.cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.sum("n_tokens").cast("double") / n, 6).alias("mean_tokens"),
+        F.round(
+            F.sum(F.when(F.col("quality_keep"), 1).otherwise(0)).cast("double") / n, 6
+        ).alias("keep_rate"),
+    )
+
+
+LANG_REPORT_SQL = f"""
+WITH toks AS ({TOKS_CTE}), q AS (
+  SELECT lang, len(t) AS n_tokens,
+         ROUND(CASE WHEN length(text) > 0
+               THEN CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+                    / length(text)
+               ELSE 0.0 END, 6) AS punct_ratio
+  FROM toks
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS mean_tokens,
+       ROUND(CAST(SUM(CASE WHEN n_tokens >= 5 AND punct_ratio < 0.3 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS keep_rate
+FROM q
+GROUP BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1966,6 +2057,9 @@ CATALOG: dict[str, QueryDef] = {
     "text_repetition": QueryDef(text_repetition, REPETITION_SQL),
     "text_redact": QueryDef(text_redact, _redact_sql()),
     "corpus_chunks": QueryDef(corpus_chunks, CHUNKS_SQL),
+    "corpus_pack_sequences": QueryDef(corpus_pack_sequences, PACK_SQL),
+    "text_bpe_pretokens": QueryDef(text_bpe_pretokens, BPE_SQL),
+    "corpus_language_report": QueryDef(corpus_language_report, LANG_REPORT_SQL),
     # temporal joins
     "asof_latest_purchase": QueryDef(asof_latest_purchase, ASOF_SQL),
     "signup_window_activity": QueryDef(signup_window_activity, INTERVAL_SQL),

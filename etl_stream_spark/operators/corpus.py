@@ -238,3 +238,47 @@ def chunk_documents(
         F.size(chunk).cast("long").alias("chunk_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_fp"),
     )
+
+
+#: Sequence-packing defaults: pack chunks into 64-token bins inside 8
+#: independent md5 shards.
+PACK_TARGET = 64
+PACK_SHARDS = 8
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    target: int = PACK_TARGET,
+    shards: int = PACK_SHARDS,
+) -> DataFrame:
+    """Offset-based sequence packing of token chunks into fixed bins.
+
+    Scale-first formulation of greedy packing: chunks are sharded by a
+    deterministic md5 bucket of ``doc_id`` and, *within a shard*, laid
+    out in (doc_id, chunk_index) order; a chunk belongs to the bin
+    where its running token offset starts (``floor(offset/target)``).
+    A chunk that straddles a bin boundary stays in the bin it starts in
+    (bins may overflow by < one chunk) — the price of making packing a
+    per-shard window instead of sequential driver state. Shards are
+    independent, so the window never needs a global sort: at 100 TB,
+    raise ``shards`` and every partition packs in parallel.
+    """
+    from pyspark.sql import Window
+
+    shard = hash_bucket(F.col("doc_id"), shards)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id", "chunk_index")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    laid = chunks.withColumn("shard", shard).withColumn(
+        "offset", F.sum("chunk_tokens").over(w) - F.col("chunk_tokens")
+    )
+    return (
+        laid.withColumn("bin", F.floor(F.col("offset") / target).cast("long"))
+        .groupBy("shard", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("chunk_tokens").cast("long").alias("bin_tokens"),
+        )
+    )

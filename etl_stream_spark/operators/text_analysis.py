@@ -303,3 +303,31 @@ def rolling_fingerprint(col: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: (acc * ROLLING_BASE + x) % ROLLING_PRIME,
     )
+
+
+#: BPE-style pre-tokenizer classes (GPT-2-flavored, lowercased corpus):
+#: an optional leading space glued to a run of letters, digits, or
+#: other non-space symbols. The three classes partition non-space text.
+BPE_ALPHA = " ?[a-z]+"
+BPE_NUM = " ?[0-9]+"
+BPE_OTHER = " ?[^a-z0-9 ]+"
+BPE_PRETOKEN = f"{BPE_ALPHA}|{BPE_NUM}|{BPE_OTHER}"
+
+
+def _n_matches(col: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0))).cast("long")
+
+
+def with_bpe_pretokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-style pre-token counts: the sequence-length estimator that a
+    byte-pair tokenizer's pre-split would produce (each pre-token then
+    maps to >=1 BPE tokens, so this is the lower bound used for
+    per-document token budgeting)."""
+    low = F.lower(F.col(text_col))
+    return df.select(
+        "*",
+        _n_matches(low, BPE_PRETOKEN).alias("n_pretokens"),
+        _n_matches(low, BPE_ALPHA).alias("n_alpha"),
+        _n_matches(low, BPE_NUM).alias("n_num"),
+        _n_matches(low, BPE_OTHER).alias("n_other"),
+    )

@@ -122,3 +122,46 @@ def test_length_histogram_shares_sum_to_one(spark):
     hist = cp.length_histogram(docs).collect()
     assert abs(sum(r["share"] for r in hist) - 1.0) < 1e-4
     assert sum(r["n_docs"] for r in hist) == docs.count()
+
+
+class TestPacking:
+    def test_offset_binning_single_shard(self, spark):
+        chunks = spark.createDataFrame(
+            [(7, i, 4) for i in range(4)], ["doc_id", "chunk_index", "chunk_tokens"]
+        )
+        out = cp.pack_chunks(chunks, target=10, shards=1).collect()
+        by_bin = {r.bin: r for r in out}
+        # offsets 0,4,8,12 -> bins 0,0,0,1 (the chunk at offset 8
+        # straddles the boundary and stays in bin 0: overflow < 1 chunk)
+        assert by_bin[0].n_chunks == 3 and by_bin[0].bin_tokens == 12
+        assert by_bin[1].n_chunks == 1 and by_bin[1].bin_tokens == 4
+        assert all(r.shard == 0 for r in out)
+
+    def test_sharding_is_deterministic_and_partitions(self, spark):
+        chunks = spark.createDataFrame(
+            [(d, 0, 8) for d in range(50)], ["doc_id", "chunk_index", "chunk_tokens"]
+        )
+        a = {(r.shard, r.bin): r.n_chunks for r in cp.pack_chunks(chunks).collect()}
+        b = {(r.shard, r.bin): r.n_chunks for r in cp.pack_chunks(chunks).collect()}
+        assert a == b
+        assert sum(a.values()) == 50
+        assert len({s for s, _ in a}) > 1  # docs spread over shards
+
+
+class TestBpePretokens:
+    def test_classes_partition_text(self, spark):
+        from etl_stream_spark.operators import text_analysis as ta
+
+        df = spark.createDataFrame(
+            [(1, "Hello world 42!!"), (2, "abc123 x"), (3, "")],
+            ["doc_id", "text"],
+        )
+        rows = {r.doc_id: r for r in ta.with_bpe_pretokens(df).collect()}
+        # "hello" " world" " 42" "!!"
+        assert rows[1].n_pretokens == 4
+        assert (rows[1].n_alpha, rows[1].n_num, rows[1].n_other) == (2, 1, 1)
+        # "abc" "123" " x": glued alnum splits at the class boundary
+        assert rows[2].n_pretokens == 3
+        assert rows[3].n_pretokens == 0
+        for r in rows.values():
+            assert r.n_pretokens == r.n_alpha + r.n_num + r.n_other
