@@ -744,23 +744,26 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     late = F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS")
-    per_pair = (
+    # One groupBy on the *join key* so the aggregation reuses the join's
+    # hash partitioning (no second exchange of the fat intermediate);
+    # per-order supplier sets are computed in array land — safe because
+    # lines-per-order is naturally bounded (TPC-H ≤ 7), independent of SF.
+    per_order = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max(late).alias("sup_late"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_distinct(F.collect_list("l_suppkey")).alias("sups"),
+            F.array_distinct(
+                F.collect_list(F.when(late, F.col("l_suppkey")))
+            ).alias("late_sups"),
+        )
     )
-    per_order = per_pair.groupBy(F.col("l_orderkey").alias("o_key")).agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum(F.when(F.col("sup_late"), 1).otherwise(0)).alias("n_late"),
-    )
-    waiting = (
-        per_pair.filter(F.col("sup_late"))
-        .join(per_order, per_pair.l_orderkey == F.col("o_key"))
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
-    )
+    sole_late = per_order.filter(
+        (F.size("sups") >= 2) & (F.size("late_sups") == 1)
+    ).select(F.element_at("late_sups", 1).alias("l_suppkey"))
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        waiting.groupBy("l_suppkey")
+        sole_late.groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_name", "numwait")
