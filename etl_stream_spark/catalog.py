@@ -1648,6 +1648,63 @@ GROUP BY c_mktsegment, event_type
 """
 
 
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with a time bound (SURVEY §2.8): view
+    events attributed to the same user's purchase within the following
+    hour. Both sides carry watermarks so join state is bounded — at
+    scale the state store holds only one hour (+watermark slack) of
+    events per key, regardless of total stream length. Inner time-bound
+    joins are batching-invariant, so the oracle is the plain SQL join."""
+    _ensure_utc(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
+    def side(event_type: str, prefix: str):
+        return (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.expr("timestamp_micros(ts div 1000)").alias(f"{prefix}_ts"),
+                F.col("value").alias(f"{prefix}_value"),
+            )
+            .withWatermark(f"{prefix}_ts", "2 hours")
+        )
+
+    views, purchases = side("view", "v"), side("purchase", "p")
+    joined = views.join(
+        purchases,
+        F.expr("v_user = p_user AND p_ts BETWEEN v_ts AND v_ts + INTERVAL 1 HOUR"),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "v_ts",
+        "p_ts",
+        F.col("p_value").cast(DEC).alias("purchase_value"),
+    )
+    name = "ssjoin_" + uuid.uuid4().hex[:8]
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+SSJOIN_SQL = """
+SELECT a.user_id AS user_id, a.ts AS v_ts, b.ts AS p_ts,
+       CAST(b.value AS DECIMAL(18,2)) AS purchase_value
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'view' AND b.event_type = 'purchase'
+ AND b.ts BETWEEN a.ts AND a.ts + INTERVAL 1 HOUR
+"""
+
+
 def cdc_streaming_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real CDC engine end-to-end: events → CDC envelope → streaming
     foreachBatch → bucketed parquet MERGE target; returns the final
@@ -2022,6 +2079,28 @@ GROUP BY lang
 """
 
 
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: reproducible pseudo-random training
+    order as (shard, pos_in_shard) — no global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    return cp.training_shuffle(docs)
+
+
+SHUFFLE_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % {cp.PACK_SHARDS} AS shard,
+         md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS sort_key
+  FROM documents
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY sort_key, doc_id) AS BIGINT)
+         AS pos_in_shard,
+       sort_key
+FROM s
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2060,6 +2139,7 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_pack_sequences": QueryDef(corpus_pack_sequences, PACK_SQL),
     "text_bpe_pretokens": QueryDef(text_bpe_pretokens, BPE_SQL),
     "corpus_language_report": QueryDef(corpus_language_report, LANG_REPORT_SQL),
+    "corpus_shuffle": QueryDef(corpus_shuffle, SHUFFLE_SQL),
     # temporal joins
     "asof_latest_purchase": QueryDef(asof_latest_purchase, ASOF_SQL),
     "signup_window_activity": QueryDef(signup_window_activity, INTERVAL_SQL),
@@ -2099,6 +2179,7 @@ CATALOG: dict[str, QueryDef] = {
     "streaming_sustained_alerts": QueryDef(streaming_sustained_alerts, ALERTS_SQL),
     "streaming_session_windows": QueryDef(streaming_session_windows, None),
     "streaming_enrichment": QueryDef(streaming_enrichment, ENRICH_SQL),
+    "streaming_stream_join": QueryDef(streaming_stream_join, SSJOIN_SQL),
     "cdc_streaming_merge": QueryDef(cdc_streaming_merge, CDC_STREAM_SQL),
 }
 

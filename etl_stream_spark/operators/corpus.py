@@ -282,3 +282,36 @@ def pack_chunks(
             F.sum("chunk_tokens").cast("long").alias("bin_tokens"),
         )
     )
+
+
+def training_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "epoch0",
+    shards: int = PACK_SHARDS,
+) -> DataFrame:
+    """Deterministic pseudo-random training order, without a global sort.
+
+    Global position = (shard, pos_in_shard): the shard is an md5 bucket
+    of the id (seed-independent, so shards stay stable across epochs)
+    and within-shard order is a rank over ``md5(seed || id)`` — change
+    the seed to get an uncorrelated new permutation. Each shard sorts
+    independently (one window per partition group, never a single
+    global ordering task); readers consume shards round-robin. Unlike
+    ``orderBy(rand())``, re-running at any parallelism yields the same
+    permutation — the reproducibility a training run needs.
+    """
+    from pyspark.sql import Window
+
+    c = F.col(id_col)
+    sort_key = F.md5(F.concat(F.lit(seed), F.lit(":"), c.cast("string")))
+    w = Window.partitionBy("shard").orderBy("sort_key", id_col)
+    return (
+        df.select(
+            c,
+            hash_bucket(c, shards).alias("shard"),
+            sort_key.alias("sort_key"),
+        )
+        .withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos_in_shard", "sort_key")
+    )

@@ -165,3 +165,26 @@ class TestBpePretokens:
         assert rows[3].n_pretokens == 0
         for r in rows.values():
             assert r.n_pretokens == r.n_alpha + r.n_num + r.n_other
+
+
+class TestTrainingShuffle:
+    def test_reproducible_and_seed_sensitive(self, spark):
+        docs = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+        a = {r.doc_id: (r.shard, r.pos_in_shard) for r in cp.training_shuffle(docs).collect()}
+        b = {
+            r.doc_id: (r.shard, r.pos_in_shard)
+            for r in cp.training_shuffle(docs.repartition(13)).collect()
+        }
+        assert a == b  # partitioning-invariant permutation
+        c = {
+            r.doc_id: (r.shard, r.pos_in_shard)
+            for r in cp.training_shuffle(docs, seed="epoch1").collect()
+        }
+        assert {k: v[0] for k, v in a.items()} == {k: v[0] for k, v in c.items()}  # shards stable
+        assert a != c  # order changes with the seed
+        # positions within each shard are a contiguous 1..n ranking
+        by_shard = {}
+        for _, (s, p) in a.items():
+            by_shard.setdefault(s, []).append(p)
+        for ps in by_shard.values():
+            assert sorted(ps) == list(range(1, len(ps) + 1))
