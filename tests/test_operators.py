@@ -327,3 +327,44 @@ class TestChunking:
         assert 3 not in by_doc
         # fingerprints are distinct across overlapping windows
         assert len({r.chunk_fp for r in c1}) == 3
+
+
+class TestMaxRunProperty:
+    def test_fold_matches_python_reference(self, spark):
+        import hashlib
+        import itertools
+        import random
+
+        # 5-token alphabet: verify the 16-bit md5 prefixes are collision
+        # free so the packed fold is *exact* on these inputs.
+        alphabet = ["aa", "bb", "cc", "dd", "ee"]
+        prefixes = {t: hashlib.md5(t.encode()).hexdigest()[:4] for t in alphabet}
+        assert len(set(prefixes.values())) == len(alphabet)
+
+        def ref_max_run(toks):
+            return max(
+                (len(list(g)) for _, g in itertools.groupby(toks)), default=0
+            )
+
+        rng = random.Random(42)
+        docs = []
+        for i in range(60):
+            n = rng.randint(0, 30)
+            # bias toward runs: repeat the previous token half the time
+            toks = []
+            for _ in range(n):
+                if toks and rng.random() < 0.5:
+                    toks.append(toks[-1])
+                else:
+                    toks.append(rng.choice(alphabet))
+            docs.append((i, " ".join(toks), ref_max_run(toks)))
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t, _ in docs], ["doc_id", "text"]
+        )
+        got = {
+            r.doc_id: r.max_token_run
+            for r in ta.with_repetition_stats(df).collect()
+        }
+        for i, _, expect in docs:
+            assert got[i] == expect, f"doc {i}: {got[i]} != {expect}"
