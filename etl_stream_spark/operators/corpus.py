@@ -124,9 +124,12 @@ def duplicated_passages(
     grams = ensure_parallelism(df).select(
         F.col(id_col), F.explode(shingles(text_col, width)).alias("passage")
     )
+    # shingles() is distinct within a document, so COUNT(*) equals
+    # COUNT(DISTINCT doc): the plain count keeps map-side combine and
+    # skips the two-phase distinct aggregation entirely.
     return (
         grams.groupBy("passage")
-        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
     )
 
