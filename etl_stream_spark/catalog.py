@@ -978,14 +978,20 @@ FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
 
 
 def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot the event stream into one column per event type (explicit
-    value list — no extra distinct pass), zero-filled counts."""
+    """Pivot the event stream into one column per event type, as
+    conditional sums in ONE aggregation — `.pivot()` (even with an
+    explicit value list) plans a two-level aggregate with an extra
+    exchange on (user_id, event_type); the when-sum form is one
+    partial agg + one exchange on user_id."""
     ev = _t(spark, sf_dir, "events")
     types = ["click", "error", "purchase", "signup", "view"]
-    pivoted = ev.groupBy("user_id").pivot("event_type", types).count()
-    return pivoted.select(
-        "user_id",
-        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types],
+    return ev.groupBy("user_id").agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{t}")
+            for t in types
+        ]
     )
 
 

@@ -243,38 +243,49 @@ def simhash_fingerprints(
     multiplicity); the sign vector is the fingerprint. 60 bits = 15 hex
     digits so the value fits a signed 64-bit long in every engine.
 
-    Shape: explode tokens → explode bit positions → two aggregations
-    keyed by (doc, bit) then (doc). Shuffle volume is tokens×bits rows of
-    three small ints — map-side partial aggregation collapses most of it;
-    for a production 128-bit fingerprint at petabyte scale swap in an
-    Arrow-batched pandas_udf computing the whole signature per document.
+    Shape: the whole signature folds per document in array land — token
+    hashes once (let-bound), then one ``aggregate`` carrying the
+    ``bits``-wide ±1 count vector, then a sign-weighted sum. Entirely
+    narrow: zero shuffles, zero explodes (the previous formulation
+    exploded tokens×bits rows through two keyed aggregations). Documents
+    with no tokens produce no row (parity with the inverted-index form).
     """
     if bits % 4 != 0 or bits > 60:
         raise ValueError("bits must be a multiple of 4, at most 60")
     hex_digits = bits // 4
-    tok = ensure_parallelism(df).select(F.col(id_col), F.explode(tokens(text_col)).alias("tk"))
-    h = tok.select(
-        id_col,
-        F.conv(F.substring(F.md5(F.col("tk")), 1, hex_digits), 16, 10)
-        .cast("long")
-        .alias("hv"),
-    )
-    bit_rows = h.select(
-        id_col, "hv", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("i")
-    )
-    bitsums = bit_rows.groupBy(id_col, "i").agg(
-        F.sum(
-            F.when(F.expr("shiftright(hv, i) & 1") == 1, 1).otherwise(-1)
-        ).alias("c")
-    )
-    return bitsums.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("c") > 0, F.expr("shiftleft(cast(1 as bigint), i)")).otherwise(
-                F.lit(0).cast("long")
-            )
+    pows = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
+
+    def build(hvs: Column) -> Column:
+        counts = F.aggregate(
+            hvs,
+            F.array_repeat(F.lit(0).cast("long"), bits),
+            lambda acc, hv: F.zip_with(
+                acc,
+                pows,
+                lambda a, p: a
+                + F.when(hv.bitwiseAND(p) != 0, F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("long"),
+            ),
         )
-        .cast("long")
-        .alias("simhash")
+        return F.aggregate(
+            F.zip_with(
+                counts,
+                pows,
+                lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+
+    hvs = F.transform(
+        tokens(text_col),
+        lambda t: F.conv(F.substring(F.md5(t), 1, hex_digits), 16, 10).cast("long"),
+    )
+    return (
+        ensure_parallelism(df)
+        .filter(F.size(tokens(text_col)) > 0)
+        .select(F.col(id_col), _let(hvs, build).alias("simhash"))
     )
 
 
