@@ -429,7 +429,7 @@ def ivf_trained_topk(
     cvecs = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), quantize(vec_col, scale).alias("_c")
     ).join(assigned.select(F.col(id_col).alias("neighbor_id"), "cluster_id"), "neighbor_id")
-    cand = probes.join(cvecs, "cluster_id").filter(
+    cand = cvecs.join(F.broadcast(probes), "cluster_id").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     cos = F.round(
@@ -504,7 +504,11 @@ def ivf_topk(
         F.col(cell_col),
         quantize(vec_col, scale).alias("_cvec"),
     )
-    cand = probed.join(c, cell_col).filter(F.col("neighbor_id") != F.col("query_id"))
+    # broadcast the probe set (|queries| × nprobe rows): the corpus side
+    # stays narrow instead of being exchanged on the cell key
+    cand = c.join(F.broadcast(probed), cell_col).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
     scored = cand.select(
         "query_id",
         "neighbor_id",
