@@ -161,6 +161,11 @@ def tf_idf(
     integers; the only float math is the final ``ln`` + multiply, the
     identical expression on any engine.
     """
+    # Deliberately NOT repartition("token")-then-aggregate (which would
+    # collapse to one exchange): that exchanges RAW exploded tokens with
+    # no map-side combine and Zipf-skews hot tokens onto one partition.
+    # Three exchanges that each carry pre-aggregated rows beat one
+    # exchange of the raw stream at corpus scale.
     exploded = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
     tf = exploded.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
     # document frequency derives from tf's (doc, token) rows — no second
