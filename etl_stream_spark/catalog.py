@@ -2107,6 +2107,143 @@ FROM s
 """
 
 
+def cdc_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based schema inference as a distributed query (SURVEY §1.1
+    acquisition path 3, ``client.py:819-852``): melt column values to
+    strings, classify each with the reference's numeric-string regexes
+    (int → BIGINT, decimal → NUMBER(38,10), bool literals → BOOLEAN,
+    else VARCHAR), and reduce per column with the promotion rule —
+    any string vote wins VARCHAR, mixed numerics promote to
+    NUMBER(38,10), bools must be unanimous. Unlike the driver-side
+    sampling helper (``schema/inference.py``), this votes over the
+    ENTIRE column, which is how inference has to run at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    melted = ev.select(
+        F.expr(
+            "stack(4, "
+            "'user_id', cast(user_id as string), "
+            "'event_type', event_type, "
+            "'value_dec', cast(cast(value as decimal(18,2)) as string), "
+            "'props_k', get_json_object(props, '$.k')"
+            ") as (col_name, val)"
+        )
+    ).filter(F.col("val").isNotNull())
+    cls = (
+        F.when(F.col("val").rlike(r"^-?[0-9]+$"), "int")
+        .when(F.col("val").rlike(r"^-?[0-9]+\.[0-9]+$"), "dec")
+        .when(F.lower(F.col("val")).isin("true", "false"), "bool")
+        .otherwise("str")
+    )
+    votes = (
+        melted.select("col_name", cls.alias("cls"))
+        .groupBy("col_name")
+        .agg(
+            *[
+                F.sum(F.when(F.col("cls") == c, 1).otherwise(0))
+                .cast("long")
+                .alias(f"n_{c}")
+                for c in ("int", "dec", "bool", "str")
+            ]
+        )
+    )
+    n_num = F.col("n_int") + F.col("n_dec")
+    inferred = (
+        F.when(F.col("n_str") > 0, "VARCHAR")
+        .when((F.col("n_bool") > 0) & (n_num > 0), "VARCHAR")
+        .when(F.col("n_bool") > 0, "BOOLEAN")
+        .when(F.col("n_dec") > 0, "NUMBER(38,10)")
+        .otherwise("BIGINT")
+    )
+    return votes.select(
+        "col_name", "n_int", "n_dec", "n_bool", "n_str", inferred.alias("inferred_type")
+    )
+
+
+INFER_SQL = r"""
+WITH melted AS (
+  SELECT col_name, val FROM (
+    SELECT CAST(user_id AS VARCHAR) AS val, 'user_id' AS col_name FROM events
+    UNION ALL SELECT event_type, 'event_type' FROM events
+    UNION ALL SELECT CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR), 'value_dec' FROM events
+    UNION ALL SELECT json_extract_string(props, '$.k'), 'props_k' FROM events
+  ) WHERE val IS NOT NULL
+),
+cls AS (
+  SELECT col_name,
+         CASE WHEN regexp_matches(val, '^-?[0-9]+$') THEN 'int'
+              WHEN regexp_matches(val, '^-?[0-9]+\.[0-9]+$') THEN 'dec'
+              WHEN lower(val) IN ('true', 'false') THEN 'bool'
+              ELSE 'str' END AS cls
+  FROM melted
+),
+votes AS (
+  SELECT col_name,
+         CAST(SUM(CASE WHEN cls = 'int' THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+         CAST(SUM(CASE WHEN cls = 'dec' THEN 1 ELSE 0 END) AS BIGINT) AS n_dec,
+         CAST(SUM(CASE WHEN cls = 'bool' THEN 1 ELSE 0 END) AS BIGINT) AS n_bool,
+         CAST(SUM(CASE WHEN cls = 'str' THEN 1 ELSE 0 END) AS BIGINT) AS n_str
+  FROM cls GROUP BY col_name
+)
+SELECT col_name, n_int, n_dec, n_bool, n_str,
+       CASE WHEN n_str > 0 THEN 'VARCHAR'
+            WHEN n_bool > 0 AND n_int + n_dec > 0 THEN 'VARCHAR'
+            WHEN n_bool > 0 THEN 'BOOLEAN'
+            WHEN n_dec > 0 THEN 'NUMBER(38,10)'
+            ELSE 'BIGINT' END AS inferred_type
+FROM votes
+"""
+
+
+def corpus_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language-model table: P(b|a) = c(a,b)/c(a) for
+    bigrams seen ≥ 3 times. Both aggregations carry pre-combined counts;
+    the unigram side joins on the bigram's head token (broadcast — the
+    vocabulary is small relative to the corpus)."""
+    from etl_stream_spark.operators.dedup import _let
+
+    docs = _t(spark, sf_dir, "documents")
+    bg = docs.select(
+        F.explode(_let(ta.tokens("text"), lambda t: ta.token_ngrams(t, 2))).alias("bg")
+    )
+    c_ab = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_ab")).filter(
+        F.col("c_ab") >= 3
+    )
+    uni = docs.select(F.explode(ta.tokens("text")).alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c_a")
+    )
+    return (
+        c_ab.withColumn("head", F.substring_index("bg", " ", 1))
+        .join(F.broadcast(uni), F.col("head") == F.col("tok"))
+        .select(
+            "bg",
+            "c_ab",
+            "c_a",
+            F.round(F.col("c_ab").cast("double") / F.col("c_a").cast("double"), 6).alias(
+                "p_cond"
+            ),
+        )
+    )
+
+
+BIGRAM_LM_SQL = f"""
+WITH toks AS ({TOKS_CTE}),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM toks
+),
+c_ab AS (
+  SELECT bg, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bg GROUP BY bg HAVING COUNT(*) >= 3
+),
+uni AS (
+  SELECT unnest(t) AS tok FROM toks
+),
+c_a AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_a FROM uni GROUP BY tok)
+SELECT bg, c_ab, c_a,
+       ROUND(CAST(c_ab AS DOUBLE) / CAST(c_a AS DOUBLE), 6) AS p_cond
+FROM c_ab JOIN c_a ON split_part(bg, ' ', 1) = tok
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2146,6 +2283,8 @@ CATALOG: dict[str, QueryDef] = {
     "text_bpe_pretokens": QueryDef(text_bpe_pretokens, BPE_SQL),
     "corpus_language_report": QueryDef(corpus_language_report, LANG_REPORT_SQL),
     "corpus_shuffle": QueryDef(corpus_shuffle, SHUFFLE_SQL),
+    "corpus_bigram_lm": QueryDef(corpus_bigram_lm, BIGRAM_LM_SQL),
+    "cdc_schema_inference": QueryDef(cdc_schema_inference, INFER_SQL),
     # temporal joins
     "asof_latest_purchase": QueryDef(asof_latest_purchase, ASOF_SQL),
     "signup_window_activity": QueryDef(signup_window_activity, INTERVAL_SQL),
