@@ -1574,7 +1574,9 @@ FROM lineitem GROUP BY 1
 
 
 # --------------------------------------------------------------------------
-# Streaming (no SQL oracle — rows-only check; semantics tested in pytest)
+# Streaming (real Structured Streaming jobs driven to completion; the
+# final states are batching-invariant, so each has a value-exact SQL
+# oracle — windowed aggs via date_trunc / gaps-and-islands rewrites)
 # --------------------------------------------------------------------------
 
 
@@ -1610,6 +1612,13 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+STREAM_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2
+"""
 
 
 def streaming_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1754,9 +1763,11 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-window aggregation as a real stateful stream
     (``F.session_window`` with a 30-minute gap + watermark): per-user
     sessions with event counts. Complete-mode memory sink so the tail
-    sessions that a watermark would withhold are still emitted (no SQL
-    oracle — rows-only; the *batch* sessionization semantics are
-    oracle-checked by ``user_session_stats``)."""
+    sessions that a watermark would withhold are still emitted. The
+    final state is deterministic, so the oracle is the gaps-and-islands
+    rewrite: a session breaks when the inter-event gap is >= 30 minutes
+    (Spark merges only strictly-overlapping windows) and ends at
+    last-event + gap."""
     _ensure_utc(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
@@ -1769,7 +1780,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         stream.withWatermark("ts", "2 hours")
         .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
         .select(
             "user_id",
             F.col("session_window.start").alias("session_start"),
@@ -1787,6 +1798,28 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+SESSIONS_SQL = """
+WITH s AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+g AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM g GROUP BY user_id, sid
+"""
 
 
 def streaming_sustained_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2319,10 +2352,10 @@ CATALOG: dict[str, QueryDef] = {
     "multimodal_frame_sample": QueryDef(multimodal_frame_sample, FRAMES_SQL),
     # source & monitoring layer
     "wal_size_monitor": QueryDef(wal_size_monitor, WAL_SIZE_SQL),
-    # streaming (real streaming jobs; rollup has no SQL twin → rows-only)
-    "streaming_hourly_rollup": QueryDef(streaming_hourly_rollup, None),
+    # streaming (real streaming jobs, all value-checked against SQL twins)
+    "streaming_hourly_rollup": QueryDef(streaming_hourly_rollup, STREAM_HOURLY_SQL),
     "streaming_sustained_alerts": QueryDef(streaming_sustained_alerts, ALERTS_SQL),
-    "streaming_session_windows": QueryDef(streaming_session_windows, None),
+    "streaming_session_windows": QueryDef(streaming_session_windows, SESSIONS_SQL),
     "streaming_enrichment": QueryDef(streaming_enrichment, ENRICH_SQL),
     "streaming_stream_join": QueryDef(streaming_stream_join, SSJOIN_SQL),
     "cdc_streaming_merge": QueryDef(cdc_streaming_merge, CDC_STREAM_SQL),
