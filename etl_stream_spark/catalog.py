@@ -2277,6 +2277,114 @@ FROM c_ab JOIN c_a ON split_part(bg, ' ', 1) = tok
 """
 
 
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation filter funnel with per-stage survivor counts:
+    total → exact-dedup canonical (min doc_id per fingerprint) →
+    C4-style quality keep → Gopher repetition keep → language-ID
+    agreement with the labeled lang. One pass computes every flag
+    (narrow except the dedup window), one aggregation emits the funnel —
+    the shape of a production curation report at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    flagged = ta.with_repetition_stats(
+        ta.with_quality_score(ta.with_language_id(docs)).drop("n_tokens")
+    )
+    w = Window.partitionBy(ta.fingerprint("text")).orderBy("doc_id")
+    flagged = flagged.withColumn("_rn", F.row_number().over(w))
+    s1 = F.col("_rn") == 1
+    s2 = s1 & F.col("quality_keep")
+    s3 = s2 & F.col("repetition_keep")
+    s4 = s3 & (F.col("predicted_lang") == F.col("lang"))
+    agg = flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("total"),
+        *[
+            F.sum(F.when(c, 1).otherwise(0)).cast("long").alias(n)
+            for n, c in [
+                ("exact_canonical", s1),
+                ("quality", s2),
+                ("repetition", s3),
+                ("lang_agree", s4),
+            ]
+        ],
+    )
+    return agg.select(
+        F.expr(
+            "stack(5, '1_total', total, '2_exact_canonical', exact_canonical, "
+            "'3_quality', quality, '4_repetition', repetition, "
+            "'5_lang_agree', lang_agree) as (stage, n_docs)"
+        )
+    )
+
+
+def _funnel_sql() -> str:
+    langs = sorted(ta.LANG_MARKERS)
+    score_exprs = ", ".join(
+        "CAST(len(list_filter(t, x -> x IN ({}))) AS BIGINT) AS score_{}".format(
+            ", ".join(f"'{w}'" for w in ta.LANG_MARKERS[lang]), lang
+        )
+        for lang in langs
+    )
+    best = "GREATEST(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    pred = (
+        "CASE "
+        + " ".join(f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs)
+        + " END"
+    )
+    return f"""
+WITH toks AS ({TOKS_CTE}),
+g AS (
+  SELECT *, {score_exprs},
+         list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bg,
+         list_transform(range(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS tg,
+         list_transform(t, tk ->
+           ('0x' || substr(md5(tk), 1, 4))::BIGINT * 4294967296 + 65537) AS packed
+  FROM toks
+),
+f AS (
+  SELECT doc_id, lang, {pred} AS predicted_lang,
+         len(t) AS n_tokens,
+         ROUND(CASE WHEN length(text) > 0
+               THEN CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+                    / length(text) ELSE 0.0 END, 6) AS punct_ratio,
+         {_top_frac_sql('bg')} AS top_bigram_frac,
+         {_top_frac_sql('tg')} AS top_trigram_frac,
+         CASE WHEN len(packed) = 0 THEN 0
+              ELSE CAST(floor(list_reduce(packed, (a, b) -> {_RUN_STEP}) / 65536)
+                   AS BIGINT) % 65536 END AS max_token_run,
+         ROW_NUMBER() OVER (PARTITION BY md5(array_to_string(t, ' '))
+                            ORDER BY doc_id) AS rn
+  FROM g
+),
+flags AS (
+  SELECT (rn = 1) AS s1,
+         (rn = 1 AND n_tokens >= 5 AND punct_ratio < 0.3) AS s2,
+         (rn = 1 AND n_tokens >= 5 AND punct_ratio < 0.3
+          AND top_bigram_frac <= {ta.TOP_BIGRAM_MAX}
+          AND top_trigram_frac <= {ta.TOP_TRIGRAM_MAX}
+          AND max_token_run < {ta.MAX_RUN_MAX}) AS s3,
+         (rn = 1 AND n_tokens >= 5 AND punct_ratio < 0.3
+          AND top_bigram_frac <= {ta.TOP_BIGRAM_MAX}
+          AND top_trigram_frac <= {ta.TOP_TRIGRAM_MAX}
+          AND max_token_run < {ta.MAX_RUN_MAX}
+          AND predicted_lang = lang) AS s4
+  FROM f
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+         CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS exact_canonical,
+         CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS quality,
+         CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS repetition,
+         CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS lang_agree
+  FROM flags
+)
+SELECT '1_total' AS stage, total AS n_docs FROM agg
+UNION ALL SELECT '2_exact_canonical', exact_canonical FROM agg
+UNION ALL SELECT '3_quality', quality FROM agg
+UNION ALL SELECT '4_repetition', repetition FROM agg
+UNION ALL SELECT '5_lang_agree', lang_agree FROM agg
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2318,6 +2426,7 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_shuffle": QueryDef(corpus_shuffle, SHUFFLE_SQL),
     "corpus_bigram_lm": QueryDef(corpus_bigram_lm, BIGRAM_LM_SQL),
     "cdc_schema_inference": QueryDef(cdc_schema_inference, INFER_SQL),
+    "corpus_curation_funnel": QueryDef(corpus_curation_funnel, _funnel_sql()),
     # temporal joins
     "asof_latest_purchase": QueryDef(asof_latest_purchase, ASOF_SQL),
     "signup_window_activity": QueryDef(signup_window_activity, INTERVAL_SQL),
