@@ -2385,6 +2385,47 @@ UNION ALL SELECT '5_lang_agree', lang_agree FROM agg
 """
 
 
+def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each signup attaches the user's EARLIEST
+    purchase at-or-after the signup time (next-event attribution —
+    union + first-value carry over a forward-unbounded window, one
+    shuffle on the key). Right side deduped to max event_id per
+    (user, ts) for deterministic ties."""
+    from etl_stream_spark.operators.temporal import asof_join_forward
+
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("p_ts"))
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    return asof_join_forward(
+        signups,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        right_cols=["purchase_id"],
+    ).select("event_id", "user_id", "purchase_id")
+
+
+ASOF_FWD_SQL = """
+WITH s AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'
+),
+p AS (
+  SELECT user_id, ts AS p_ts, MAX(event_id) AS purchase_id
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT event_id, s.user_id AS user_id, purchase_id
+FROM s ASOF LEFT JOIN p
+  ON s.user_id = p.user_id AND s.ts <= p.p_ts
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2429,6 +2470,7 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_curation_funnel": QueryDef(corpus_curation_funnel, _funnel_sql()),
     # temporal joins
     "asof_latest_purchase": QueryDef(asof_latest_purchase, ASOF_SQL),
+    "asof_next_purchase": QueryDef(asof_next_purchase, ASOF_FWD_SQL),
     "signup_window_activity": QueryDef(signup_window_activity, INTERVAL_SQL),
     "user_value_resampled": QueryDef(user_value_resampled, RESAMPLE_SQL),
     # corpus / training-data pipeline

@@ -100,3 +100,61 @@ def interval_join(
         & (events[ts_col] < intervals[end_col])
     )
     return events.join(intervals, cond, how)
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    suffix: str = "",
+) -> DataFrame:
+    """For each left row, attach the EARLIEST right row with
+    ``right_ts >= left_ts`` for the same key (forward as-of join — the
+    next-event attribution direction).
+
+    Mirror of :func:`asof_join`: tag, union, and carry the first future
+    right row via ``first(.., ignorenulls)`` over a forward-unbounded
+    (key, time)-ordered window. Same single shuffle on the key; at equal
+    timestamps the right row matches (inclusive) because rights sort
+    after lefts.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, right_ts)]
+
+    lcols = left.columns
+    # marker orders left before right at equal timestamps → inclusive
+    tagged_l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(0).alias("_ord"),
+        *[F.col(c) for c in lcols if c != on],
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in right_cols],
+    )
+    tagged_r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(1).alias("_ord"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols if c != on],
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_ord")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = tagged_l.unionByName(tagged_r).select(
+        "*",
+        *[
+            F.first(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
+            for c in right_cols
+        ],
+    )
+    out_suffix = suffix or ""
+    return carried.filter(F.col("_ord") == 0).select(
+        F.col("_k").alias(on),
+        *[F.col(c) for c in lcols if c != on],
+        *[F.col(f"_m_{c}").alias(c + out_suffix) for c in right_cols],
+    )
