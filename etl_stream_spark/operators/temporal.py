@@ -29,13 +29,17 @@ def asof_join(
     right_ts: str,
     right_cols: list[str] | None = None,
     suffix: str = "",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right_ts <= left_ts`` for the same key (backward as-of join).
 
     Right rows at exactly ``left_ts`` match (inclusive). Rows with no
     earlier right row keep nulls. ``right_cols`` defaults to every
-    right column except the key and timestamp.
+    right column except the key and timestamp. ``tolerance`` (an SQL
+    interval string like ``'1 hour'``) nulls out matches older than
+    ``left_ts - tolerance`` — the bounded attribution window; the plan
+    is unchanged (the bound is a projection, not a join condition).
 
     If several right rows share (key, right_ts), make the choice
     deterministic upstream (e.g. keep the max id per timestamp);
@@ -67,16 +71,27 @@ def asof_join(
     )
     carried = tagged_l.unionByName(tagged_r).select(
         "*",
+        F.last(F.when(F.col("_is_left") == 0, F.col("_t")), ignorenulls=True)
+        .over(w)
+        .alias("_m__ts"),
         *[
             F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
             for c in right_cols
         ],
     )
     out_suffix = suffix or ""
+    in_window = (
+        F.col("_t") <= F.col("_m__ts") + F.expr(f"INTERVAL {tolerance}")
+        if tolerance
+        else F.lit(True)
+    )
     return carried.filter(F.col("_is_left") == 1).select(
         F.col("_k").alias(on),
         *[F.col(c) for c in lcols if c != on],
-        *[F.col(f"_m_{c}").alias(c + out_suffix) for c in right_cols],
+        *[
+            F.when(in_window, F.col(f"_m_{c}")).alias(c + out_suffix)
+            for c in right_cols
+        ],
     )
 
 
@@ -110,10 +125,12 @@ def asof_join_forward(
     right_ts: str,
     right_cols: list[str] | None = None,
     suffix: str = "",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the EARLIEST right row with
     ``right_ts >= left_ts`` for the same key (forward as-of join — the
-    next-event attribution direction).
+    next-event attribution direction). ``tolerance`` bounds the lookahead
+    (matches beyond ``left_ts + tolerance`` null out).
 
     Mirror of :func:`asof_join`: tag, union, and carry the first future
     right row via ``first(.., ignorenulls)`` over a forward-unbounded
@@ -147,14 +164,25 @@ def asof_join_forward(
     )
     carried = tagged_l.unionByName(tagged_r).select(
         "*",
+        F.first(F.when(F.col("_ord") == 1, F.col("_t")), ignorenulls=True)
+        .over(w)
+        .alias("_m__ts"),
         *[
             F.first(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
             for c in right_cols
         ],
     )
     out_suffix = suffix or ""
+    in_window = (
+        F.col("_m__ts") <= F.col("_t") + F.expr(f"INTERVAL {tolerance}")
+        if tolerance
+        else F.lit(True)
+    )
     return carried.filter(F.col("_ord") == 0).select(
         F.col("_k").alias(on),
         *[F.col(c) for c in lcols if c != on],
-        *[F.col(f"_m_{c}").alias(c + out_suffix) for c in right_cols],
+        *[
+            F.when(in_window, F.col(f"_m_{c}")).alias(c + out_suffix)
+            for c in right_cols
+        ],
     )

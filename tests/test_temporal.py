@@ -91,3 +91,40 @@ def test_asof_plan_is_single_shuffle_window(spark):
     # no cartesian/range nested loop anywhere in the plan
     assert "Window" in plan
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+class TestAsofTolerance:
+    def test_backward_and_forward_bounds(self, spark):
+        import datetime as dt
+
+        B = dt.datetime(2026, 1, 1)
+        left = spark.createDataFrame(
+            [(1, "k", B + dt.timedelta(minutes=60))], "id long, k string, ts timestamp"
+        )
+        right = spark.createDataFrame(
+            [
+                ("k", B + dt.timedelta(minutes=10), 10),   # 50 min before
+                ("k", B + dt.timedelta(minutes=55), 55),   # 5 min before
+                ("k", B + dt.timedelta(minutes=90), 90),   # 30 min after
+            ],
+            "k string, rts timestamp, payload long",
+        )
+        from etl_stream_spark.operators.temporal import asof_join, asof_join_forward
+
+        back = asof_join(left, right, on="k", left_ts="ts", right_ts="rts")
+        assert back.collect()[0]["payload"] == 55
+        back_tol = asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts", tolerance="1 MINUTE"
+        )
+        assert back_tol.collect()[0]["payload"] is None  # 5 min > 1 min window
+
+        fwd = asof_join_forward(left, right, on="k", left_ts="ts", right_ts="rts")
+        assert fwd.collect()[0]["payload"] == 90
+        fwd_tol = asof_join_forward(
+            left, right, on="k", left_ts="ts", right_ts="rts", tolerance="10 MINUTE"
+        )
+        assert fwd_tol.collect()[0]["payload"] is None  # 30 min > 10 min lookahead
+        fwd_tol_ok = asof_join_forward(
+            left, right, on="k", left_ts="ts", right_ts="rts", tolerance="30 MINUTE"
+        )
+        assert fwd_tol_ok.collect()[0]["payload"] == 90  # inclusive bound
