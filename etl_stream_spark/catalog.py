@@ -1240,6 +1240,13 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
+def knn_bruteforce_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-batched numpy variant of the same search — same oracle
+    (results are bit-identical to the JVM path by construction)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk_pandas(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
 KNN_SQL = f"""
 WITH q AS (SELECT vec_id AS query_id, {QVEC} AS qv FROM embeddings WHERE vec_id < 5),
 c AS (SELECT vec_id AS neighbor_id, {QVEC} AS cv FROM embeddings),
@@ -2492,6 +2499,7 @@ CATALOG: dict[str, QueryDef] = {
     "dedup_simhash": QueryDef(dedup_simhash, SIMHASH_SQL),
     # similarity
     "knn_bruteforce": QueryDef(knn_bruteforce, KNN_SQL),
+    "knn_bruteforce_pandas": QueryDef(knn_bruteforce_pandas, KNN_SQL),
     "ann_lsh_topk": QueryDef(ann_lsh, _ann_sql()),
     "embedding_neardup": QueryDef(embedding_neardup, _neardup_sql()),
     "embedding_centroids": QueryDef(embedding_centroids, CENTROIDS_SQL),

@@ -519,3 +519,78 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(rank))
         .filter(F.col("rank") <= k)
     )
+
+
+def brute_force_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = QUANT_SCALE,
+) -> DataFrame:
+    """Arrow-batched Pandas-UDF variant of :func:`brute_force_topk` —
+    the vectorized-numpy fallback path for kernels the built-in
+    higher-order functions can't express.
+
+    Queries are collected to the driver (they are small by contract,
+    same as the broadcast in the JVM variant) and closed over by a
+    ``mapInPandas`` that scores each Arrow batch against all queries
+    with one int64 matmul, emitting per-batch partial top-k; a final
+    window rank over the (batches × queries × k) partials yields the
+    exact global top-k. Quantization mirrors :func:`quantize`
+    (HALF_UP, not numpy's banker's rounding), so results are
+    bit-identical to the JVM path.
+    """
+    import numpy as np
+
+    q_rows = queries.select(id_col, vec_col).collect()
+
+    def _quant(vec) -> "np.ndarray":
+        x = np.asarray(vec, dtype=np.float64) * scale
+        return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int64)
+
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.stack([_quant(r[1]) for r in q_rows])  # [q, d] int64
+    q_norm = (q_mat.astype(np.float64) ** 2).sum(axis=1)  # exact: < 2^53
+
+    out_schema = "query_id long, neighbor_id long, cos_sim double"
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = np.stack([_quant(v) for v in pdf[vec_col]])
+            c_norm = (c_mat.astype(np.float64) ** 2).sum(axis=1)
+            # int64 matmul stays exact (|x| <= scale, dims bounded)
+            dots = (c_mat @ q_mat.T).astype(np.float64)  # [n, q]
+            sims = np.round(dots / np.sqrt(np.outer(c_norm, q_norm)), 6)
+            for qi in range(len(q_ids)):
+                col = sims[:, qi]
+                mask = ids != q_ids[qi]
+                cand_idx = np.nonzero(mask)[0]
+                if len(cand_idx) == 0:
+                    continue
+                # partial top-k per batch: global top-k survives the cut
+                order = np.lexsort((ids[cand_idx], -col[cand_idx]))[:k]
+                sel = cand_idx[order]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(q_ids[qi], len(sel)),
+                        "neighbor_id": ids[sel],
+                        "cos_sim": col[sel],
+                    }
+                )
+
+    partials = ensure_parallelism(corpus).select(id_col, vec_col).mapInPandas(
+        score, out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        partials.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

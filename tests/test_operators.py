@@ -368,3 +368,32 @@ class TestMaxRunProperty:
         }
         for i, _, expect in docs:
             assert got[i] == expect, f"doc {i}: {got[i]} != {expect}"
+
+
+class TestPandasBruteForce:
+    def test_bit_identical_to_jvm_path(self, spark, vecs):
+        queries = vecs.filter(F.col("vec_id").isin(0, 2))
+        jvm = {
+            (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+            for r in sim.brute_force_topk(vecs, queries, k=3).collect()
+        }
+        pnd = {
+            (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+            for r in sim.brute_force_topk_pandas(vecs, queries, k=3).collect()
+        }
+        assert jvm == pnd
+
+    def test_against_sf_data(self, spark):
+        from etl_stream_spark.session import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        queries = emb.limit(3)
+        jvm = {
+            (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+            for r in sim.brute_force_topk(emb, queries, k=5).collect()
+        }
+        pnd = {
+            (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+            for r in sim.brute_force_topk_pandas(emb, queries, k=5).collect()
+        }
+        assert jvm == pnd
