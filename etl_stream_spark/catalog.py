@@ -2433,6 +2433,45 @@ FROM s ASOF LEFT JOIN p
 """
 
 
+def fusion_cluster_text_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal fusion: join the text table to the embedding table on
+    the shared id and report text-quality statistics per embedding
+    cluster label — the typical "what text lives in this region of the
+    vector space" audit. Equi-join on the id (both sides scale, so a
+    plain shuffle join — at 100 TB both tables bucket on the id and the
+    join is co-located), then a small aggregation per label."""
+    docs = ta.with_quality_score(_t(spark, sf_dir, "documents"))
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    j = docs.join(emb, docs.doc_id == emb.vec_id)
+    n = F.count(F.lit(1))
+    return j.groupBy("label").agg(
+        n.cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.sum("n_tokens").cast("double") / n, 6).alias("mean_tokens"),
+        F.round(
+            F.sum(F.when(F.col("quality_keep"), 1).otherwise(0)).cast("double") / n, 6
+        ).alias("keep_rate"),
+    )
+
+
+FUSION_SQL = f"""
+WITH toks AS ({TOKS_CTE}), q AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         ROUND(CASE WHEN length(text) > 0
+               THEN CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+                    / length(text) ELSE 0.0 END, 6) AS punct_ratio
+  FROM toks
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS mean_tokens,
+       ROUND(CAST(SUM(CASE WHEN n_tokens >= 5 AND punct_ratio < 0.3 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS keep_rate
+FROM q JOIN embeddings ON doc_id = vec_id
+GROUP BY label
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2475,6 +2514,7 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_bigram_lm": QueryDef(corpus_bigram_lm, BIGRAM_LM_SQL),
     "cdc_schema_inference": QueryDef(cdc_schema_inference, INFER_SQL),
     "corpus_curation_funnel": QueryDef(corpus_curation_funnel, _funnel_sql()),
+    "fusion_cluster_text_report": QueryDef(fusion_cluster_text_report, FUSION_SQL),
     # temporal joins
     "asof_latest_purchase": QueryDef(asof_latest_purchase, ASOF_SQL),
     "asof_next_purchase": QueryDef(asof_next_purchase, ASOF_FWD_SQL),
