@@ -358,3 +358,39 @@ class TestStreamingSessionWindows:
             for r in CATALOG["user_session_stats"].fn(spark, sf).collect()
         }
         assert sw == batch
+
+
+class TestCheckpointResume:
+    def test_restart_processes_only_new_files_exactly_once(self, spark, tmp_path):
+        """The exactly-once resume contract (SURVEY §2.8): stop a
+        checkpointed landing stream, add input, restart with the SAME
+        checkpoint — rows from before the restart are not re-landed and
+        rows added while stopped land exactly once."""
+        import json as _json
+
+        from etl_stream_spark.sinks.append import start_landing_stream
+        from etl_stream_spark.sources.file_source import read_cdc_file_stream
+
+        src = tmp_path / "in"
+        src.mkdir()
+        land = str(tmp_path / "landing")
+        ckpt = str(tmp_path / "ckpt")
+        schema = "id long, payload string"
+
+        def write_file(name, ids):
+            (src / name).write_text(
+                "\n".join(_json.dumps({"id": i, "payload": f"p{i}"}) for i in ids)
+            )
+
+        def run_once():
+            stream = read_cdc_file_stream(spark, str(src), schema)
+            q = start_landing_stream(stream, land, ckpt, available_now=True)
+            q.awaitTermination(120)
+
+        write_file("a.json", [1, 2, 3])
+        run_once()
+        write_file("b.json", [4, 5, 6])
+        run_once()
+
+        landed = sorted(r.id for r in spark.read.parquet(land).collect())
+        assert landed == [1, 2, 3, 4, 5, 6]  # no loss, no duplicates
