@@ -821,8 +821,49 @@ GROUP BY CUBE (o_orderpriority, o_orderstatus)
 """
 
 
+def setops_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation surface: customers who bought in BOTH halves of the
+    order history (INTERSECT), only in the early half (EXCEPT), and the
+    respective counts — `intersect`/`exceptAll` plan as hash
+    semi/anti-joins after partial distinct, not as full sorts."""
+    orders = _t(spark, sf_dir, "orders")
+    early = orders.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    late = orders.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+    e_keys = early.select("o_custkey")
+    l_keys = late.select("o_custkey")
+    both = e_keys.intersect(l_keys).select(
+        F.lit("both_halves").alias("segment"), F.col("o_custkey")
+    )
+    only_early = e_keys.distinct().exceptAll(l_keys.distinct()).select(
+        F.lit("early_only").alias("segment"), F.col("o_custkey")
+    )
+    return both.unionByName(only_early).groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.min("o_custkey").cast("long").alias("min_key"),
+        F.max("o_custkey").cast("long").alias("max_key"),
+    )
+
+
+SETOPS_SQL = """
+WITH e AS (SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+l AS (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+seg AS (
+  SELECT 'both_halves' AS segment, o_custkey
+  FROM (SELECT o_custkey FROM e INTERSECT SELECT o_custkey FROM l)
+  UNION ALL
+  SELECT 'early_only', o_custkey
+  FROM (SELECT DISTINCT o_custkey FROM e EXCEPT SELECT DISTINCT o_custkey FROM l)
+)
+SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(MIN(o_custkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_custkey) AS BIGINT) AS max_key
+FROM seg GROUP BY segment
+"""
+
+
 #: (name, spark_fn, duckdb_oracle) consumed by the catalog registry.
 EXTRA_QUERIES: list[tuple] = [
+    ("setops_customer_segments", setops_customer_segments, SETOPS_SQL),
     ("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL),
     ("cube_order_revenue", cube_order_revenue, CUBE_SQL),
     ("q2_cheapest_parts", q2_cheapest_parts, Q2_SQL),
