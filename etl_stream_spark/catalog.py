@@ -2472,6 +2472,42 @@ GROUP BY label
 """
 
 
+def user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day (the
+    cohort), counted per later activity day — the classic product /
+    training-freshness analytics shape. First-seen is a per-user min
+    (one agg), the matrix is a distinct (user, day) join back to the
+    cohort map; all keys are date-truncated timestamps."""
+    ev = _t(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("activity_day")
+    ).distinct()
+    return (
+        active.join(cohort, "user_id")
+        .groupBy("cohort_day", "activity_day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active_users"))
+    )
+
+
+COHORT_SQL = """
+WITH cohort AS (
+  -- CAST: DuckDB's date_trunc('day') yields DATE, Spark's a TIMESTAMP
+  SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS cohort_day
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS activity_day
+  FROM events
+)
+SELECT cohort_day, activity_day, CAST(COUNT(*) AS BIGINT) AS n_active_users
+FROM active JOIN cohort USING (user_id)
+GROUP BY cohort_day, activity_day
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2515,6 +2551,7 @@ CATALOG: dict[str, QueryDef] = {
     "cdc_schema_inference": QueryDef(cdc_schema_inference, INFER_SQL),
     "corpus_curation_funnel": QueryDef(corpus_curation_funnel, _funnel_sql()),
     "fusion_cluster_text_report": QueryDef(fusion_cluster_text_report, FUSION_SQL),
+    "user_cohort_retention": QueryDef(user_cohort_retention, COHORT_SQL),
     # temporal joins
     "asof_latest_purchase": QueryDef(asof_latest_purchase, ASOF_SQL),
     "asof_next_purchase": QueryDef(asof_next_purchase, ASOF_FWD_SQL),
