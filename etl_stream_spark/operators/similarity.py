@@ -141,6 +141,36 @@ def lsh_bucket(vec: Column, num_bits: int, dims: int, band: int = 0) -> Column:
     return F.concat_ws("", *bits)
 
 
+def lsh_band_buckets(vec: Column, num_bits: int, num_bands: int, dims: int) -> Column:
+    """All band buckets in ONE pass over the vector.
+
+    The per-dimension weight columns (``planes`` ints each) are inlined
+    as a literal array-of-arrays; a single fold carries the
+    ``num_bands*num_bits``-wide running dot products, so the vector is
+    traversed once instead of once per hyperplane (~bits×bands fewer
+    interpreted HOF steps per row). Returns ``array<string>`` of bucket
+    keys, one per band — numerically identical to per-plane folds."""
+    planes = num_bands * num_bits
+    w_by_dim = F.array(
+        *[
+            F.array(*[F.lit(hyperplane_weights(p, dims)[d]) for p in range(planes)])
+            for d in range(dims)
+        ]
+    )
+    sums = F.aggregate(
+        F.zip_with(vec, w_by_dim, lambda v, w: F.struct(v.alias("v"), w.alias("w"))),
+        F.array_repeat(F.lit(0).cast("long"), planes),
+        lambda acc, pair: F.zip_with(
+            acc, pair["w"], lambda a, wi: a + pair["v"] * wi
+        ),
+    )
+    bits = F.transform(sums, lambda s: F.when(s >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: F.array_join(F.slice(bits, b * num_bits + 1, num_bits), ""),
+    )
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -159,19 +189,17 @@ def ann_lsh_topk(
     """
 
     def with_buckets(df: DataFrame, id_alias: str) -> DataFrame:
-        qv = quantize(vec_col)
-        bucket_structs = [
-            F.struct(
-                F.lit(b).alias("band"),
-                lsh_bucket(qv, num_bits, dims, band=b).alias("bucket"),
-            )
-            for b in range(num_bands)
-        ]
-        return ensure_parallelism(df).select(
-            F.col(id_col).alias(id_alias),
-            qv.alias(f"_{id_alias}_vec"),
-            F.explode(F.array(*bucket_structs)).alias("bb"),
-        ).select(id_alias, f"_{id_alias}_vec", "bb.band", "bb.bucket")
+        vcol = f"_{id_alias}_vec"
+        quantized = ensure_parallelism(df).select(
+            F.col(id_col).alias(id_alias), quantize(vec_col).alias(vcol)
+        )
+        return quantized.select(
+            id_alias,
+            vcol,
+            F.posexplode(
+                lsh_band_buckets(F.col(vcol), num_bits, num_bands, dims)
+            ).alias("band", "bucket"),
+        )
 
     cb = with_buckets(corpus, "neighbor_id")
     qb = with_buckets(queries, "query_id")
