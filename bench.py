@@ -36,6 +36,11 @@ BENCH_QUERIES = [
     "q21_waiting_suppliers",
     "text_repetition",
     "corpus_chunks",
+    "corpus_pack_sequences",
+    "corpus_bigram_lm",
+    "corpus_curation_funnel",
+    "user_cohort_retention",
+    "knn_bruteforce_pandas",
     "corpus_duplicated_passages",
     "corpus_vocabulary",
     "hourly_event_rollup",
