@@ -152,15 +152,22 @@ def token_ngrams(toks: Column, n: int) -> Column:
 def _top_frac(grams: Column) -> Column:
     """max frequency of any gram / number of grams (0.0 when empty).
 
-    Per-document array scan: O(distinct · total) per row, parallel
-    across rows, no shuffle — the Gopher-style repetition signal
-    computed without a per-gram explode."""
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(grams),
-            lambda g: F.size(F.filter(grams, lambda x: x == g)),
-        )
+    Computed as the longest equal-run of the SORTED gram array — one
+    ``array_sort`` + one exact string-compare fold, O(n log n) per row
+    instead of the O(distinct · total) distinct×filter scan (~10× less
+    work at typical document lengths). Values are identical to the
+    count-of-most-frequent definition the SQL oracle uses. No shuffle,
+    parallel across rows."""
+    sorted_g = F.array_sort(grams)
+    init = F.struct(
+        F.lit("").alias("p"), F.lit(0).alias("b"), F.lit(0).alias("c")
     )
+
+    def step(acc: Column, g: Column) -> Column:
+        cur = F.when(acc["p"] == g, acc["c"] + 1).otherwise(F.lit(1))
+        return F.struct(g.alias("p"), F.greatest(acc["b"], cur).alias("b"), cur.alias("c"))
+
+    top = F.aggregate(sorted_g, init, step)["b"]
     return F.round(
         F.when(F.size(grams) > 0, top.cast("double") / F.size(grams)).otherwise(
             F.lit(0.0)
