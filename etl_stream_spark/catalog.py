@@ -2508,6 +2508,55 @@ GROUP BY cohort_day, activity_day
 """
 
 
+#: Per-domain (language) sampling rates in thousandths — the static
+#: domain-reweighting mix of a training-data pipeline.
+DOMAIN_RATES_PERMILLE: dict[str, int] = {
+    "en": 1000,
+    "de": 500,
+    "es": 500,
+    "fr": 250,
+    "zh": 250,
+}
+
+
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-reweighted deterministic sampling: each language keeps a
+    configured fraction of its documents via the md5-bucket contract
+    (bucket(doc_id) < rate), so the mix is reproducible at any
+    partitioning and auditable per domain — `df.sample` can do neither.
+    Narrow (no shuffle) except the final per-domain count."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = cp.hash_bucket(F.col("doc_id"), 1000)
+    rate = None
+    for lang, pm in sorted(DOMAIN_RATES_PERMILLE.items()):
+        cur = F.lit(pm)
+        rate = cur if rate is None else F.when(F.col("lang") == lang, cur).otherwise(rate)
+    # the innermost ELSE (first sorted lang) doubles as the default rate
+    kept = docs.filter(bucket < rate)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+    )
+
+
+def _weighted_sample_sql() -> str:
+    # mirror the Spark when-chain construction exactly: first sorted
+    # lang is the innermost ELSE, later langs wrap around it
+    langs = sorted(DOMAIN_RATES_PERMILLE)
+    rate = str(DOMAIN_RATES_PERMILLE[langs[0]])
+    for lang in langs[1:]:
+        rate = f"CASE WHEN lang = '{lang}' THEN {DOMAIN_RATES_PERMILLE[lang]} ELSE {rate} END"
+    return f"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 1000 < ({rate})
+GROUP BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2552,6 +2601,7 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_curation_funnel": QueryDef(corpus_curation_funnel, _funnel_sql()),
     "fusion_cluster_text_report": QueryDef(fusion_cluster_text_report, FUSION_SQL),
     "user_cohort_retention": QueryDef(user_cohort_retention, COHORT_SQL),
+    "corpus_weighted_sample": QueryDef(corpus_weighted_sample, _weighted_sample_sql()),
     # temporal joins
     "asof_latest_purchase": QueryDef(asof_latest_purchase, ASOF_SQL),
     "asof_next_purchase": QueryDef(asof_next_purchase, ASOF_FWD_SQL),
