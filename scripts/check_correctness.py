@@ -26,6 +26,57 @@ TABLES = (
 ).split()
 
 
+def _spark_type_problems(schema) -> list[str]:
+    """Round-1 lesson (CORRECTNESS_r01): the driver's hash normalizer is
+    stricter than ``norm_value`` — every query that emitted a DECIMAL
+    column (or whose oracle returned HUGEINT) failed ``hash_match``
+    despite byte-identical local values.  Enforce the boundary-type
+    convention mechanically: integral outputs are 64-bit, fractional
+    outputs are DOUBLE, nothing else crosses the driver boundary.
+    """
+    from pyspark.sql import types as T
+
+    bad: list[str] = []
+
+    def walk(name: str, dt) -> None:
+        if isinstance(dt, T.DecimalType):
+            bad.append(f"{name}:{dt.simpleString()}")
+        elif isinstance(dt, (T.FloatType, T.IntegerType, T.ShortType, T.ByteType)):
+            bad.append(f"{name}:{dt.simpleString()}")
+        elif isinstance(dt, T.ArrayType):
+            walk(name + "[]", dt.elementType)
+        elif isinstance(dt, T.MapType):
+            walk(name + ".key", dt.keyType)
+            walk(name + ".val", dt.valueType)
+        elif isinstance(dt, T.StructType):
+            for f in dt.fields:
+                walk(f"{name}.{f.name}", f.dataType)
+
+    for f in schema.fields:
+        walk(f.name, f.dataType)
+    return bad
+
+
+_DUCK_BAD_TYPES = ("DECIMAL", "HUGEINT", "INT128", "REAL", "FLOAT4")
+_DUCK_NARROW_INTS = ("TINYINT", "SMALLINT", "INTEGER", "UTINYINT", "USMALLINT", "UINTEGER")
+
+
+def _duck_type_problems(cols: list[str], types) -> list[str]:
+    bad: list[str] = []
+    for c, t in zip(cols, types):
+        s = str(t).upper()
+        if any(b in s for b in _DUCK_BAD_TYPES):
+            bad.append(f"{c}:{s}")
+            continue
+        # exact-token match so BIGINT inside e.g. UINTEGER doesn't confuse
+        import re
+
+        toks = set(re.findall(r"[A-Z0-9_]+", s))
+        if toks & set(_DUCK_NARROW_INTS):
+            bad.append(f"{c}:{s}")
+    return bad
+
+
 def norm_value(v) -> str:
     import datetime
     import decimal
@@ -84,6 +135,7 @@ def main() -> int:
         try:
             sdf = fn(spark, args.sf)
             scols = sdf.columns
+            stype_bad = _spark_type_problems(sdf.schema)
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
@@ -91,19 +143,28 @@ def main() -> int:
             continue
         spark_s = time.time() - t0
         if name not in oracles:
-            print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{spark_s:.1f}s]")
+            line = f"ROWS  {name}: {len(srows)} rows (no oracle) [{spark_s:.1f}s]"
+            if stype_bad:
+                line += f"  TYPE(spark): {stype_bad}"
+                failures.append(name)
+            print(line)
             if len(srows) == 0:
                 print(f"  WARN {name}: zero rows")
             continue
         try:
             rel = con.sql(oracles[name])
             ocols = rel.columns
+            otype_bad = _duck_type_problems(ocols, rel.types)
             orows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: oracle error: {e}")
             failures.append(name)
             continue
         problems = []
+        if stype_bad:
+            problems.append(f"TYPE(spark) {stype_bad}")
+        if otype_bad:
+            problems.append(f"TYPE(duck) {otype_bad}")
         if len(srows) != len(orows):
             problems.append(f"rowcount {len(srows)} vs {len(orows)}")
         if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
