@@ -1587,21 +1587,33 @@ FROM lineitem GROUP BY 1
 # --------------------------------------------------------------------------
 
 
-def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The hourly rollup as an actual Structured Streaming job: file
-    source → windowed agg → memory sink, driven to completion with an
-    availableNow trigger (SURVEY §2.8)."""
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table with ``ts`` normalized
+    to a session-zoned TIMESTAMP whatever the parquet generation stored
+    (nanosecond INT64 → long → µs truncation, matching DuckDB; naive
+    µs → TIMESTAMP_NTZ → reinterpreted under the pinned UTC session)."""
     _ensure_utc(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # stream the raw file (ts is nanosecond INT64 → read as long, convert)
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    name = "rollup_" + uuid.uuid4().hex[:8]
     stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
+def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hourly rollup as an actual Structured Streaming job: file
+    source → windowed agg → memory sink, driven to completion with an
+    availableNow trigger (SURVEY §2.8)."""
+    name = "rollup_" + uuid.uuid4().hex[:8]
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
@@ -1638,13 +1650,7 @@ def streaming_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     is under test."""
     _ensure_utc(spark)
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    # load_table pinned nanosAsLong, so the raw schema reads events.ts as long
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _events_stream(spark, sf_dir)
     enriched = stream.join(F.broadcast(cust), stream.user_id == cust.c_custkey)
     agg = enriched.groupBy("c_mktsegment", "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -1677,19 +1683,13 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale the state store holds only one hour (+watermark slack) of
     events per key, regardless of total stream length. Inner time-bound
     joins are batching-invariant, so the oracle is the plain SQL join."""
-    _ensure_utc(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-
     def side(event_type: str, prefix: str):
         return (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
+            _events_stream(spark, sf_dir)
             .filter(F.col("event_type") == event_type)
             .select(
                 F.col("user_id").alias(f"{prefix}_user"),
-                F.expr("timestamp_micros(ts div 1000)").alias(f"{prefix}_ts"),
+                F.col("ts").alias(f"{prefix}_ts"),
                 F.col("value").alias(f"{prefix}_value"),
             )
             .withWatermark(f"{prefix}_ts", "2 hours")
@@ -1775,15 +1775,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite: a session breaks when the inter-event gap is >= 30 minutes
     (Spark merges only strictly-overlapping windows) and ends at
     last-event + gap."""
-    _ensure_utc(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "2 hours")
         .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))

@@ -86,15 +86,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated parquet table (columnar scan; Catalyst
     pushes filters/projections down into this scan).
 
-    The ``events`` table carries nanosecond timestamps, which Spark's
-    parquet reader rejects natively — read them as longs and convert to
+    Timestamp normalization: the driver-generated parquet stores *naive*
+    timestamps (isAdjustedToUTC=false), which Spark 4 infers as
+    TIMESTAMP_NTZ by default while the DuckDB oracle reads them as plain
+    (UTC-naive) timestamps. With the session pinned to UTC the two agree
+    on wall-clock values, so cast any NTZ column to the session-zoned
+    TIMESTAMP type — a metadata-only reinterpretation under UTC, and it
+    keeps every downstream ``unix_millis``/interval expression valid.
+    Some generations instead carry nanosecond timestamps, which Spark's
+    parquet reader rejects natively — read those as longs and convert to
     microsecond timestamps (truncation, matching DuckDB's nanos→µs)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
     return df
 
 
