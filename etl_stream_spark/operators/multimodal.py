@@ -32,7 +32,7 @@ MEDIA_SCHEMA = (
 
 FEATURE_SCHEMA = (
     "doc_id long, modality string, n_bytes long, content_md5 string, "
-    "width int, height int, n_channels int, feature_norm double"
+    "width long, height long, n_channels long, feature_norm double"
 )
 
 
@@ -92,7 +92,7 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 RESIZED_SCHEMA = (
     "doc_id long, payload binary, modality string, content_md5 string, "
-    "width int, height int, scale_x double, scale_y double"
+    "width long, height long, scale_x double, scale_y double"
 )
 
 

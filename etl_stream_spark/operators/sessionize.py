@@ -43,7 +43,12 @@ def session_stats(
     return s.groupBy(user_col).agg(
         F.max("session_seq").cast("long").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_value"),
+        # exact decimal sum internally; DOUBLE+ROUND at the boundary so
+        # the driver's hash normalizer sees engine-portable types
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").cast("double"),
+            2,
+        ).alias("total_value"),
     )
 
 
@@ -57,7 +62,12 @@ def hourly_event_rollup(events: DataFrame) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_value"),
+            # exact decimal sum internally; DOUBLE+ROUND at the boundary so
+        # the driver's hash normalizer sees engine-portable types
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").cast("double"),
+            2,
+        ).alias("total_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
     )

@@ -299,7 +299,7 @@ def centroids(
         .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
         .select(
             group_col,
-            "pos",
+            F.col("pos").cast("long").alias("pos"),
             F.round(F.col("s").cast("double") / (F.col("n") * float(scale)), 6).alias(
                 "centroid_val"
             ),
@@ -544,7 +544,7 @@ def ivf_topk(
     )
     rank = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(rank))
+        scored.withColumn("rank", F.row_number().over(rank).cast("long"))
         .filter(F.col("rank") <= k)
     )
 

@@ -50,6 +50,14 @@ def _rev_sum() -> F.Column:
     return F.sum(_rev()).cast("decimal(38,6)")
 
 
+def _dbl(col: F.Column, nd: int = 2) -> F.Column:
+    """Terminal boundary cast (driver convention): exact decimal →
+    DOUBLE with one ROUND, mirrored in the oracle as
+    ``ROUND(CAST(x AS DOUBLE), nd)``. Internal arithmetic and any
+    filters/sorts stay on the exact decimal."""
+    return F.round(col.cast("double"), nd)
+
+
 # --------------------------------------------------------------------------
 # Q2-style: min-per-group via window, join-free
 # --------------------------------------------------------------------------
@@ -70,14 +78,14 @@ def q2_cheapest_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_name",
             "p_type",
             "p_size",
-            price.alias("retail_price"),
+            _dbl(price).alias("retail_price"),
         )
     )
 
 
 Q2_SQL = """
-SELECT p_partkey, p_name, p_type, p_size,
-       CAST(p_retailprice AS DECIMAL(18,2)) AS retail_price
+SELECT p_partkey, p_name, p_type, CAST(p_size AS BIGINT) AS p_size,
+       ROUND(CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE), 2) AS retail_price
 FROM (
   SELECT *, MIN(CAST(p_retailprice AS DECIMAL(18,2)))
               OVER (PARTITION BY p_type, p_size) AS min_price
@@ -157,13 +165,13 @@ def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("long").alias("ship_year"),
         )
-        .agg(_rev_sum().alias("revenue"))
+        .agg(_dbl(_rev_sum()).alias("revenue"))
     )
 
 
 Q7_SQL = f"""
 SELECT supp_nation, cust_nation, ship_year,
-       CAST(SUM(rev) AS DECIMAL(38,6)) AS revenue
+       ROUND(CAST(CAST(SUM(rev) AS DECIMAL(38,6)) AS DOUBLE), 2) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(year(l_shipdate) AS BIGINT) AS ship_year,
@@ -257,12 +265,12 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("l_shipdate").cast("long").alias("ship_year"),
         )
-        .agg(F.sum(amount).cast("decimal(38,6)").alias("profit"))
+        .agg(_dbl(F.sum(amount).cast("decimal(38,6)")).alias("profit"))
     )
 
 
 Q9_SQL = f"""
-SELECT nation, ship_year, CAST(SUM(amount) AS DECIMAL(38,6)) AS profit
+SELECT nation, ship_year, ROUND(CAST(CAST(SUM(amount) AS DECIMAL(38,6)) AS DOUBLE), 2) AS profit
 FROM (
   SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS ship_year,
          {_REV_SQL}
@@ -295,7 +303,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_part.join(F.broadcast(total))
         .filter(F.col("part_revenue") * 1500 > F.col("total_revenue"))
-        .select("l_partkey", "part_revenue")
+        .select("l_partkey", _dbl(F.col("part_revenue")).alias("part_revenue"))
     )
 
 
@@ -304,7 +312,7 @@ WITH per_part AS (
   SELECT l_partkey, CAST(SUM({_REV_SQL}) AS DECIMAL(38,6)) AS part_revenue
   FROM lineitem GROUP BY l_partkey
 )
-SELECT l_partkey, part_revenue
+SELECT l_partkey, ROUND(CAST(part_revenue AS DOUBLE), 2) AS part_revenue
 FROM per_part
 WHERE part_revenue * 1500 > (
   SELECT CAST(SUM(part_revenue) AS DECIMAL(38,6)) FROM per_part)
@@ -434,7 +442,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select("s_suppkey", "s_name", _dbl(F.col("total_revenue")).alias("total_revenue"))
     )
 
 
@@ -446,7 +454,7 @@ WITH revenue AS (
     AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
   GROUP BY l_suppkey
 )
-SELECT s_suppkey, s_name, total_revenue
+SELECT s_suppkey, s_name, ROUND(CAST(total_revenue AS DOUBLE), 2) AS total_revenue
 FROM revenue JOIN supplier ON l_suppkey = s_suppkey
 WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 """
@@ -476,7 +484,7 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q16_SQL = """
-SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
 FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
 JOIN part ON l_partkey = p_partkey
 WHERE p_brand <> 'Brand#1'
@@ -507,7 +515,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(per_part, li.l_partkey == F.col("agg_partkey"))
         .filter(qty * 5 * F.col("cnt") < F.col("sum_qty"))
         .agg(
-            F.sum(F.col("l_extendedprice").cast(DEC)).cast(DECSUM).alias("small_qty_revenue"),
+            _dbl(F.sum(F.col("l_extendedprice").cast(DEC)).cast(DECSUM)).alias("small_qty_revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -520,7 +528,7 @@ WITH per_part AS (
          CAST(COUNT(*) AS DECIMAL(9,0)) AS cnt
   FROM lineitem GROUP BY l_partkey
 )
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS small_qty_revenue,
+SELECT ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE), 2) AS small_qty_revenue,
        COUNT(*) AS n_lines
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -549,12 +557,12 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .filter(cond)
-        .agg(_rev_sum().alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+        .agg(_dbl(_rev_sum()).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
     )
 
 
 Q19_SQL = f"""
-SELECT CAST(SUM({_REV_SQL}) AS DECIMAL(38,6)) AS revenue, COUNT(*) AS n_lines
+SELECT ROUND(CAST(CAST(SUM({_REV_SQL}) AS DECIMAL(38,6)) AS DOUBLE), 2) AS revenue, COUNT(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
@@ -593,14 +601,14 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.sum(F.col("c_acctbal").cast(DEC)).cast(DECSUM).alias("totacctbal"),
+            _dbl(F.sum(F.col("c_acctbal").cast(DEC)).cast(DECSUM)).alias("totacctbal"),
         )
     )
 
 
 Q22_SQL = """
 SELECT c_mktsegment, COUNT(*) AS numcust,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS totacctbal
+       ROUND(CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE), 2) AS totacctbal
 FROM customer
 WHERE c_acctbal > (
         SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
@@ -623,13 +631,13 @@ def rollup_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return orders.rollup("o_orderpriority", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast(DEC)).cast(DECSUM).alias("total_price"),
+        _dbl(F.sum(F.col("o_totalprice").cast(DEC)).cast(DECSUM)).alias("total_price"),
     )
 
 
 ROLLUP_SQL = """
 SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+       ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE), 2) AS total_price
 FROM orders
 GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
@@ -653,8 +661,8 @@ def customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.sum(price).over(run).cast(DECSUM).alias("running_total"),
-        F.lag(price).over(w).alias("prev_price"),
+        _dbl(F.sum(price).over(run).cast(DECSUM)).alias("running_total"),
+        _dbl(F.lag(price).over(w)).alias("prev_price"),
         F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
         .cast("long")
         .alias("days_since_prev"),
@@ -663,11 +671,11 @@ def customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 HISTORY_SQL = """
 SELECT o_custkey, o_orderkey, o_orderdate,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+       ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                    ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS running_total,
-       LAG(CAST(o_totalprice AS DECIMAL(18,2)))
-         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+                    ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS DOUBLE), 2) AS running_total,
+       ROUND(CAST(LAG(CAST(o_totalprice AS DECIMAL(18,2)))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE), 2) AS prev_price,
        CAST(date_diff('day',
               LAG(o_orderdate) OVER (PARTITION BY o_custkey
                                      ORDER BY o_orderdate, o_orderkey),
@@ -693,7 +701,7 @@ def order_value_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_orderpriority",
         "o_orderkey",
-        F.col("o_totalprice").cast(DEC).alias("total_price"),
+        _dbl(F.col("o_totalprice").cast(DEC)).alias("total_price"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
@@ -703,7 +711,7 @@ def order_value_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RANKINGS_SQL = """
 SELECT o_orderpriority, o_orderkey,
-       CAST(o_totalprice AS DECIMAL(18,2)) AS total_price,
+       ROUND(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2) AS total_price,
        CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
        ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
        ROUND(CUME_DIST() OVER w, 6) AS cume,
@@ -804,7 +812,7 @@ def cube_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.cube("o_orderpriority", "o_orderstatus")
         .agg(
-            F.sum(F.col("o_totalprice").cast(DEC)).cast(DECSUM).alias("revenue"),
+            _dbl(F.sum(F.col("o_totalprice").cast(DEC)).cast(DECSUM)).alias("revenue"),
             F.count(F.lit(1)).cast("long").alias("n_orders"),
             F.grouping_id().cast("long").alias("gid"),
         )
@@ -813,7 +821,7 @@ def cube_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CUBE_SQL = """
 SELECT o_orderpriority, o_orderstatus,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
+       ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE), 2) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
        CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid
 FROM orders

@@ -105,6 +105,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     if ntz_cols:
         df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
+    # Widen narrow integer columns to 64-bit at the source: the engine's
+    # boundary convention is that every integral output is BIGINT, and
+    # Catalyst's UnwrapCastInBinaryComparison still pushes comparison
+    # filters on the widened column down to the parquet scan.
+    narrow = [c for c, t in df.dtypes if t in ("int", "smallint", "tinyint")]
+    if narrow:
+        df = df.withColumns({c: F.col(c).cast("long") for c in narrow})
     return df
 
 
