@@ -2532,6 +2532,12 @@ DOMAIN_RATES_PERMILLE: dict[str, int] = {
     "zh": 250,
 }
 
+#: Explicit rate for languages outside the configured mix — keep
+#: everything unconfigured rather than silently inheriting an arbitrary
+#: language's rate (both the Spark chain and the SQL twin use this as
+#: the terminal ELSE).
+DOMAIN_DEFAULT_RATE_PERMILLE = 1000
+
 
 def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-reweighted deterministic sampling: each language keeps a
@@ -2541,11 +2547,9 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Narrow (no shuffle) except the final per-domain count."""
     docs = _t(spark, sf_dir, "documents")
     bucket = cp.hash_bucket(F.col("doc_id"), 1000)
-    rate = None
+    rate = F.lit(DOMAIN_DEFAULT_RATE_PERMILLE)
     for lang, pm in sorted(DOMAIN_RATES_PERMILLE.items()):
-        cur = F.lit(pm)
-        rate = cur if rate is None else F.when(F.col("lang") == lang, cur).otherwise(rate)
-    # the innermost ELSE (first sorted lang) doubles as the default rate
+        rate = F.when(F.col("lang") == lang, F.lit(pm)).otherwise(rate)
     kept = docs.filter(bucket < rate)
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_sampled"),
@@ -2555,11 +2559,10 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _weighted_sample_sql() -> str:
-    # mirror the Spark when-chain construction exactly: first sorted
-    # lang is the innermost ELSE, later langs wrap around it
-    langs = sorted(DOMAIN_RATES_PERMILLE)
-    rate = str(DOMAIN_RATES_PERMILLE[langs[0]])
-    for lang in langs[1:]:
+    # mirror the Spark when-chain construction exactly: the explicit
+    # default is the innermost ELSE, sorted langs wrap around it
+    rate = str(DOMAIN_DEFAULT_RATE_PERMILLE)
+    for lang in sorted(DOMAIN_RATES_PERMILLE):
         rate = f"CASE WHEN lang = '{lang}' THEN {DOMAIN_RATES_PERMILLE[lang]} ELSE {rate} END"
     return f"""
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,

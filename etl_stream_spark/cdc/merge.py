@@ -199,8 +199,33 @@ class ParquetMergeTable:
         full_overwrite: bool,
         touched: list[int] | None = None,
     ) -> None:
+        """Commit the merged buckets.
+
+        DURABILITY CONTRACT (documented, not transactional): the commit
+        is per-bucket-directory, not table-atomic. Dynamic partition
+        overwrite stages each bucket's files and swaps them directory by
+        directory, and fully-emptied buckets are removed in a separate
+        step — so a crash mid-commit can leave a mix of old and new
+        bucket directories (and, in the worst window, an emptied bucket
+        still holding its old rows, which later merges would keep since
+        they carry no newer source sequence). Recovery is re-running the
+        same batch: sequences are monotone, so re-applying is
+        idempotent for every bucket that did swap, and repairs the ones
+        that did not. A deployment needing table-atomic commits swaps
+        this class for Delta/Iceberg MERGE (same public API — see
+        module docstring); the bucket layout and pruning carry over.
+        """
         df = df.persist()
         try:
+            # Materialize the merged result (and the emptied-bucket set)
+            # BEFORE overwriting source directories: every value needed
+            # for the commit is in the block-manager cache first, so the
+            # overwrite never races its own scan of self.path.
+            with_rows = (
+                {r[0] for r in df.select(BUCKET_COL).distinct().collect()}
+                if touched
+                else set()
+            )
             (
                 df.repartition(BUCKET_COL)
                 .write.mode("overwrite")
@@ -214,8 +239,8 @@ class ParquetMergeTable:
             if touched:
                 # Dynamic overwrite only replaces partitions that received
                 # output; a touched bucket whose rows were all deleted must
-                # be dropped explicitly or stale rows would survive.
-                with_rows = {r[0] for r in df.select(BUCKET_COL).distinct().collect()}
+                # be dropped explicitly or stale rows would survive. Part
+                # of the commit: the merge is complete only after this.
                 fs, _ = _hadoop_fs(self.spark, self.path)
                 for bucket in set(touched) - with_rows:
                     p = _hadoop_path(self.spark, f"{self.path}/{BUCKET_COL}={bucket}")

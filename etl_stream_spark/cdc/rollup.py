@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_stream_spark.cdc.envelope import OP_DELETE, OP_UPDATE, OPERATION_COL, SEQUENCE_COL
-from etl_stream_spark.cdc.merge import ParquetMergeTable
+from etl_stream_spark.cdc.merge import SEQ_STATE_COL, ParquetMergeTable
 
 
 class IncrementalRollup:
@@ -55,7 +55,19 @@ class IncrementalRollup:
         self.gold = ParquetMergeTable(
             spark, gold_path, keys=group_cols, num_buckets=num_buckets
         )
-        self._refresh_seq = 0
+        # Resume the monotone refresh counter from what the gold table
+        # already persisted: a fresh counter starting at 0 against an
+        # existing gold path would emit sequences below gold's stored
+        # _seq, and the merge's stale guard would silently discard every
+        # refresh until the counter caught up.
+        self._refresh_seq = self._stored_refresh_seq()
+
+    def _stored_refresh_seq(self) -> int:
+        state = self.gold._read_state()
+        if state is None:
+            return 0
+        row = state.agg(F.max(SEQ_STATE_COL).alias("m")).first()
+        return int(row["m"]) if row and row["m"] is not None else 0
 
     def touched_groups(self, batch: DataFrame) -> list[tuple]:
         """Group keys whose aggregates this batch can change, captured

@@ -196,3 +196,33 @@ def test_untouched_groups_not_recomputed(spark, tables):
         a_dir = f"_bucket={buckets['a']}"
         assert not any(a_dir in p for p in changed)
     assert gold_state(rollup) == full_recompute(silver)
+
+
+def test_restart_resumes_refresh_counter(spark, tables, tmp_path):
+    """A process restart must not reset the refresh counter: a fresh
+    IncrementalRollup against an existing gold path resumes from gold's
+    stored _seq, so post-restart refreshes are not discarded as stale."""
+    silver, rollup = tables
+    apply_batch(
+        spark, silver, rollup,
+        [ev(1, "a", 10, OP_INSERT, 0), ev(2, "b", 7, OP_INSERT, 1)],
+    )
+    apply_batch(spark, silver, rollup, [ev(1, "a", 20, OP_UPDATE, 2)])
+    assert rollup._refresh_seq >= 2
+
+    # simulate restart: new instance, same paths
+    restarted = IncrementalRollup(
+        spark,
+        silver,
+        rollup.gold.path,
+        group_cols=["grp"],
+        aggs={
+            "n_rows": lambda: F.count(F.lit(1)).cast("long"),
+            "sum_v": lambda: F.sum("v").cast("long"),
+        },
+        num_buckets=2,
+    )
+    assert restarted._refresh_seq == rollup._refresh_seq
+    apply_batch(spark, silver, restarted, [ev(1, "a", 99, OP_UPDATE, 3)])
+    assert gold_state(restarted) == full_recompute(silver)
+    assert gold_state(restarted)["a"] == (1, 99)
