@@ -18,10 +18,24 @@ SALT_COL = "_salt"
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Round-robin repartition iff the plan is under-partitioned."""
+    """Round-robin repartition iff the plan is under-partitioned.
+
+    The check is metadata-only: leaf input-file count vs the cluster's
+    default parallelism. (``df.rdd.getNumPartitions()`` would be exact
+    but forces a plan→RDD conversion on every call — measurable overhead
+    in front of every hot operator.) A scan with at least ``target``
+    files already yields enough splits; fewer files than cores — the
+    small-file case this guard exists for — triggers the repartition.
+    For the CPU-bound per-row operators guarded here, repartitioning a
+    few-large-files scan up to core count is the desired outcome too.
+    """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file source (rate, memory, createDataFrame)
+        n_files = 0
+    if n_files >= target:
         return df
     return df.repartition(target)
 

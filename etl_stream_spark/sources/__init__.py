@@ -7,6 +7,12 @@ from etl_stream_spark.sources.envelope_decode import (
     decode_cdc_json,
 )
 from etl_stream_spark.sources.file_source import read_cdc_file_stream
+from etl_stream_spark.sources.kafka_source import (
+    KAFKA_PACKAGE,
+    kafka_cdc_stream,
+    kafka_raw_stream,
+    kafka_reader_options,
+)
 from etl_stream_spark.sources.initial_copy import INITIAL_COPY_SEQUENCE, initial_copy
 from etl_stream_spark.sources.config_db import (
     PipelineSpec,
@@ -18,6 +24,10 @@ __all__ = [
     "cdc_envelope_schema",
     "decode_cdc_json",
     "read_cdc_file_stream",
+    "KAFKA_PACKAGE",
+    "kafka_cdc_stream",
+    "kafka_raw_stream",
+    "kafka_reader_options",
     "INITIAL_COPY_SEQUENCE",
     "initial_copy",
     "PipelineSpec",
