@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "corpus_pack_sequences",
     "corpus_bigram_lm",
     "corpus_curation_funnel",
+    "corpus_contamination",
+    "corpus_quality_model",
     "user_cohort_retention",
     "knn_bruteforce_pandas",
     "corpus_duplicated_passages",

@@ -2578,6 +2578,124 @@ GROUP BY lang
 # Registry
 # --------------------------------------------------------------------------
 
+def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→eval contamination audit (pre-training hygiene): eval-split
+    documents sharing 3-token shingles with any train document. Shingles
+    hash to 60-bit longs before the exchange; overlap is an equi-join on
+    the hash, never a document cross join."""
+    return cp.contamination_report(_t(spark, sf_dir, "documents"))
+
+
+_SPLIT_CASE = (
+    f"CASE WHEN {cp.bucket_sql('doc_id', 100)} < 80 THEN 'train' "
+    f"WHEN {cp.bucket_sql('doc_id', 100)} < 90 THEN 'valid' ELSE 'test' END"
+)
+
+CONTAMINATION_SQL = f"""
+WITH toks AS ({TOKS_CTE}),
+sp AS (SELECT doc_id, {_SPLIT_CASE} AS split, t FROM toks),
+sh AS (
+  SELECT doc_id, split,
+         unnest(CASE WHEN len(t) >= 3 THEN
+                  list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                ELSE [array_to_string(t, ' ')] END) AS sh
+  FROM sp
+),
+g AS (SELECT doc_id, split, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS gh FROM sh),
+train AS (SELECT DISTINCT gh FROM g WHERE split = 'train'),
+ev AS (SELECT DISTINCT doc_id, split, gh FROM g WHERE split <> 'train'),
+tot AS (SELECT doc_id, split, COUNT(*) AS n_shingles FROM ev GROUP BY 1, 2),
+hit AS (SELECT doc_id, COUNT(*) AS n_contaminated
+        FROM ev JOIN train USING (gh) GROUP BY 1)
+SELECT doc_id, split, CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(COALESCE(n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       ROUND(CAST(COALESCE(n_contaminated, 0) AS DOUBLE) / n_shingles, 6)
+         AS contamination_rate
+FROM tot LEFT JOIN hit USING (doc_id)
+"""
+
+
+def corpus_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-model quality scoring as a columnar expression (broadcast
+    coefficients, no UDF, no inference service) — the serving shape for
+    any classifier distilled to linear form."""
+    return ta.with_model_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "n_tokens",
+        "stopword_ratio",
+        "punct_ratio",
+        "model_score",
+        "model_keep",
+    )
+
+
+_QM = ta.QUALITY_MODEL
+QUALITY_MODEL_SQL = f"""
+WITH toks AS ({TOKS_CTE}), q AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         ROUND(CASE WHEN len(t) > 0
+               THEN CAST(len(list_filter(t, x -> x IN ({_STOP_LIST}))) AS DOUBLE) / len(t)
+               ELSE 0.0 END, 6) AS stopword_ratio,
+         ROUND(CASE WHEN length(text) > 0
+               THEN CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+                    / length(text)
+               ELSE 0.0 END, 6) AS punct_ratio
+  FROM toks
+), z AS (
+  SELECT *, ({_QM["bias"]} + {_QM["w_log_tokens"]} * ln(1.0 + CAST(n_tokens AS DOUBLE))
+             + {_QM["w_stopword_ratio"]} * stopword_ratio
+             + {_QM["w_punct_ratio"]} * punct_ratio) AS zv
+  FROM q
+)
+SELECT doc_id, n_tokens, stopword_ratio, punct_ratio,
+       ROUND(1.0 / (1.0 + exp(-zv)), 6) AS model_score,
+       ROUND(1.0 / (1.0 + exp(-zv)), 6) >= 0.5 AS model_keep
+FROM z
+"""
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as a stateful stream: fingerprint each arriving
+    document and maintain per-fingerprint survivor (min doc id) and
+    duplicate count. State is one row per distinct fingerprint — the
+    incremental form of the batch exact-dedup operator, and the shape a
+    continuously-ingesting corpus needs (new shards dedup against
+    everything already seen without rescanning it)."""
+    _ensure_utc(spark)
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        stream.select(F.col("doc_id"), F.md5(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+    )
+    name = "dedupst_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+STREAM_DEDUP_SQL = """
+SELECT md5(text) AS fp, COUNT(*) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM documents GROUP BY 1
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # relational
     "q1_pricing_summary": QueryDef(q1_pricing_summary, Q1_SQL),
@@ -2619,6 +2737,9 @@ CATALOG: dict[str, QueryDef] = {
     "fusion_cluster_text_report": QueryDef(fusion_cluster_text_report, FUSION_SQL),
     "user_cohort_retention": QueryDef(user_cohort_retention, COHORT_SQL),
     "corpus_weighted_sample": QueryDef(corpus_weighted_sample, _weighted_sample_sql()),
+    "corpus_contamination": QueryDef(corpus_contamination, CONTAMINATION_SQL),
+    "corpus_quality_model": QueryDef(corpus_quality_model, QUALITY_MODEL_SQL),
+    "streaming_dedup": QueryDef(streaming_dedup, STREAM_DEDUP_SQL),
     # temporal joins
     "asof_latest_purchase": QueryDef(asof_latest_purchase, ASOF_SQL),
     "asof_next_purchase": QueryDef(asof_next_purchase, ASOF_FWD_SQL),

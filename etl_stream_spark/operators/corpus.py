@@ -323,3 +323,59 @@ def training_shuffle(
         .withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
         .select(id_col, "shard", "pos_in_shard", "sort_key")
     )
+
+
+def contamination_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 3,
+    train_pct: int = 80,
+    valid_pct: int = 10,
+) -> DataFrame:
+    """Train→eval contamination audit: for every *eval* (valid/test)
+    document, how many of its ``width``-token shingles also occur in any
+    *train* document.
+
+    The standard pre-training hygiene check (eval sets leaking into the
+    training corpus). Scale shape: shingles are hashed to 60-bit
+    integers *before* the exchange (the shuffle carries 8-byte longs,
+    never gram strings), the train side is reduced to distinct hashes,
+    and the overlap is an equi-join on the hash — work is
+    O(total shingles), never a document cross join. Hash collisions are
+    engine-portable (same md5-prefix contract as :func:`hash_bucket`),
+    so both engines over/under-count identically.
+    """
+    from etl_stream_spark.operators.dedup import shingles
+
+    split_df = train_test_split(df, id_col, train_pct, valid_pct)
+    gh = F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("long")
+    grams = split_df.select(
+        F.col(id_col), "split", F.explode(shingles(text_col, width)).alias("sh")
+    ).select(id_col, "split", gh.alias("gh"))
+    train = grams.filter(F.col("split") == "train").select("gh").distinct()
+    ev = grams.filter(F.col("split") != "train")
+    totals = ev.groupBy(id_col, "split").agg(
+        F.countDistinct("gh").alias("n_shingles")
+    )
+    hits = (
+        ev.join(train, "gh")
+        .groupBy(id_col)
+        .agg(F.countDistinct("gh").alias("n_contaminated"))
+    )
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "split",
+            "n_shingles",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long").alias(
+                "n_contaminated"
+            ),
+            F.round(
+                F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("double")
+                / F.col("n_shingles"),
+                6,
+            ).alias("contamination_rate"),
+        )
+    )

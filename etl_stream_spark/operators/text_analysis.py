@@ -338,3 +338,43 @@ def with_bpe_pretokens(df: DataFrame, text_col: str = "text") -> DataFrame:
         _n_matches(low, BPE_NUM).alias("n_num"),
         _n_matches(low, BPE_OTHER).alias("n_other"),
     )
+
+
+#: Fixed logistic-regression weights for the document-quality scorer —
+#: a stand-in for trained coefficients (training happens offline; serving
+#: is what must scale). Features: log1p(n_tokens), stopword_ratio,
+#: punct_ratio.
+QUALITY_MODEL = {
+    "bias": -1.0,
+    "w_log_tokens": 0.8,
+    "w_stopword_ratio": 2.5,
+    "w_punct_ratio": -6.0,
+}
+
+
+def with_model_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Model scoring at corpus scale: a (broadcast-small) linear model
+    applied as a pure columnar expression — no UDF, no batch inference
+    service round-trip.
+
+    The pattern for any classifier distilled to linear form (quality,
+    toxicity, language formality): coefficients are literals in the
+    plan (a real deployment substitutes the trained vector), features
+    are the deterministic ones :func:`with_quality_score` defines, the
+    sigmoid is one JVM expression per row. Narrow projection — no
+    shuffle, scales with scan bandwidth.
+    """
+    m = QUALITY_MODEL
+    scored = with_quality_score(df, text_col)
+    z = (
+        F.lit(m["bias"])
+        + F.lit(m["w_log_tokens"]) * F.log(F.lit(1.0) + F.col("n_tokens").cast("double"))
+        + F.lit(m["w_stopword_ratio"]) * F.col("stopword_ratio")
+        + F.lit(m["w_punct_ratio"]) * F.col("punct_ratio")
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return scored.select(
+        "*",
+        score.alias("model_score"),
+        (score >= 0.5).alias("model_keep"),
+    )

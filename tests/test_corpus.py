@@ -188,3 +188,46 @@ class TestTrainingShuffle:
             by_shard.setdefault(s, []).append(p)
         for ps in by_shard.values():
             assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+class TestContamination:
+    def test_planted_leak_detected(self, spark):
+        # doc 1000 is in the test split only if its bucket says so; plant
+        # an exact-copy pair across splits by brute-forcing ids into
+        # train and eval buckets.
+        from etl_stream_spark.operators.corpus import hash_bucket
+        ids = spark.range(0, 400).select(F.col("id").alias("doc_id"))
+        buckets = {r.doc_id: r.b for r in ids.select("doc_id", hash_bucket(F.col("doc_id"), 100).alias("b")).collect()}
+        train_id = next(i for i, b in buckets.items() if b < 80)
+        test_id = next(i for i, b in buckets.items() if b >= 90)
+        clean_id = next(i for i, b in buckets.items() if b >= 90 and i != test_id)
+        leak = "the quick brown fox jumps over the lazy dog tonight"
+        rows = [
+            (train_id, leak),
+            (test_id, leak + " with extra trailing words appended here"),
+            (clean_id, "completely different content about spark engines"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in cp.contamination_report(docs).collect()}
+        assert train_id not in out  # train side is not reported
+        assert out[test_id].n_contaminated > 0
+        assert out[test_id].contamination_rate > 0.5
+        assert out[clean_id].n_contaminated == 0
+        assert out[clean_id].contamination_rate == 0.0
+
+
+class TestModelScore:
+    def test_score_monotone_in_features(self, spark):
+        from etl_stream_spark.operators.text_analysis import with_model_score
+        docs = spark.createDataFrame(
+            [
+                (1, "the and for are with this that from they have been good text"),
+                (2, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in with_model_score(docs).collect()}
+        # stopword-rich clean text scores high; punctuation soup scores low
+        assert out[1].model_score > 0.5 and out[1].model_keep
+        assert out[2].model_score < 0.5 and not out[2].model_keep
+        assert 0.0 <= out[2].model_score <= out[1].model_score <= 1.0
