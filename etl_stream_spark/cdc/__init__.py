@@ -11,6 +11,7 @@ from etl_stream_spark.cdc.envelope import (
     make_sequence,
     with_cdc_metadata,
 )
+from etl_stream_spark.cdc.delta_merge import DeltaMergeTable
 from etl_stream_spark.cdc.merge import ParquetMergeTable
 from etl_stream_spark.cdc.rollup import IncrementalRollup
 from etl_stream_spark.cdc.pipeline import (
@@ -28,6 +29,7 @@ __all__ = [
     "OP_UPDATE",
     "CdcBatchApplier",
     "CdcTableConfig",
+    "DeltaMergeTable",
     "IncrementalRollup",
     "LandingTable",
     "MergeTask",

@@ -1,0 +1,147 @@
+"""CDC MERGE on Delta Lake storage — the transactional production form
+of :class:`~etl_stream_spark.cdc.merge.ParquetMergeTable`.
+
+Same three-clause semantics as the reference's warehouse MERGE
+(``etl-snowflake-py/etl_snowflake/task.py:154-190``) plus the
+stale-sequence guard, expressed as ``DeltaTable.merge`` so the commit is
+table-atomic (the property the parquet engine documents as its one
+weakening). The public API matches ``ParquetMergeTable`` exactly —
+``exists/read/truncate/merge`` — so the two swap by constructor alone;
+pipelines, rollups, and tests are storage-agnostic.
+
+The delta-spark package is a public artifact (``io.delta:delta-spark``)
+not present in this sandbox, so the class import-gates at *construction*
+and the clause-building logic lives in pure functions that tests
+exercise without the jar:
+
+* match condition: PK null-safe equality;
+* update/delete clauses conditioned on ``b.sequence > t._seq`` (the
+  stale guard — out-of-order replays lose);
+* inserts only for non-DELETE source rows.
+
+At 100 TB Delta's MERGE does the same pruning this engine's bucket
+layout does by hand: file-skipping on PK min/max stats (plus Z-order on
+the key) limits the read, and the transaction log confines the rewrite
+to touched files.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_stream_spark.cdc.dedup import last_writer_wins
+from etl_stream_spark.cdc.envelope import (
+    OP_DELETE,
+    OPERATION_COL,
+    SEQUENCE_COL,
+    TIMESTAMP_COL,
+)
+from etl_stream_spark.cdc.merge import SEQ_STATE_COL
+
+#: Public Maven coordinate for spark-submit --packages.
+DELTA_PACKAGE = "io.delta:delta-spark_2.13"
+
+
+def merge_condition(keys: Sequence[str]) -> str:
+    """PK match condition (null-safe, matching the parquet engine)."""
+    return " AND ".join(f"t.{k} <=> b.{k}" for k in keys)
+
+
+def newer_sequence_condition() -> str:
+    """Stale guard: a matched source row wins only with a newer sequence."""
+    return f"b.{SEQUENCE_COL} > t.{SEQ_STATE_COL}"
+
+
+def delete_condition() -> str:
+    return f"b.{OPERATION_COL} = '{OP_DELETE}' AND {newer_sequence_condition()}"
+
+
+def update_condition() -> str:
+    return f"b.{OPERATION_COL} <> '{OP_DELETE}' AND {newer_sequence_condition()}"
+
+
+def insert_condition() -> str:
+    return f"b.{OPERATION_COL} <> '{OP_DELETE}'"
+
+
+def column_assignments(data_cols: Sequence[str]) -> dict[str, str]:
+    """SET map for update/insert: data columns plus the persisted
+    sequence state (``_seq`` ← source sequence)."""
+    out = {c: f"b.{c}" for c in data_cols}
+    out[SEQ_STATE_COL] = f"b.{SEQUENCE_COL}"
+    return out
+
+
+class DeltaMergeTable:
+    """Drop-in Delta twin of :class:`ParquetMergeTable` (K2/K3)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: Sequence[str],
+        num_buckets: int = 32,  # accepted for constructor parity; Delta
+        # file-skipping replaces manual bucketing
+    ) -> None:
+        try:
+            from delta.tables import DeltaTable  # noqa: F401
+        except ImportError as e:
+            raise RuntimeError(
+                "delta-spark not installed; submit with "
+                f"--packages {DELTA_PACKAGE}:<delta-version> and "
+                "spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension"
+            ) from e
+        if not keys:
+            raise ValueError("DeltaMergeTable requires at least one key column")
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.keys = list(keys)
+        self.num_buckets = num_buckets
+
+    def exists(self) -> bool:
+        from delta.tables import DeltaTable
+
+        return DeltaTable.isDeltaTable(self.spark, self.path)
+
+    def read(self) -> DataFrame:
+        if not self.exists():
+            return self.spark.createDataFrame([], "struct<>")
+        return self.spark.read.format("delta").load(self.path).drop(SEQ_STATE_COL)
+
+    def truncate(self) -> None:
+        if self.exists():
+            from delta.tables import DeltaTable
+
+            DeltaTable.forPath(self.spark, self.path).delete()
+
+    def merge(self, batch: DataFrame) -> None:
+        from delta.tables import DeltaTable
+        from pyspark.sql import functions as F
+
+        deduped = last_writer_wins(batch, self.keys, SEQUENCE_COL).drop(TIMESTAMP_COL)
+        data_cols = [
+            c for c in deduped.columns if c not in (OPERATION_COL, SEQUENCE_COL)
+        ]
+        if not self.exists():
+            initial = (
+                deduped.filter(F.col(OPERATION_COL) != OP_DELETE)
+                .withColumnRenamed(SEQUENCE_COL, SEQ_STATE_COL)
+                .drop(OPERATION_COL)
+            )
+            initial.write.format("delta").save(self.path)
+            return
+        (
+            DeltaTable.forPath(self.spark, self.path)
+            .alias("t")
+            .merge(deduped.alias("b"), merge_condition(self.keys))
+            .whenMatchedDelete(condition=delete_condition())
+            .whenMatchedUpdate(
+                condition=update_condition(), set=column_assignments(data_cols)
+            )
+            .whenNotMatchedInsert(
+                condition=insert_condition(), values=column_assignments(data_cols)
+            )
+            .execute()
+        )
