@@ -42,7 +42,12 @@ def main() -> None:
     from etl_stream_spark.session import get_spark
 
     # streaming queries execute at build time — skip them in a plan audit
-    skip = {"streaming_hourly_rollup", "cdc_streaming_merge", "streaming_sustained_alerts"}
+    skip = {
+        "streaming_hourly_rollup",
+        "cdc_streaming_merge",
+        "streaming_sustained_alerts",
+        "streaming_dedup",
+    }
     names = args.only.split(",") if args.only else [n for n in CATALOG if n not in skip]
 
     spark = get_spark(app_name="explain_audit")
