@@ -104,18 +104,50 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
         print(f"# {name}: {n} rows in {timings[name]:.2f}s", file=sys.stderr)
 
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
+    # CDC pipeline throughput: events → envelope decode → LWW dedup →
+    # bucketed MERGE into a fresh target, measured end-to-end. The
+    # reference's only published envelope is its ingest-batching config
+    # (1000 rows / 5 s ≈ 200 rows/s/pipeline,
+    # migrations/001_create_tables.sql:53-54); this reports the same
+    # units on the same semantic path.
+    cdc_rows_per_sec = None
+    try:
+        import shutil
+        import tempfile
+
+        from etl_stream_spark.catalog import cdc_envelope_decode
+        from etl_stream_spark.cdc import ParquetMergeTable
+
+        root = tempfile.mkdtemp(prefix="bench_cdc_")
+        t0 = time.time()
+        decoded = cdc_envelope_decode(spark, sf_dir)
+        n_events = decoded.count()
+        target = ParquetMergeTable(
+            spark, os.path.join(root, "target"), keys=["user_id"], num_buckets=32
         )
-    )
+        target.merge(decoded)
+        cdc_secs = time.time() - t0
+        cdc_rows_per_sec = round(n_events / cdc_secs, 1)
+        print(
+            f"# cdc_throughput: {n_events} events in {cdc_secs:.2f}s "
+            f"= {cdc_rows_per_sec} rows/s",
+            file=sys.stderr,
+        )
+        shutil.rmtree(root, ignore_errors=True)
+    except Exception as exc:  # keep the headline metric intact
+        print(f"# cdc_throughput: FAILED {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if cdc_rows_per_sec is not None:
+        out["cdc_rows_per_sec"] = cdc_rows_per_sec
+    print(json.dumps(out))
     spark.stop()
 
 
