@@ -870,7 +870,70 @@ FROM seg GROUP BY segment
 
 
 #: (name, spark_fn, duckdb_oracle) consumed by the catalog registry.
+def lineitem_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics (stddev, Pearson correlation) computed
+    the engine's way: exact DECIMAL sums of x, x², y, xy per group, then
+    ONE closed-form double expression at the end.
+
+    ``F.stddev``/``F.corr`` merge float Welford states in partition
+    order — nondeterministic run-to-run, and never bit-equal across
+    engines. Exact integer-decimal moments are partition-order
+    independent and reproduce identically in any engine, which is what
+    makes a 100 TB statistics job auditable. Same single-shuffle
+    map-side-combine shape as any other aggregation.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(9,2)")
+    y = F.col("l_extendedprice").cast(DEC)
+    n = F.count(F.lit(1))
+    agg = li.groupBy("l_returnflag").agg(
+        n.cast("long").alias("n_lines"),
+        F.sum(x).cast("decimal(38,2)").alias("_sx"),
+        F.sum(y).cast(DECSUM).alias("_sy"),
+        F.sum(x * x).cast("decimal(38,4)").alias("_sxx"),
+        F.sum(y * y).cast("decimal(38,4)").alias("_syy"),
+        F.sum(x * y).cast("decimal(38,4)").alias("_sxy"),
+    )
+    nn = F.col("n_lines").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("_sxx").cast("double"),
+        F.col("_syy").cast("double"),
+        F.col("_sxy").cast("double"),
+    )
+    var_y = (syy - sy * sy / nn) / (nn - 1)
+    cov = (sxy - sx * sy / nn) / (nn - 1)
+    var_x = (sxx - sx * sx / nn) / (nn - 1)
+    return agg.select(
+        "l_returnflag",
+        "n_lines",
+        F.round(F.sqrt(var_y), 6).alias("stddev_price"),
+        F.round(cov / F.sqrt(var_x * var_y), 6).alias("corr_qty_price"),
+    )
+
+
+MOMENTS_SQL = """
+WITH m AS (
+  SELECT l_returnflag, COUNT(*) AS n_lines,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DECIMAL(38,2)) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2))) AS DECIMAL(38,4)) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS syy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_lines,
+       ROUND(sqrt((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n_lines) / (n_lines - 1)), 6) AS stddev_price,
+       ROUND(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n_lines) / (n_lines - 1))
+             / sqrt(((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_lines) / (n_lines - 1))
+                    * ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n_lines) / (n_lines - 1))), 6)
+         AS corr_qty_price
+FROM m
+"""
+
+
 EXTRA_QUERIES: list[tuple] = [
+    ("lineitem_moment_stats", lineitem_moment_stats, MOMENTS_SQL),
     ("setops_customer_segments", setops_customer_segments, SETOPS_SQL),
     ("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL),
     ("cube_order_revenue", cube_order_revenue, CUBE_SQL),
