@@ -2655,6 +2655,46 @@ FROM z
 """
 
 
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 h window, 30 min slide) — each event
+    lands in window/slide = 2 overlapping windows. ``F.window`` expands
+    rows JVM-side before one aggregation exchange; the identical
+    expression runs unchanged under readStream with a watermark (the
+    batch/stream parity Structured Streaming guarantees). The oracle
+    reproduces Spark's epoch-aligned window semantics by unnesting each
+    event's two candidate window starts."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+SLIDING_SQL = """
+WITH cand AS (
+  SELECT event_type, user_id, ts,
+         unnest([to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800),
+                 to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800
+                   - 1800)]) AS window_start
+  FROM events
+)
+SELECT window_start, event_type, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM cand
+WHERE ts >= window_start AND ts < window_start + INTERVAL 1 HOUR
+GROUP BY window_start, event_type
+"""
+
+
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup as a stateful stream: fingerprint each arriving
     document and maintain per-fingerprint survivor (min doc id) and
@@ -2740,6 +2780,7 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_contamination": QueryDef(corpus_contamination, CONTAMINATION_SQL),
     "corpus_quality_model": QueryDef(corpus_quality_model, QUALITY_MODEL_SQL),
     "streaming_dedup": QueryDef(streaming_dedup, STREAM_DEDUP_SQL),
+    "events_sliding_window": QueryDef(events_sliding_window, SLIDING_SQL),
     # temporal joins
     "asof_latest_purchase": QueryDef(asof_latest_purchase, ASOF_SQL),
     "asof_next_purchase": QueryDef(asof_next_purchase, ASOF_FWD_SQL),
