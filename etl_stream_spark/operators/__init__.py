@@ -2,9 +2,11 @@
 
 The LLM-training-data-pipeline operator set (BASELINE.json north star):
 deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
-embedding-cosine), similarity search (brute-force + LSH ANN), text
-analysis (tokens, quality, language-ID, fingerprints), multimodal column
-plumbing.
+embedding-cosine; incremental against a persisted fingerprint store),
+similarity search (brute-force + LSH ANN + IVF, per-query and as a
+persisted partition-pruned index), text analysis (tokens, quality,
+language-ID, fingerprints, model scoring), corpus prep (sampling,
+splits, packing, contamination audits), multimodal column plumbing.
 
 Design rules applied throughout:
 
