@@ -49,7 +49,13 @@ class QueryDef:
 def _ensure_utc(spark: SparkSession) -> None:
     # The oracle's timestamps are UTC-naive; pin the session so Spark
     # renders the same wall-clock values regardless of driver config.
+    # Also ship the package to executor Python workers: the host's
+    # session may carry no PYTHONPATH, and the pandas-path operators
+    # pickle their functions by reference.
+    from etl_stream_spark.session import ensure_worker_imports
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_worker_imports(spark)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -31,6 +31,54 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"
 
 
+_SHIPPED_APPS: set[str] = set()
+
+
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Make ``etl_stream_spark`` importable in executor Python workers.
+
+    Pandas-path operators (``mapInPandas``/``applyInPandasWithState``)
+    pickle their functions *by reference* — workers must import this
+    package. A host-provided session (the driver contract) may carry no
+    PYTHONPATH, so ship the package once per application as a zip via
+    ``addPyFile`` — the mechanism that also works on a real cluster
+    (SparkFiles distribution), not just local mode. The zip name embeds
+    a content fingerprint so edited code re-ships instead of reusing a
+    stale artifact.
+    """
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED_APPS:
+        return
+    import hashlib
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    sources = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                sources.append(os.path.join(root, f))
+    h = hashlib.md5()
+    for src in sorted(sources):
+        h.update(src.encode())
+        h.update(str(os.path.getmtime(src)).encode())
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"etl_stream_spark_{h.hexdigest()[:12]}.zip"
+    )
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for src in sources:
+                arc = os.path.join(
+                    "etl_stream_spark", os.path.relpath(src, pkg_dir)
+                )
+                zf.write(src, arc)
+        os.replace(tmp, zip_path)
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED_APPS.add(app_id)
+
+
 def get_spark(
     app_name: str = "etl_stream_spark",
     master: str | None = None,
