@@ -2661,6 +2661,41 @@ FROM z
 """
 
 
+def user_value_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-1-hour rolling aggregate per user — the RANGE
+    frame (time-based, not row-count) of SURVEY §2.5. One shuffle on the
+    user key; the frame scans each partition's sort once. Value sums are
+    exact decimal internally, DOUBLE at the boundary; the frame bound is
+    on integral epoch seconds so both engines agree on inclusion."""
+    ev = _t(spark, sf_dir, "events")
+    secs = F.col("ts").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(secs)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        secs.alias("ts_s"),
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        _dbl(F.sum(F.col("value").cast(DEC)).over(w).cast(DECSUM)).alias(
+            "value_trailing_1h"
+        ),
+    )
+
+
+ROLLING_SQL = """
+SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+       COUNT(*) OVER w AS n_trailing_1h,
+       ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS DOUBLE), 2)
+         AS value_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
 def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding event-time windows (1 h window, 30 min slide) — each event
     lands in window/slide = 2 overlapping windows. ``F.window`` expands
@@ -2787,6 +2822,7 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_quality_model": QueryDef(corpus_quality_model, QUALITY_MODEL_SQL),
     "streaming_dedup": QueryDef(streaming_dedup, STREAM_DEDUP_SQL),
     "events_sliding_window": QueryDef(events_sliding_window, SLIDING_SQL),
+    "user_value_rolling_window": QueryDef(user_value_rolling_window, ROLLING_SQL),
     # temporal joins
     "asof_latest_purchase": QueryDef(asof_latest_purchase, ASOF_SQL),
     "asof_next_purchase": QueryDef(asof_next_purchase, ASOF_FWD_SQL),
