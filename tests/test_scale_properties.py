@@ -90,3 +90,51 @@ def test_star_join_plans_broadcasts_not_sortmerge(spark):
         assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_new_operators_are_partitioning_invariant(spark):
+    """Results must not depend on how the input happens to be split —
+    the property that makes a 100 TB run reproducible at any cluster
+    size. Checked for the operators added in round 2."""
+    from etl_stream_spark.operators.corpus import contamination_report
+    from etl_stream_spark.operators.text_analysis import with_model_score
+    from etl_stream_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for build in (
+        lambda d: contamination_report(d),
+        lambda d: with_model_score(d).select("doc_id", "model_score", "model_keep"),
+    ):
+        a = rows(build(docs))
+        b = rows(build(docs.repartition(17)))
+        c = rows(build(docs.coalesce(1)))
+        assert a == b == c and len(a) > 0
+
+
+def test_moment_stats_partitioning_invariant(spark):
+    from etl_stream_spark.relational_ext import lineitem_moment_stats
+    from etl_stream_spark.session import load_table
+
+    a = sorted(
+        tuple(r)
+        for r in lineitem_moment_stats(spark, "/root/testdata/sf0.001").collect()
+    )
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").repartition(13)
+    li.createOrReplaceTempView("_mom_li")
+    # same computation over a reshuffled input via the same code path
+    from etl_stream_spark import relational_ext as rx
+
+    orig = rx._t
+    try:
+        rx._t = lambda spark, sf, name: li if name == "lineitem" else orig(spark, sf, name)
+        b = sorted(
+            tuple(r)
+            for r in lineitem_moment_stats(spark, "/root/testdata/sf0.001").collect()
+        )
+    finally:
+        rx._t = orig
+    assert a == b
