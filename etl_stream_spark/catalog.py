@@ -1132,6 +1132,40 @@ SIG_CTES = (
 )
 
 
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage near-dup pipeline: LSH candidates → exact shingle
+    Jaccard ≥ 0.5 (the production compose — probabilistic stage bounds
+    the pair space, exact stage removes hash-accident false positives)."""
+    return dd.lsh_verified_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _lsh_verified_sql(threshold: float = 0.5) -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, md5(mh_{2*b} || '|' || mh_{2*b+1}) AS band_key FROM sig"
+        for b in range(_NUM_HASHES // 2)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN sa.mh_{j} = sb.mh_{j} THEN 1 ELSE 0 END)" for j in range(_NUM_HASHES)
+    )
+    return f"""
+WITH {SIG_CTES}, bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST({matches} AS DOUBLE) / {_NUM_HASHES}, 6) AS est_jaccard,
+       ROUND(CAST(len(list_intersect(sha.sh, shb.sh)) AS DOUBLE)
+             / len(list_distinct(sha.sh || shb.sh)), 6) AS jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+JOIN shingled sha ON sha.doc_id = id_a JOIN shingled shb ON shb.doc_id = id_b
+WHERE ROUND(CAST(len(list_intersect(sha.sh, shb.sh)) AS DOUBLE)
+      / len(list_distinct(sha.sh || shb.sh)), 6) >= {threshold}
+"""
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_duplicates(_t(spark, sf_dir, "documents"))
 
@@ -2823,6 +2857,7 @@ CATALOG: dict[str, QueryDef] = {
     "streaming_dedup": QueryDef(streaming_dedup, STREAM_DEDUP_SQL),
     "events_sliding_window": QueryDef(events_sliding_window, SLIDING_SQL),
     "user_value_rolling_window": QueryDef(user_value_rolling_window, ROLLING_SQL),
+    "dedup_lsh_verified": QueryDef(dedup_lsh_verified, _lsh_verified_sql()),
     # temporal joins
     "asof_latest_purchase": QueryDef(asof_latest_purchase, ASOF_SQL),
     "asof_next_purchase": QueryDef(asof_next_purchase, ASOF_FWD_SQL),

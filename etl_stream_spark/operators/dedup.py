@@ -359,3 +359,38 @@ def duplicate_clusters(
     return labels.union(singletons).select(
         F.col("id").alias(id_col), F.col("comp").alias("cluster_id")
     )
+
+
+def lsh_verified_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.5,
+    width: int = SHINGLE_WIDTH,
+) -> DataFrame:
+    """The full two-stage near-dup pipeline: LSH candidate generation
+    followed by exact shingle-Jaccard verification — candidates that
+    survive the threshold, with both the estimate and the exact value.
+
+    This is the production shape: the cheap probabilistic stage bounds
+    the pair space (bucket equi-join, never n²), and the exact stage —
+    whose cost is O(candidates), not O(pairs) — removes LSH false
+    positives so downstream clustering never merges on a hash accident.
+    Shingle sets ship only for candidate ids (a semi-joined fraction of
+    the corpus at scale).
+    """
+    cand = minhash_lsh_pairs(df, id_col, text_col, num_hashes, band_size)
+    sets_ = df.select(F.col(id_col), shingles(text_col, width).alias("_sh"))
+    a = sets_.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha"))
+    b = sets_.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb"))
+    inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
+    union = F.size(F.array_union(F.col("_sha"), F.col("_shb")))
+    jac = F.round(inter.cast("double") / union, 6)
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", "est_jaccard", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
