@@ -120,12 +120,16 @@ def main() -> None:
 
         root = tempfile.mkdtemp(prefix="bench_cdc_")
         t0 = time.time()
-        decoded = cdc_envelope_decode(spark, sf_dir)
+        # persist so the decode runs once: count() + merge() would
+        # otherwise each re-evaluate the full pipeline and understate
+        # rows/s by roughly a duplicated decode pass
+        decoded = cdc_envelope_decode(spark, sf_dir).persist()
         n_events = decoded.count()
         target = ParquetMergeTable(
             spark, os.path.join(root, "target"), keys=["user_id"], num_buckets=32
         )
         target.merge(decoded)
+        decoded.unpersist()
         cdc_secs = time.time() - t0
         cdc_rows_per_sec = round(n_events / cdc_secs, 1)
         print(

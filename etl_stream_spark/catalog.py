@@ -79,7 +79,7 @@ _REVENUE_SQL = (
 #: normalizer (round-1 lesson), so final projections go through
 #: ``_boundary_sql`` / ``_boundary_dbl`` below.
 _REVENUE_SUM_DEC_SQL = f"CAST(SUM({_REVENUE_SQL}) AS DECIMAL(38,6))"
-_REVENUE_SUM_SQL = f"ROUND(CAST({_REVENUE_SUM_DEC_SQL} AS DOUBLE), 2)"
+_REVENUE_SUM_SQL = f"CAST(ROUND({_REVENUE_SUM_DEC_SQL}, 2) AS DOUBLE)"
 
 
 def _revenue_expr() -> F.Column:
@@ -87,14 +87,17 @@ def _revenue_expr() -> F.Column:
 
 
 def _dbl(col: F.Column, nd: int = 2) -> F.Column:
-    """Terminal boundary cast: exact decimal → DOUBLE with one ROUND.
+    """Terminal boundary cast: ROUND the exact decimal, THEN cast DOUBLE.
 
+    Order matters: rounding *after* the lossy double cast is
+    engine-divergent on halfway values (Spark rounds the shortest
+    decimal rendering HALF_UP, DuckDB rounds the binary value — they
+    disagree on ~3% of .xx5000 sums), while decimal ROUND is HALF_UP in
+    both engines and the low-scale decimal→double conversion is exact.
     The summation itself stays in exact decimal (partition-order
-    independent); only the *final* projected value becomes a double, so
-    both engines convert the identical decimal and the hash compare is
-    deterministic. Mirror in SQL: ``ROUND(CAST(x AS DOUBLE), nd)``.
+    independent). Mirror in SQL: ``CAST(ROUND(x, nd) AS DOUBLE)``.
     """
-    return F.round(col.cast("double"), nd)
+    return F.round(col, nd).cast("double")
 
 
 def _revenue_sum() -> F.Column:
@@ -149,10 +152,10 @@ WITH li AS (
   FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
 )
 SELECT l_returnflag, l_linestatus,
-       ROUND(CAST(CAST(SUM(qty) AS DECIMAL(38,2)) AS DOUBLE), 2) AS sum_qty,
-       ROUND(CAST(CAST(SUM(price) AS DECIMAL(38,2)) AS DOUBLE), 2) AS sum_base_price,
-       ROUND(CAST(CAST(SUM(price * (1 - disc)) AS DECIMAL(38,6)) AS DOUBLE), 2) AS sum_disc_price,
-       ROUND(CAST(CAST(SUM(price * (1 - disc) * (1 + tax)) AS DECIMAL(38,10)) AS DOUBLE), 2) AS sum_charge,
+       CAST(ROUND(CAST(SUM(qty) AS DECIMAL(38,2)), 2) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(CAST(SUM(price) AS DECIMAL(38,2)), 2) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(CAST(SUM(price * (1 - disc)) AS DECIMAL(38,6)), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(CAST(SUM(price * (1 - disc) * (1 + tax)) AS DECIMAL(38,10)), 2) AS DOUBLE) AS sum_charge,
        ROUND(CAST(SUM(qty) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
        ROUND(CAST(SUM(price) AS DOUBLE) / COUNT(*), 6) AS avg_price,
        ROUND(CAST(SUM(disc) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
@@ -183,7 +186,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q3_SQL = """
 SELECT l_orderkey, o_orderdate,
-       ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(9,4)))) AS DECIMAL(38,6)) AS DOUBLE), 2) AS revenue
+       CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(9,4)))) AS DECIMAL(38,6)), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -221,7 +224,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q5_SQL = """
 SELECT n_name,
-       ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(9,4)))) AS DECIMAL(38,6)) AS DOUBLE), 2) AS revenue
+       CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(9,4)))) AS DECIMAL(38,6)), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -255,7 +258,7 @@ def q_top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOP3_SQL = """
 SELECT p_brand, p_partkey, p_name,
-       ROUND(CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE), 2) AS retail_price, rank
+       CAST(ROUND(CAST(p_retailprice AS DECIMAL(18,2)), 2) AS DOUBLE) AS retail_price, rank
 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY p_brand
                                ORDER BY p_retailprice DESC, p_partkey) AS rank
@@ -277,7 +280,7 @@ def q_order_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PRIORITY_SQL = """
 SELECT o_orderpriority, COUNT(*) AS n_orders,
-       ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE), 2) AS total_price,
+       CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)), 2) AS DOUBLE) AS total_price,
        ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price
 FROM orders GROUP BY o_orderpriority
 """
@@ -306,8 +309,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q6_SQL = """
-SELECT ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(9,4)))
-            AS DECIMAL(38,6)) AS DOUBLE), 2) AS revenue
+SELECT CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(9,4)))
+            AS DECIMAL(38,6)), 2) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
@@ -409,8 +412,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q18_SQL = """
 SELECT c_name, c_custkey, o_orderkey,
-       ROUND(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2) AS total_price,
-       ROUND(CAST(sum_qty_dec AS DOUBLE), 2) AS sum_qty
+       CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE) AS total_price,
+       CAST(ROUND(sum_qty_dec, 2) AS DOUBLE) AS sum_qty
 FROM (
   SELECT l_orderkey,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty_dec
@@ -489,7 +492,7 @@ def q_hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 HOURLY_SQL = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        COUNT(*) AS n_events,
-       ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE), 2) AS total_value,
+       CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)), 2) AS DOUBLE) AS total_value,
        COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1, 2
 """
@@ -515,7 +518,7 @@ WITH e AS (
 )
 SELECT user_id, CAST(MAX(session_seq) AS BIGINT) AS n_sessions,
        COUNT(*) AS n_events,
-       ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE), 2) AS total_value
+       CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)), 2) AS DOUBLE) AS total_value
 FROM c GROUP BY user_id
 """
 
@@ -601,7 +604,7 @@ def cdc_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CDC_LATEST_SQL = """
 SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
-       ROUND(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 2) AS last_value
+       CAST(ROUND(CAST(value AS DECIMAL(18,2)), 2) AS DOUBLE) AS last_value
 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
   FROM events
@@ -626,7 +629,7 @@ def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CDC_FINAL_SQL = f"""
 SELECT user_id, event_type AS last_event_type,
-       ROUND(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 2) AS last_value,
+       CAST(ROUND(CAST(value AS DECIMAL(18,2)), 2) AS DOUBLE) AS last_value,
        lpad(CAST(event_id AS VARCHAR), 20, '0') AS last_sequence
 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
@@ -827,7 +830,7 @@ def user_value_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 RESAMPLE_SQL = """
 WITH obs AS (
   SELECT user_id, ts AS o_ts,
-         ROUND(CAST(CAST(max_by(value, event_id) AS DECIMAL(18,2)) AS DOUBLE), 2) AS value
+         CAST(ROUND(CAST(max_by(value, event_id) AS DECIMAL(18,2)), 2) AS DOUBLE) AS value
   FROM events GROUP BY user_id, ts
 ),
 bounds AS (
@@ -924,7 +927,7 @@ def corpus_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPLIT_SQL = f"""
 SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split,
        COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events,
-       ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE), 2) AS total_value
+       CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)), 2) AS DOUBLE) AS total_value
 FROM (SELECT *, {cp.bucket_sql("user_id")} AS b FROM events)
 GROUP BY 1
 """
@@ -1140,13 +1143,7 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_verified_sql(threshold: float = 0.5) -> str:
-    bands = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_id, md5(mh_{2*b} || '|' || mh_{2*b+1}) AS band_key FROM sig"
-        for b in range(_NUM_HASHES // 2)
-    )
-    matches = " + ".join(
-        f"(CASE WHEN sa.mh_{j} = sb.mh_{j} THEN 1 ELSE 0 END)" for j in range(_NUM_HASHES)
-    )
+    bands, matches = _bands_sql(), _matches_sql()
     return f"""
 WITH {SIG_CTES}, bands AS ({bands}),
 cand AS (
@@ -1191,14 +1188,24 @@ def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_pairs_sql() -> str:
-    bands = " UNION ALL ".join(
+def _bands_sql() -> str:
+    """Banded LSH key rows — the ONE definition all dedup oracles share
+    (mirrors dd.lsh_band_keys; band_size=2 over _NUM_HASHES signatures)."""
+    return " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_id, md5(mh_{2*b} || '|' || mh_{2*b+1}) AS band_key FROM sig"
         for b in range(_NUM_HASHES // 2)
     )
-    matches = " + ".join(
+
+
+def _matches_sql() -> str:
+    """Matching-minhash count between aliases sa/sb (est-Jaccard numerator)."""
+    return " + ".join(
         f"(CASE WHEN sa.mh_{j} = sb.mh_{j} THEN 1 ELSE 0 END)" for j in range(_NUM_HASHES)
     )
+
+
+def _lsh_pairs_sql() -> str:
+    bands, matches = _bands_sql(), _matches_sql()
     return f"""
 WITH {SIG_CTES}, bands AS ({bands}),
 cand AS (
@@ -1222,10 +1229,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _clusters_sql() -> str:
-    bands = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_id, md5(mh_{2*b} || '|' || mh_{2*b+1}) AS band_key FROM sig"
-        for b in range(_NUM_HASHES // 2)
-    )
+    bands = _bands_sql()
     return f"""
 WITH RECURSIVE {SIG_CTES}, bands AS ({bands}),
 cand AS (
@@ -1612,7 +1616,7 @@ def cdc_envelope_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ENVELOPE_SQL = f"""
 SELECT event_id, user_id, event_type,
-       ROUND(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 2) AS value_dec,
+       CAST(ROUND(CAST(value AS DECIMAL(18,2)), 2) AS DOUBLE) AS value_dec,
        {_OP_CASE} AS operation,
        printf('%016x/%016x', event_id, event_id) AS sequence,
        'events' AS table_name
@@ -1649,6 +1653,22 @@ FROM lineitem GROUP BY 1
 # --------------------------------------------------------------------------
 
 
+#: (sf_dir, table) → raw parquet schema; invariant per dir, so the
+#: footer read happens once per table instead of per stream build
+#: (streaming_stream_join alone builds two sides).
+_RAW_SCHEMA_CACHE: dict[tuple[str, str], "object"] = {}
+
+
+def _raw_schema(spark: SparkSession, sf_dir: str, table: str):
+    key = (sf_dir, table)
+    if key not in _RAW_SCHEMA_CACHE:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _RAW_SCHEMA_CACHE[key] = spark.read.parquet(
+            os.path.join(sf_dir, f"{table}.parquet")
+        ).schema
+    return _RAW_SCHEMA_CACHE[key]
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table with ``ts`` normalized
     to a session-zoned TIMESTAMP whatever the parquet generation stored
@@ -1656,9 +1676,8 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     µs → TIMESTAMP_NTZ → reinterpreted under the pinned UTC session)."""
     _ensure_utc(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     stream = (
-        spark.readStream.schema(raw_schema)
+        spark.readStream.schema(_raw_schema(spark, sf_dir, "events"))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
@@ -1732,7 +1751,7 @@ def streaming_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ENRICH_SQL = """
 SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
-       ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE), 2) AS total_value
+       CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)), 2) AS DOUBLE) AS total_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment, event_type
 """
@@ -1781,7 +1800,7 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SSJOIN_SQL = """
 SELECT a.user_id AS user_id, a.ts AS v_ts, b.ts AS p_ts,
-       ROUND(CAST(CAST(b.value AS DECIMAL(18,2)) AS DOUBLE), 2) AS purchase_value
+       CAST(ROUND(CAST(b.value AS DECIMAL(18,2)), 2) AS DOUBLE) AS purchase_value
 FROM events a JOIN events b
   ON a.user_id = b.user_id
  AND a.event_type = 'view' AND b.event_type = 'purchase'
@@ -1966,7 +1985,7 @@ FROM fired
 
 CDC_STREAM_SQL = f"""
 SELECT user_id, event_type AS last_event_type,
-       ROUND(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE), 2) AS last_value
+       CAST(ROUND(CAST(value AS DECIMAL(18,2)), 2) AS DOUBLE) AS last_value
 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
                                ORDER BY lpad(CAST(event_id AS VARCHAR), 20, '0') DESC) AS rn
@@ -2722,7 +2741,7 @@ def user_value_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROLLING_SQL = """
 SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
        COUNT(*) OVER w AS n_trailing_1h,
-       ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS DOUBLE), 2)
+       CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)), 2) AS DOUBLE)
          AS value_trailing_1h
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
@@ -2757,9 +2776,9 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 SLIDING_SQL = """
 WITH cand AS (
   SELECT event_type, user_id, ts,
-         unnest([to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800),
+         unnest([to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800)::TIMESTAMP,
                  to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800
-                   - 1800)]) AS window_start
+                   - 1800)::TIMESTAMP]) AS window_start
   FROM events
 )
 SELECT window_start, event_type, COUNT(*) AS n_events,
@@ -2778,14 +2797,16 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     continuously-ingesting corpus needs (new shards dedup against
     everything already seen without rescanning it)."""
     _ensure_utc(spark)
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
     stream = (
-        spark.readStream.schema(raw_schema)
+        spark.readStream.schema(_raw_schema(spark, sf_dir, "documents"))
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
     agg = (
-        stream.select(F.col("doc_id"), F.md5(F.col("text")).alias("fp"))
+        # the same normalized-text fingerprint the batch exact-dedup
+        # operator and FingerprintStore use, so stream and batch agree
+        # on what counts as a duplicate
+        stream.select(F.col("doc_id"), ta.fingerprint(F.col("text")).alias("fp"))
         .groupBy("fp")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -2804,10 +2825,11 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-STREAM_DEDUP_SQL = """
-SELECT md5(text) AS fp, COUNT(*) AS n_docs,
+STREAM_DEDUP_SQL = f"""
+WITH toks AS ({TOKS_CTE})
+SELECT md5(array_to_string(t, ' ')) AS fp, COUNT(*) AS n_docs,
        CAST(MIN(doc_id) AS BIGINT) AS first_doc
-FROM documents GROUP BY 1
+FROM toks GROUP BY 1
 """
 
 

@@ -46,9 +46,8 @@ def session_stats(
         # exact decimal sum internally; DOUBLE+ROUND at the boundary so
         # the driver's hash normalizer sees engine-portable types
         F.round(
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").cast("double"),
-            2,
-        ).alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)"), 2
+        ).cast("double").alias("total_value"),
     )
 
 
@@ -65,9 +64,8 @@ def hourly_event_rollup(events: DataFrame) -> DataFrame:
             # exact decimal sum internally; DOUBLE+ROUND at the boundary so
         # the driver's hash normalizer sees engine-portable types
         F.round(
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").cast("double"),
-            2,
-        ).alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)"), 2
+        ).cast("double").alias("total_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
     )

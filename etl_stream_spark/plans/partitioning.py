@@ -11,31 +11,76 @@ exactly when the shuffle it introduces is cheap.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SALT_COL = "_salt"
 
 
+def _scan_partition_estimate(df: DataFrame) -> int | None:
+    """Estimate the scan's split count from leaf-file sizes using
+    Spark's own packing formula (``bytes + files × openCost`` over
+    ``maxPartitionBytes``) — metadata-only, no plan→RDD conversion.
+
+    Raw file *count* is the wrong proxy in both directions: many small
+    files bin-pack into few partitions, and few huge files split into
+    many. Returns None when the estimate can't be computed cheaply
+    (non-file source, or remote paths this driver can't stat)."""
+    import math
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    spark = df.sparkSession
+
+    def _bytes_conf(key: str, default: int) -> int:
+        raw = str(spark.conf.get(key, str(default))).lower().strip()
+        for suffix, mult in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+            if raw.endswith(suffix):
+                try:
+                    return int(float(raw[: -len(suffix)]) * mult)
+                except ValueError:
+                    return default
+        try:
+            return int(raw)
+        except ValueError:
+            return default
+
+    open_cost = _bytes_conf("spark.sql.files.openCostInBytes", 4 * 1024 * 1024)
+    max_bytes = _bytes_conf("spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024)
+    total = 0
+    for f in files:
+        parsed = urlparse(f)
+        if parsed.scheme not in ("file", ""):
+            return None  # remote store: don't stat from the driver
+        try:
+            total += os.path.getsize(unquote(parsed.path))
+        except OSError:
+            return None
+    return max(1, math.ceil((total + len(files) * open_cost) / max_bytes))
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition iff the plan is under-partitioned.
 
-    The check is metadata-only: leaf input-file count vs the cluster's
-    default parallelism. (``df.rdd.getNumPartitions()`` would be exact
-    but forces a plan→RDD conversion on every call — measurable overhead
-    in front of every hot operator.) A scan with at least ``target``
-    files already yields enough splits; fewer files than cores — the
-    small-file case this guard exists for — triggers the repartition.
-    For the CPU-bound per-row operators guarded here, repartitioning a
-    few-large-files scan up to core count is the desired outcome too.
-    """
+    Guards the expensive-per-row operators against a scan that yields
+    fewer partitions than the cluster has slots. The split count comes
+    from the metadata-only size estimate above; when that's unavailable
+    the exact (but plan→RDD-converting) ``getNumPartitions`` decides —
+    correctness of the guard beats the analysis overhead on that rare
+    path."""
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    try:
-        n_files = len(df.inputFiles())
-    except Exception:  # non-file source (rate, memory, createDataFrame)
-        n_files = 0
-    if n_files >= target:
+    est = _scan_partition_estimate(df)
+    if est is None:
+        est = df.rdd.getNumPartitions()
+    if est >= target:
         return df
     return df.repartition(target)
 

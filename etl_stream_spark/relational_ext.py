@@ -51,11 +51,12 @@ def _rev_sum() -> F.Column:
 
 
 def _dbl(col: F.Column, nd: int = 2) -> F.Column:
-    """Terminal boundary cast (driver convention): exact decimal →
-    DOUBLE with one ROUND, mirrored in the oracle as
-    ``ROUND(CAST(x AS DOUBLE), nd)``. Internal arithmetic and any
-    filters/sorts stay on the exact decimal."""
-    return F.round(col.cast("double"), nd)
+    """Terminal boundary cast (driver convention): ROUND the exact
+    decimal, THEN cast DOUBLE — mirrored in the oracle as
+    ``CAST(ROUND(x, nd) AS DOUBLE)``. Round-after-cast is
+    engine-divergent on halfway values (see catalog._dbl); internal
+    arithmetic and filters/sorts stay on the exact decimal."""
+    return F.round(col, nd).cast("double")
 
 
 # --------------------------------------------------------------------------
@@ -85,7 +86,7 @@ def q2_cheapest_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q2_SQL = """
 SELECT p_partkey, p_name, p_type, CAST(p_size AS BIGINT) AS p_size,
-       ROUND(CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE), 2) AS retail_price
+       CAST(ROUND(CAST(p_retailprice AS DECIMAL(18,2)), 2) AS DOUBLE) AS retail_price
 FROM (
   SELECT *, MIN(CAST(p_retailprice AS DECIMAL(18,2)))
               OVER (PARTITION BY p_type, p_size) AS min_price
@@ -171,7 +172,7 @@ def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q7_SQL = f"""
 SELECT supp_nation, cust_nation, ship_year,
-       ROUND(CAST(CAST(SUM(rev) AS DECIMAL(38,6)) AS DOUBLE), 2) AS revenue
+       CAST(ROUND(CAST(SUM(rev) AS DECIMAL(38,6)), 2) AS DOUBLE) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(year(l_shipdate) AS BIGINT) AS ship_year,
@@ -270,7 +271,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q9_SQL = f"""
-SELECT nation, ship_year, ROUND(CAST(CAST(SUM(amount) AS DECIMAL(38,6)) AS DOUBLE), 2) AS profit
+SELECT nation, ship_year, CAST(ROUND(CAST(SUM(amount) AS DECIMAL(38,6)), 2) AS DOUBLE) AS profit
 FROM (
   SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS ship_year,
          {_REV_SQL}
@@ -312,7 +313,7 @@ WITH per_part AS (
   SELECT l_partkey, CAST(SUM({_REV_SQL}) AS DECIMAL(38,6)) AS part_revenue
   FROM lineitem GROUP BY l_partkey
 )
-SELECT l_partkey, ROUND(CAST(part_revenue AS DOUBLE), 2) AS part_revenue
+SELECT l_partkey, CAST(ROUND(part_revenue, 2) AS DOUBLE) AS part_revenue
 FROM per_part
 WHERE part_revenue * 1500 > (
   SELECT CAST(SUM(part_revenue) AS DECIMAL(38,6)) FROM per_part)
@@ -454,7 +455,7 @@ WITH revenue AS (
     AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
   GROUP BY l_suppkey
 )
-SELECT s_suppkey, s_name, ROUND(CAST(total_revenue AS DOUBLE), 2) AS total_revenue
+SELECT s_suppkey, s_name, CAST(ROUND(total_revenue, 2) AS DOUBLE) AS total_revenue
 FROM revenue JOIN supplier ON l_suppkey = s_suppkey
 WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 """
@@ -528,7 +529,7 @@ WITH per_part AS (
          CAST(COUNT(*) AS DECIMAL(9,0)) AS cnt
   FROM lineitem GROUP BY l_partkey
 )
-SELECT ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE), 2) AS small_qty_revenue,
+SELECT CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)), 2) AS DOUBLE) AS small_qty_revenue,
        COUNT(*) AS n_lines
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -562,7 +563,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q19_SQL = f"""
-SELECT ROUND(CAST(CAST(SUM({_REV_SQL}) AS DECIMAL(38,6)) AS DOUBLE), 2) AS revenue, COUNT(*) AS n_lines
+SELECT CAST(ROUND(CAST(SUM({_REV_SQL}) AS DECIMAL(38,6)), 2) AS DOUBLE) AS revenue, COUNT(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
@@ -608,7 +609,7 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q22_SQL = """
 SELECT c_mktsegment, COUNT(*) AS numcust,
-       ROUND(CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE), 2) AS totacctbal
+       CAST(ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)), 2) AS DOUBLE) AS totacctbal
 FROM customer
 WHERE c_acctbal > (
         SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
@@ -637,7 +638,7 @@ def rollup_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ROLLUP_SQL = """
 SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
-       ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE), 2) AS total_price
+       CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)), 2) AS DOUBLE) AS total_price
 FROM orders
 GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
@@ -671,11 +672,11 @@ def customer_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 HISTORY_SQL = """
 SELECT o_custkey, o_orderkey, o_orderdate,
-       ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+       CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                    ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS DOUBLE), 2) AS running_total,
-       ROUND(CAST(LAG(CAST(o_totalprice AS DECIMAL(18,2)))
-         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE), 2) AS prev_price,
+                    ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)), 2) AS DOUBLE) AS running_total,
+       CAST(ROUND(LAG(CAST(o_totalprice AS DECIMAL(18,2)))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS DOUBLE) AS prev_price,
        CAST(date_diff('day',
               LAG(o_orderdate) OVER (PARTITION BY o_custkey
                                      ORDER BY o_orderdate, o_orderkey),
@@ -711,7 +712,7 @@ def order_value_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RANKINGS_SQL = """
 SELECT o_orderpriority, o_orderkey,
-       ROUND(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2) AS total_price,
+       CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE) AS total_price,
        CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
        ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
        ROUND(CUME_DIST() OVER w, 6) AS cume,
@@ -821,7 +822,7 @@ def cube_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CUBE_SQL = """
 SELECT o_orderpriority, o_orderstatus,
-       ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE), 2) AS revenue,
+       CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)), 2) AS DOUBLE) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
        CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid
 FROM orders

@@ -79,8 +79,12 @@ def kafka_raw_stream(
         reader = reader.option(k, v)
     try:
         return reader.load()
-    except Exception as e:  # AnalysisException: Failed to find data source
-        if "kafka" in str(e).lower():
+    except Exception as e:
+        # Only translate the connector-missing failure — any other error
+        # (bad bootstrap servers, malformed offsets JSON, auth) must
+        # surface untouched or it sends cluster debugging the wrong way.
+        msg = str(e)
+        if "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find data source" in msg:
             raise RuntimeError(
                 "Kafka connector not on classpath; submit with "
                 f"--packages {KAFKA_PACKAGE}:<spark-version>"
