@@ -1449,6 +1449,59 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 """
 
 
+def pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k: the billion-vector codec — each
+    corpus vector compresses to m codebook ids; queries score against a
+    broadcast (subspace, code) lookup table, so the corpus contributes
+    only its m-byte codes to the search join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.pq_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+def _pq_sql(k: int = 5, m: int = 4, n_codes: int = 8, dims: int = 64) -> str:
+    sub = dims // m
+    subv = f"v[(sid * {sub} + 1):((sid + 1) * {sub})]"
+    l2 = (
+        f"list_sum(list_transform(range(1, {sub + 1}), "
+        "i -> (a[i] - b[i]) * (a[i] - b[i])))"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, {QVEC} AS v FROM embeddings),
+sub AS (
+  SELECT vec_id, CAST(sid AS BIGINT) AS sid, {subv} AS s
+  FROM v, unnest(range(0, {m})) AS t(sid)
+),
+cents AS (SELECT vec_id AS code, sid, s AS c FROM sub WHERE vec_id < {n_codes}),
+assigned AS (
+  SELECT vec_id, sid, code, dist_sq FROM (
+    SELECT sub.vec_id, sub.sid, cents.code,
+           {l2.replace('a[i]', 'sub.s[i]').replace('b[i]', 'cents.c[i]')} AS dist_sq,
+           ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.sid
+                              ORDER BY {l2.replace('a[i]', 'sub.s[i]').replace('b[i]', 'cents.c[i]')}, cents.code) AS rn
+    FROM sub JOIN cents ON sub.sid = cents.sid
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, q.sid, cents.code,
+         {l2.replace('a[i]', 'q.s[i]').replace('b[i]', 'cents.c[i]')} AS qd
+  FROM sub q JOIN cents ON q.sid = cents.sid
+  WHERE q.vec_id < 5
+),
+adc AS (
+  SELECT lut.query_id, assigned.vec_id AS neighbor_id,
+         CAST(SUM(lut.qd) AS BIGINT) AS adc_dist
+  FROM assigned JOIN lut ON assigned.sid = lut.sid AND assigned.code = lut.code
+  WHERE assigned.vec_id <> lut.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_dist, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist, neighbor_id) AS rank
+  FROM adc
+) WHERE rank <= {k}
+"""
+
+
 def kmeans_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One k-means assignment round (deterministic init: vectors 0..7
     seed the centroids), exact integer squared-L2 argmin."""
@@ -2911,6 +2964,7 @@ CATALOG: dict[str, QueryDef] = {
     "embedding_quantize_int8": QueryDef(embedding_quantize_int8, QUANT8_SQL),
     "kmeans_assignment": QueryDef(kmeans_assignment, KMEANS_SQL),
     "ivf_topk": QueryDef(ivf_topk_q, _ivf_sql()),
+    "pq_topk": QueryDef(pq_topk_q, _pq_sql()),
     # multimodal
     "multimodal_features": QueryDef(multimodal_features, MULTIMODAL_SQL),
     "multimodal_frame_sample": QueryDef(multimodal_frame_sample, FRAMES_SQL),

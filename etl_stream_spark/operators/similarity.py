@@ -622,3 +622,125 @@ def brute_force_topk_pandas(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def _subvectors(v: Column, m: int, dims: int) -> Column:
+    """array<long>[dims] → array of m contiguous subvectors."""
+    sub = dims // m
+    return F.array(*[F.slice(v, j * sub + 1, sub) for j in range(m)])
+
+
+def pq_codes(
+    corpus: DataFrame,
+    m: int = 4,
+    n_codes: int = 8,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = QUANT_SCALE,
+) -> DataFrame:
+    """Product-quantization encoding: each vector compresses to ``m``
+    codebook ids (one per contiguous subspace) — the storage codec that
+    cuts vector bytes from dims×4 to m bytes before ANN search.
+
+    Codebooks are deterministic (subvectors of the first ``n_codes``
+    corpus vectors — the same single-assignment convention as
+    ``kmeans_assign``); assignment is exact integer L2 argmin per
+    subspace, ties to the lowest code. Shape: subspace explode →
+    broadcast codebook join → per-(vector, subspace) argmin window —
+    work is corpus × m × n_codes cheap integer ops, one shuffle on
+    (vector, subspace). Returns (id, sub_id, code, dist_sq).
+    """
+    if dims % m != 0:
+        raise ValueError(f"dims {dims} not divisible by m {m}")
+    vq = ensure_parallelism(corpus).select(
+        F.col(id_col), quantize(vec_col, scale).alias("_v")
+    )
+    subs = _subvectors(F.col("_v"), m, dims)
+    cents = (
+        vq.filter(F.col(id_col) < n_codes)
+        .select(F.col(id_col).cast("long").alias("code"), subs.alias("_subs"))
+        .select("code", F.posexplode("_subs").alias("sub_id", "_c"))
+        .select(F.col("sub_id").cast("long").alias("sub_id"), "code", "_c")
+    )
+    vexp = vq.select(
+        F.col(id_col), F.posexplode(subs).alias("sub_id", "_s")
+    ).select(F.col(id_col), F.col("sub_id").cast("long").alias("sub_id"), "_s")
+    dist = F.aggregate(
+        F.zip_with(F.col("_s"), F.col("_c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ).alias("dist_sq")
+    pairs = vexp.join(F.broadcast(cents), "sub_id").select(
+        id_col, "sub_id", "code", dist
+    )
+    w = Window.partitionBy(id_col, "sub_id").orderBy("dist_sq", "code")
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "sub_id", "code", "dist_sq")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 8,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = QUANT_SCALE,
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: queries score against the
+    compressed codes, never the raw corpus vectors.
+
+    Per query, a lookup table of (subspace, code) → exact-integer L2 to
+    the codebook centroid is built against the broadcast codebooks
+    (|q| × m × n_codes rows); the corpus side then joins its codes to
+    the broadcast LUT and sums m partial distances per (query, vector).
+    At scale the corpus contributes only its m-byte codes to the join —
+    the bandwidth win that makes PQ the standard billion-vector codec.
+    Fully deterministic (integer distances, ties to lowest id/code).
+    """
+    codes = pq_codes(corpus, m, n_codes, dims, id_col, vec_col, scale)
+    vq = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        quantize(vec_col, scale).alias("_v"),
+    )
+    cents = (
+        ensure_parallelism(corpus)
+        .select(F.col(id_col), quantize(vec_col, scale).alias("_v"))
+        .filter(F.col(id_col) < n_codes)
+        .select(
+            F.col(id_col).cast("long").alias("code"),
+            F.posexplode(_subvectors(F.col("_v"), m, dims)).alias("sub_id", "_c"),
+        )
+        .select(F.col("sub_id").cast("long").alias("sub_id"), "code", "_c")
+    )
+    qexp = vq.select(
+        "query_id", F.posexplode(_subvectors(F.col("_v"), m, dims)).alias("sub_id", "_qs")
+    ).select("query_id", F.col("sub_id").cast("long").alias("sub_id"), "_qs")
+    qdist = F.aggregate(
+        F.zip_with(F.col("_qs"), F.col("_c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ).alias("_qd")
+    lut = qexp.join(F.broadcast(cents), "sub_id").select(
+        "query_id", "sub_id", "code", qdist
+    )
+    partials = codes.join(F.broadcast(lut), ["sub_id", "code"]).select(
+        F.col(id_col).alias("neighbor_id"), "query_id", "_qd"
+    )
+    adc = (
+        partials.groupBy("query_id", "neighbor_id")
+        .agg(F.sum("_qd").alias("adc_dist"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
