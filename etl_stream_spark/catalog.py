@@ -3026,7 +3026,7 @@ _DRIVER_PRIORITY = [
     "dedup_lsh_pairs",
     "dedup_clusters",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
+    "dedup_lsh_verified",
     # similarity / ANN
     "knn_bruteforce",
     "ann_lsh_topk",
@@ -3034,7 +3034,7 @@ _DRIVER_PRIORITY = [
     "ivf_topk",
     "kmeans_assignment",
     "embedding_centroids",
-    "embedding_quantize_int8",
+    "pq_topk",
     # multimodal
     "multimodal_features",
     "multimodal_frame_sample",
