@@ -2410,6 +2410,69 @@ FROM c_ab JOIN c_a ON split_part(bg, ' ', 1) = tok
 """
 
 
+def corpus_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based quality scoring: per-document mean bigram surprisal
+    under the corpus's own bigram LM (the model-based filter that
+    complements the heuristic quality score — boilerplate scores low,
+    word salad scores high).
+
+    Numeric discipline: each bigram's surprisal quantizes to integer
+    micro-bits BEFORE the per-document sum, so the aggregation is exact
+    integer arithmetic (partition-order independent) with one double
+    division at the end — a float sum of log2 terms would not reproduce
+    across partitionings. Unseen bigrams (below the LM's count floor)
+    get a fixed 1e-6 probability."""
+    from etl_stream_spark.operators.dedup import _let
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = corpus_bigram_lm(spark, sf_dir).select("bg", "p_cond")
+    doc_bg = docs.select(
+        "doc_id",
+        F.explode(_let(ta.tokens("text"), lambda t: ta.token_ngrams(t, 2))).alias("bg"),
+    )
+    p = F.coalesce(F.col("p_cond"), F.lit(1e-6))
+    micro_bits = F.round(-F.log2(p) * F.lit(1e6), 0).cast("long")
+    return (
+        doc_bg.join(F.broadcast(lm), "bg", "left")
+        .select("doc_id", micro_bits.alias("_mb"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("_mb").cast("double") / (F.count(F.lit(1)) * 1e6), 6
+            ).alias("mean_surprisal_bits"),
+        )
+    )
+
+
+SURPRISAL_SQL = f"""
+WITH toks AS ({TOKS_CTE}),
+bg_all AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM toks
+),
+c_ab AS (
+  SELECT bg, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bg_all GROUP BY bg
+  HAVING COUNT(*) >= 3
+),
+uni AS (SELECT unnest(t) AS tok FROM toks),
+c_a AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_a FROM uni GROUP BY tok),
+lm AS (
+  SELECT bg, ROUND(CAST(c_ab AS DOUBLE) / CAST(c_a AS DOUBLE), 6) AS p_cond
+  FROM c_ab JOIN c_a ON split_part(bg, ' ', 1) = tok
+),
+scored AS (
+  SELECT doc_id,
+         CAST(round(-log2(COALESCE(p_cond, 1e-6)) * 1e6) AS BIGINT) AS mb
+  FROM bg_all LEFT JOIN lm USING (bg)
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(mb) AS DOUBLE) / (COUNT(*) * 1e6), 6) AS mean_surprisal_bits
+FROM scored GROUP BY doc_id
+"""
+
+
 def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation filter funnel with per-stage survivor counts:
     total → exact-dedup canonical (min doc_id per fingerprint) →
@@ -2922,6 +2985,7 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_language_report": QueryDef(corpus_language_report, LANG_REPORT_SQL),
     "corpus_shuffle": QueryDef(corpus_shuffle, SHUFFLE_SQL),
     "corpus_bigram_lm": QueryDef(corpus_bigram_lm, BIGRAM_LM_SQL),
+    "corpus_bigram_surprisal": QueryDef(corpus_bigram_surprisal, SURPRISAL_SQL),
     "cdc_schema_inference": QueryDef(cdc_schema_inference, INFER_SQL),
     "corpus_curation_funnel": QueryDef(corpus_curation_funnel, _funnel_sql()),
     "fusion_cluster_text_report": QueryDef(fusion_cluster_text_report, FUSION_SQL),
