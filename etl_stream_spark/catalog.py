@@ -2410,6 +2410,61 @@ FROM c_ab JOIN c_a ON split_part(bg, ' ', 1) = tok
 """
 
 
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE merge-selection step at corpus scale: corpus-wide
+    adjacent-character-pair frequencies over the word-frequency table —
+    the argmax pair is the next tokenizer merge. Tokenizer training
+    iterates this (driver-looped like k-means); one step is the whole
+    data-side cost, and it aggregates words-weighted pair counts, never
+    re-scanning raw text per merge.
+
+    Shape: tokenize → word-frequency table (one shuffle, map-side
+    combine collapses repeats) → per-word char pairs × weight → pair
+    sum. Top-50 with (count desc, pair) determinism."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(ta.tokens("text")).alias("w"))
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    pairs = wf.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("w") - 1, F.lit(1))),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.col("w").substr(i, F.lit(1)),
+                    F.col("w").substr(i + 1, F.lit(1)),
+                ),
+            )
+        ).alias("pair"),
+        "n",
+    ).filter(F.length("pair") == 3)  # two chars + separator; drops 1-char words
+    agg = pairs.groupBy("pair").agg(F.sum("n").alias("pair_count"))
+    w = Window.orderBy(F.desc("pair_count"), F.col("pair"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 50)
+        .select("rank", "pair", "pair_count")
+    )
+
+
+BPE_PAIRS_SQL = f"""
+WITH toks AS ({TOKS_CTE}),
+words AS (SELECT unnest(t) AS w FROM toks),
+wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM words GROUP BY w),
+pairs AS (
+  SELECT unnest(list_transform(range(1, greatest(length(w), 2)),
+                               i -> w[i] || ' ' || w[i+1])) AS pair, n
+  FROM wf
+),
+agg AS (
+  SELECT pair, CAST(SUM(n) AS BIGINT) AS pair_count
+  FROM pairs WHERE length(pair) = 3 GROUP BY pair
+)
+SELECT rank, pair, pair_count FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair) AS rank FROM agg
+) WHERE rank <= 50
+"""
+
+
 def corpus_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LM-based quality scoring: per-document mean bigram surprisal
     under the corpus's own bigram LM (the model-based filter that
@@ -2986,6 +3041,7 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_shuffle": QueryDef(corpus_shuffle, SHUFFLE_SQL),
     "corpus_bigram_lm": QueryDef(corpus_bigram_lm, BIGRAM_LM_SQL),
     "corpus_bigram_surprisal": QueryDef(corpus_bigram_surprisal, SURPRISAL_SQL),
+    "bpe_pair_counts": QueryDef(bpe_pair_counts, BPE_PAIRS_SQL),
     "cdc_schema_inference": QueryDef(cdc_schema_inference, INFER_SQL),
     "corpus_curation_funnel": QueryDef(corpus_curation_funnel, _funnel_sql()),
     "fusion_cluster_text_report": QueryDef(fusion_cluster_text_report, FUSION_SQL),
