@@ -54,10 +54,12 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_signatures",
     "dedup_lsh_pairs",
+    "dedup_lsh_verified",
     "dedup_simhash",
     "knn_bruteforce",
     "ann_lsh_topk",
     "ivf_topk",
+    "pq_topk",
     "embedding_centroids",
     "multimodal_features",
 ]
