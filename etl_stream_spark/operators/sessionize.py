@@ -61,11 +61,11 @@ def hourly_event_rollup(events: DataFrame) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            # exact decimal sum internally; DOUBLE+ROUND at the boundary so
-        # the driver's hash normalizer sees engine-portable types
-        F.round(
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)"), 2
-        ).cast("double").alias("total_value"),
+            # exact decimal sum internally; rounded decimal → DOUBLE at
+            # the boundary (engine-portable, halfway-safe)
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)"), 2
+            ).cast("double").alias("total_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
     )
