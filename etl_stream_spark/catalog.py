@@ -2885,6 +2885,62 @@ FROM z
 """
 
 
+def user_value_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event anomaly score: each event's value standardized against
+    its user's own distribution (z = (x - μ)/σ), events with |z| > 2
+    flagged. Moments come from exact decimal sums of x and x² (the
+    partition-order-independent technique of lineitem_moment_stats)
+    evaluated per user in ONE aggregation, broadcast back onto the
+    events — two scans of one table, one shuffle each, no window sort.
+    Users with fewer than 3 events or zero variance score null."""
+    ev = _t(spark, sf_dir, "events")
+    x = F.col("value").cast(DEC)
+    stats = ev.groupBy(F.col("user_id").alias("_uid")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x).cast(DECSUM).alias("_sx"),
+        F.sum(x * x).cast("decimal(38,4)").alias("_sxx"),
+    )
+    n = F.col("_n").cast("double")
+    sx, sxx = F.col("_sx").cast("double"), F.col("_sxx").cast("double")
+    var = (sxx - sx * sx / n) / (n - 1)
+    joined = ev.join(
+        F.broadcast(stats), ev.user_id == F.col("_uid")
+    )
+    z = F.when(
+        (F.col("_n") >= 3) & (var > 0),
+        F.round((x.cast("double") - sx / n) / F.sqrt(var), 6),
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        _dbl(x).alias("value"),
+        z.alias("z_score"),
+        (F.abs(F.coalesce(z, F.lit(0.0))) > 2).alias("is_anomaly"),
+    )
+
+
+ZSCORE_SQL = """
+WITH stats AS (
+  SELECT user_id AS uid, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sx,
+         CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sxx
+  FROM events GROUP BY user_id
+), z AS (
+  SELECT user_id, event_id,
+         CAST(ROUND(CAST(value AS DECIMAL(18,2)), 2) AS DOUBLE) AS value,
+         CASE WHEN n >= 3
+                   AND (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1) > 0
+              THEN ROUND((CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) - CAST(sx AS DOUBLE) / n)
+                         / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)), 6)
+         END AS z_score
+  FROM events JOIN stats ON user_id = uid
+)
+SELECT user_id, event_id, value, z_score,
+       (abs(COALESCE(z_score, 0.0)) > 2) AS is_anomaly
+FROM z
+"""
+
+
 def user_value_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event trailing-1-hour rolling aggregate per user — the RANGE
     frame (time-based, not row-count) of SURVEY §2.5. One shuffle on the
@@ -3052,6 +3108,7 @@ CATALOG: dict[str, QueryDef] = {
     "streaming_dedup": QueryDef(streaming_dedup, STREAM_DEDUP_SQL),
     "events_sliding_window": QueryDef(events_sliding_window, SLIDING_SQL),
     "user_value_rolling_window": QueryDef(user_value_rolling_window, ROLLING_SQL),
+    "user_value_zscores": QueryDef(user_value_zscores, ZSCORE_SQL),
     "dedup_lsh_verified": QueryDef(dedup_lsh_verified, _lsh_verified_sql()),
     # temporal joins
     "asof_latest_purchase": QueryDef(asof_latest_purchase, ASOF_SQL),
