@@ -2885,6 +2885,116 @@ FROM z
 """
 
 
+def cdc_gold_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full bronze→silver→gold path as one driver-checked query:
+    events replay as a CDC log into a bucketed silver merge table, and
+    the gold per-event-type rollup is maintained *incrementally*
+    (IncrementalRollup — O(touched groups) per batch, group-extinction
+    deletes), applied as two batches to exercise the incremental path.
+    The oracle recomputes gold directly from the log's final state, so
+    the incremental maintenance must equal the from-scratch aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    env = with_cdc_metadata(ev, _op_col(), _seq_col(), timestamp=F.col("ts")).select(
+        "user_id",
+        "event_type",
+        _dbl(F.col("value").cast(DEC)).alias("value"),
+        "operation",
+        "sequence",
+    )
+    from etl_stream_spark.cdc import IncrementalRollup, ParquetMergeTable
+
+    root = tempfile.mkdtemp(prefix="gold_rollup_")
+    silver = ParquetMergeTable(spark, os.path.join(root, "silver"), keys=["user_id"], num_buckets=8)
+    rollup = IncrementalRollup(
+        spark,
+        silver,
+        os.path.join(root, "gold"),
+        group_cols=["event_type"],
+        aggs={
+            "n_users": lambda: F.count(F.lit(1)).cast("long"),
+            "total_value": lambda: F.round(
+                F.sum(F.col("value").cast(DEC)).cast(DECSUM), 2
+            ).cast("double"),
+        },
+        num_buckets=4,
+    )
+    half = F.col("user_id") % 2 == 0
+    rollup.merge_and_refresh(env.filter(half))
+    rollup.merge_and_refresh(env.filter(~half))
+    return rollup.read().select("event_type", "n_users", "total_value")
+
+
+GOLD_ROLLUP_SQL = f"""
+WITH final_state AS (
+  SELECT user_id, event_type,
+         CAST(ROUND(CAST(value AS DECIMAL(18,2)), 2) AS DOUBLE) AS value
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY lpad(CAST(event_id AS VARCHAR), 20, '0') DESC) AS rn
+    FROM events
+  ) WHERE rn = 1 AND {_OP_CASE} <> 'DELETE'
+)
+SELECT event_type, COUNT(*) AS n_users,
+       CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)), 2) AS DOUBLE) AS total_value
+FROM final_state GROUP BY event_type
+"""
+
+
+def segment_event_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Independence audit between customer segment and event type: the
+    χ² contribution per (segment, event_type) cell — the drift/bias
+    check a feature pipeline runs on categorical pairs. Observed counts
+    are exact integers; expected = row_total × col_total / N evaluates
+    as one double expression from those integers, so the statistic is
+    deterministic at any partitioning. One fact shuffle for the cell
+    counts; margins derive from the cells (window sums, no rescan)."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    w_seg = Window.partitionBy("segment")
+    w_typ = Window.partitionBy("event_type")
+    w_all = Window.partitionBy()
+    row_t = F.sum("observed").over(w_seg)
+    col_t = F.sum("observed").over(w_typ)
+    grand = F.sum("observed").over(w_all)
+    expected = row_t.cast("double") * col_t.cast("double") / grand.cast("double")
+    chi = (F.col("observed").cast("double") - expected) * (
+        F.col("observed").cast("double") - expected
+    ) / expected
+    return cells.select(
+        "segment",
+        "event_type",
+        "observed",
+        F.round(expected, 6).alias("expected"),
+        F.round(chi, 6).alias("chisq_term"),
+    )
+
+
+CHISQ_SQL = """
+WITH cells AS (
+  SELECT c_mktsegment AS segment, event_type, COUNT(*) AS observed
+  FROM events JOIN customer ON user_id = c_custkey
+  GROUP BY 1, 2
+), m AS (
+  SELECT segment, event_type, observed,
+         SUM(observed) OVER (PARTITION BY segment) AS row_t,
+         SUM(observed) OVER (PARTITION BY event_type) AS col_t,
+         SUM(observed) OVER () AS grand
+  FROM cells
+)
+SELECT segment, event_type, observed,
+       ROUND(CAST(row_t AS DOUBLE) * CAST(col_t AS DOUBLE) / CAST(grand AS DOUBLE), 6) AS expected,
+       ROUND((CAST(observed AS DOUBLE) - CAST(row_t AS DOUBLE) * CAST(col_t AS DOUBLE) / CAST(grand AS DOUBLE))
+             * (CAST(observed AS DOUBLE) - CAST(row_t AS DOUBLE) * CAST(col_t AS DOUBLE) / CAST(grand AS DOUBLE))
+             / (CAST(row_t AS DOUBLE) * CAST(col_t AS DOUBLE) / CAST(grand AS DOUBLE)), 6) AS chisq_term
+FROM m
+"""
+
+
 def user_value_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event anomaly score: each event's value standardized against
     its user's own distribution (z = (x - μ)/σ), events with |z| > 2
@@ -3109,6 +3219,8 @@ CATALOG: dict[str, QueryDef] = {
     "events_sliding_window": QueryDef(events_sliding_window, SLIDING_SQL),
     "user_value_rolling_window": QueryDef(user_value_rolling_window, ROLLING_SQL),
     "user_value_zscores": QueryDef(user_value_zscores, ZSCORE_SQL),
+    "segment_event_chisq": QueryDef(segment_event_chisq, CHISQ_SQL),
+    "cdc_gold_rollup": QueryDef(cdc_gold_rollup, GOLD_ROLLUP_SQL),
     "dedup_lsh_verified": QueryDef(dedup_lsh_verified, _lsh_verified_sql()),
     # temporal joins
     "asof_latest_purchase": QueryDef(asof_latest_purchase, ASOF_SQL),
@@ -3175,6 +3287,7 @@ _DRIVER_PRIORITY = [
     "cdc_metadata_projection",
     "cdc_json_props",
     "cdc_streaming_merge",
+    "cdc_gold_rollup",
     # relational / TPC-H basics (agg, joins, windows, semi/anti)
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -3190,7 +3303,6 @@ _DRIVER_PRIORITY = [
     # event-stream aggregations
     "hourly_event_rollup",
     "user_session_stats",
-    "user_event_pivot",
     # text analysis
     "text_token_stats",
     "text_quality",
