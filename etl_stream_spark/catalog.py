@@ -2940,6 +2940,60 @@ FROM final_state GROUP BY event_type
 """
 
 
+def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution through the merge engine (reference §3.3): the
+    second half of the log arrives with a column the first half lacks
+    (``props_len``); the merge widens the target (mergeSchema), earlier
+    winners read null for it, and later winners carry both old and new
+    fields. The oracle reproduces the widened final state from the raw
+    log, so the evolution path must lose no rows and null-fill exactly."""
+    ev = _t(spark, sf_dir, "events")
+    env = with_cdc_metadata(ev, _op_col(), _seq_col(), timestamp=F.col("ts"))
+    # split at the sequence midpoint: batches arrive in WAL order (the
+    # real CDC contract — a parity split would feed *older* events after
+    # a delete and legitimately resurrect rows, since the MERGE keeps no
+    # tombstones, matching the reference's semantics)
+    # explicit floor: bare CAST of x.5 truncates in Spark but rounds in
+    # DuckDB — the oracle mirrors FLOOR so both agree on odd maxima
+    half_point = ev.agg(F.floor(F.max("event_id") / 2).cast("long")).first()[0]
+    mid = F.col("event_id") <= F.lit(half_point)
+    batch1 = env.filter(mid).select(
+        "user_id",
+        "event_type",
+        _dbl(F.col("value").cast(DEC)).alias("value"),
+        "operation",
+        "sequence",
+    )
+    batch2 = env.filter(~mid).select(
+        "user_id",
+        "event_type",
+        _dbl(F.col("value").cast(DEC)).alias("value"),
+        F.length(F.coalesce(F.col("props"), F.lit(""))).cast("long").alias("props_len"),
+        "operation",
+        "sequence",
+    )
+    from etl_stream_spark.cdc import ParquetMergeTable
+
+    root = tempfile.mkdtemp(prefix="evolve_")
+    target = ParquetMergeTable(spark, os.path.join(root, "t"), keys=["user_id"], num_buckets=8)
+    target.merge(batch1)
+    target.merge(batch2)  # wider batch — target schema evolves
+    return target.read().select("user_id", "event_type", "value", "props_len")
+
+
+SCHEMA_EVOLUTION_SQL = f"""
+SELECT user_id, event_type,
+       CAST(ROUND(CAST(value AS DECIMAL(18,2)), 2) AS DOUBLE) AS value,
+       CASE WHEN event_id > (SELECT CAST(FLOOR(MAX(event_id) / 2) AS BIGINT) FROM events)
+            THEN CAST(length(COALESCE(props, '')) AS BIGINT) END AS props_len
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY lpad(CAST(event_id AS VARCHAR), 20, '0') DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND {_OP_CASE} <> 'DELETE'
+"""
+
+
 def segment_event_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Independence audit between customer segment and event type: the
     χ² contribution per (segment, event_type) cell — the drift/bias
@@ -3221,6 +3275,7 @@ CATALOG: dict[str, QueryDef] = {
     "user_value_zscores": QueryDef(user_value_zscores, ZSCORE_SQL),
     "segment_event_chisq": QueryDef(segment_event_chisq, CHISQ_SQL),
     "cdc_gold_rollup": QueryDef(cdc_gold_rollup, GOLD_ROLLUP_SQL),
+    "cdc_schema_evolution": QueryDef(cdc_schema_evolution, SCHEMA_EVOLUTION_SQL),
     "dedup_lsh_verified": QueryDef(dedup_lsh_verified, _lsh_verified_sql()),
     # temporal joins
     "asof_latest_purchase": QueryDef(asof_latest_purchase, ASOF_SQL),
