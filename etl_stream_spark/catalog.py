@@ -3067,9 +3067,10 @@ def user_value_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("_n").cast("double")
     sx, sxx = F.col("_sx").cast("double"), F.col("_sxx").cast("double")
     var = (sxx - sx * sx / n) / (n - 1)
-    joined = ev.join(
-        F.broadcast(stats), ev.user_id == F.col("_uid")
-    )
+    # no broadcast hint: per-user stats are unbounded in user count at
+    # scale — let Catalyst/AQE pick broadcast only when the side is
+    # actually under the threshold (it is at test SFs)
+    joined = ev.join(stats, ev.user_id == F.col("_uid"))
     z = F.when(
         (F.col("_n") >= 3) & (var > 0),
         F.round((x.cast("double") - sx / n) / F.sqrt(var), 6),
@@ -3343,11 +3344,11 @@ _DRIVER_PRIORITY = [
     "cdc_json_props",
     "cdc_streaming_merge",
     "cdc_gold_rollup",
+    "cdc_schema_evolution",
     # relational / TPC-H basics (agg, joins, windows, semi/anti)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
-    "q6_forecast_revenue",
     "q10_returned_items",
     "q14_promo_revenue",
     "q18_large_orders",

@@ -630,6 +630,30 @@ def _subvectors(v: Column, m: int, dims: int) -> Column:
     return F.array(*[F.slice(v, j * sub + 1, sub) for j in range(m)])
 
 
+def _codebook(
+    corpus: DataFrame,
+    m: int,
+    n_codes: int,
+    dims: int,
+    id_col: str,
+    vec_col: str,
+    scale: int,
+) -> DataFrame:
+    """The ONE codebook definition encoding and search must share:
+    (sub_id, code, _c) rows from the subvectors of the first ``n_codes``
+    corpus vectors. A drift between the encoder's and the LUT's
+    codebooks silently degrades every neighbor result."""
+    return (
+        corpus.select(F.col(id_col), quantize(vec_col, scale).alias("_v"))
+        .filter(F.col(id_col) < n_codes)
+        .select(
+            F.col(id_col).cast("long").alias("code"),
+            F.posexplode(_subvectors(F.col("_v"), m, dims)).alias("sub_id", "_c"),
+        )
+        .select(F.col("sub_id").cast("long").alias("sub_id"), "code", "_c")
+    )
+
+
 def pq_codes(
     corpus: DataFrame,
     m: int = 4,
@@ -657,12 +681,7 @@ def pq_codes(
         F.col(id_col), quantize(vec_col, scale).alias("_v")
     )
     subs = _subvectors(F.col("_v"), m, dims)
-    cents = (
-        vq.filter(F.col(id_col) < n_codes)
-        .select(F.col(id_col).cast("long").alias("code"), subs.alias("_subs"))
-        .select("code", F.posexplode("_subs").alias("sub_id", "_c"))
-        .select(F.col("sub_id").cast("long").alias("sub_id"), "code", "_c")
-    )
+    cents = _codebook(corpus, m, n_codes, dims, id_col, vec_col, scale)
     vexp = vq.select(
         F.col(id_col), F.posexplode(subs).alias("sub_id", "_s")
     ).select(F.col(id_col), F.col("sub_id").cast("long").alias("sub_id"), "_s")
@@ -709,16 +728,7 @@ def pq_topk(
         F.col(id_col).cast("long").alias("query_id"),
         quantize(vec_col, scale).alias("_v"),
     )
-    cents = (
-        ensure_parallelism(corpus)
-        .select(F.col(id_col), quantize(vec_col, scale).alias("_v"))
-        .filter(F.col(id_col) < n_codes)
-        .select(
-            F.col(id_col).cast("long").alias("code"),
-            F.posexplode(_subvectors(F.col("_v"), m, dims)).alias("sub_id", "_c"),
-        )
-        .select(F.col("sub_id").cast("long").alias("sub_id"), "code", "_c")
-    )
+    cents = _codebook(corpus, m, n_codes, dims, id_col, vec_col, scale)
     qexp = vq.select(
         "query_id", F.posexplode(_subvectors(F.col("_v"), m, dims)).alias("sub_id", "_qs")
     ).select("query_id", F.col("sub_id").cast("long").alias("sub_id"), "_qs")

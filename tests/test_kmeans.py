@@ -87,3 +87,50 @@ def test_empty_cluster_keeps_centroid(spark):
     clusters = {r["cluster_id"] for r in assigned.collect()}
     assert 1 not in clusters  # starved by the tie-break, centroid retained
     assert {0, 2} <= clusters
+
+class TestProductQuantization:
+    def test_codes_shape_and_determinism(self, spark):
+        from etl_stream_spark.operators.similarity import pq_codes
+        from etl_stream_spark.session import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+            "vec_id", "embedding"
+        )
+        codes = pq_codes(emb, m=4, n_codes=8)
+        rows = codes.collect()
+        n_vecs = emb.count()
+        assert len(rows) == n_vecs * 4  # one code per (vector, subspace)
+        assert {r.sub_id for r in rows} == {0, 1, 2, 3}
+        assert all(0 <= r.code < 8 for r in rows)
+        # codebook vectors encode to themselves with zero distance
+        own = {(r.vec_id, r.sub_id): (r.code, r.dist_sq) for r in rows if r.vec_id < 8}
+        for (vid, _sid), (code, dist) in own.items():
+            assert code == vid and dist == 0
+        # partitioning-invariant
+        again = {
+            (r.vec_id, r.sub_id): r.code
+            for r in pq_codes(emb.repartition(13), m=4, n_codes=8).collect()
+        }
+        assert again == {(r.vec_id, r.sub_id): r.code for r in rows}
+
+    def test_non_default_m_and_validation(self, spark):
+        import pytest as _pytest
+
+        from etl_stream_spark.operators.similarity import pq_codes, pq_topk
+        from etl_stream_spark.session import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+            "vec_id", "embedding"
+        )
+        with _pytest.raises(ValueError, match="not divisible"):
+            pq_codes(emb, m=5, n_codes=8)  # 64 % 5 != 0
+        out = pq_topk(emb, emb.filter("vec_id < 2"), k=3, m=8, n_codes=4)
+        rows = out.collect()
+        assert len(rows) == 6  # 2 queries × k
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append((r.rank, r.adc_dist))
+        for ranked in by_q.values():
+            ranked.sort()
+            dists = [d for _r, d in ranked]
+            assert dists == sorted(dists)  # ADC distance ascending by rank
