@@ -1526,6 +1526,48 @@ SELECT vec_id, cluster_id, CAST(dist_sq AS BIGINT) AS dist_sq FROM (
 """
 
 
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embedding corpus: k-means cluster assignment,
+    then within-cluster cosine pruning — semantic (not lexical)
+    duplicates removed, lowest id per duplicate group kept."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup(emb, k=8, threshold=0.3)
+
+
+_SEMDEDUP_COS = (
+    "ROUND(CAST(list_sum(list_transform(range(1, 65), i -> av[i] * bv[i])) AS DOUBLE)"
+    " / sqrt(CAST(list_sum(list_transform(av, x -> x * x)) AS DOUBLE)"
+    " * CAST(list_sum(list_transform(bv, x -> x * x)) AS DOUBLE)), 6)"
+)
+
+SEMDEDUP_SQL = f"""
+WITH v AS (SELECT vec_id, {QVEC} AS vv FROM embeddings),
+c AS (SELECT vec_id AS cluster_id, {QVEC} AS cv2 FROM embeddings WHERE vec_id < 8),
+p AS (
+  SELECT v.vec_id AS vec_id, cluster_id,
+         list_sum(list_transform(range(1, {_DIMS + 1}),
+                                 i -> (vv[i] - cv2[i]) * (vv[i] - cv2[i]))) AS dist_sq
+  FROM v CROSS JOIN c
+),
+assigned AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist_sq, cluster_id) AS rn
+    FROM p
+  ) WHERE rn = 1
+),
+qv2 AS (SELECT a.vec_id, a.cluster_id, v.vv FROM assigned a JOIN v USING (vec_id)),
+removed AS (
+  SELECT DISTINCT b.vec_id AS removed_id
+  FROM qv2 a JOIN qv2 b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE {_SEMDEDUP_COS.replace('av', 'a.vv').replace('bv', 'b.vv')} >= 0.3
+)
+SELECT q.vec_id AS vec_id, CAST(q.cluster_id AS BIGINT) AS cluster_id,
+       (removed_id IS NULL) AS kept
+FROM qv2 q LEFT JOIN removed ON q.vec_id = removed.removed_id
+"""
+
+
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-max int8 scalar quantization of the embedding corpus (the
     4x-compression codec under an IVF/PQ index)."""
@@ -3308,6 +3350,7 @@ CATALOG: dict[str, QueryDef] = {
     "embedding_centroids": QueryDef(embedding_centroids, CENTROIDS_SQL),
     "embedding_quantize_int8": QueryDef(embedding_quantize_int8, QUANT8_SQL),
     "kmeans_assignment": QueryDef(kmeans_assignment, KMEANS_SQL),
+    "semantic_dedup": QueryDef(semantic_dedup_q, SEMDEDUP_SQL),
     "ivf_topk": QueryDef(ivf_topk_q, _ivf_sql()),
     "pq_topk": QueryDef(pq_topk_q, _pq_sql()),
     # multimodal
@@ -3367,7 +3410,7 @@ _DRIVER_PRIORITY = [
     "text_redact",
     # dedup
     "dedup_exact",
-    "dedup_minhash_signatures",
+    "semantic_dedup",
     "dedup_lsh_pairs",
     "dedup_clusters",
     "dedup_simhash",

@@ -53,10 +53,16 @@ def int_norm_sq(a: Column) -> Column:
 
 
 def cosine_from_quantized(a: Column, b: Column) -> Column:
-    """Cosine over quantized vectors, rounded to 6 dp."""
+    """Cosine over quantized vectors, rounded to 6 dp.
+
+    ``try_divide``: a zero-norm (degenerate) vector yields NULL rather
+    than failing the whole job under ANSI mode — NULL comparisons are
+    false, so zero vectors are never anyone's neighbor/duplicate."""
     return F.round(
-        int_dot(a, b).cast("double")
-        / F.sqrt(int_norm_sq(a).cast("double") * int_norm_sq(b).cast("double")),
+        F.try_divide(
+            int_dot(a, b).cast("double"),
+            F.sqrt(int_norm_sq(a).cast("double") * int_norm_sq(b).cast("double")),
+        ),
         6,
     )
 
@@ -753,4 +759,59 @@ def pq_topk(
         adc.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    k: int = 8,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding corpus (one deterministic
+    k-means assignment round — first ``k`` ids seed the centroids), then
+    inside each cluster drop every vector whose cosine similarity to a
+    *lower-id* cluster member reaches ``threshold``; the lowest id of
+    each semantic-duplicate group survives.
+
+    Scale shape: the candidate-pair space is an **equi-join on
+    cluster_id**, never corpus x corpus. At 100 TB, k grows with the
+    corpus (the paper uses k ~ N/10k, keeping cluster sizes bounded), so
+    the within-cluster quadratic term is bounded; an oversized hot
+    cluster splits via AQE skew-join or one extra LSH band appended to
+    the cluster key. The single-pass keep-lowest-id rule (rather than
+    the paper's sequential sweep) keeps the whole operator at one
+    assignment shuffle + one self-join — the scalable approximation;
+    it can only over-remove along similarity chains, never under-remove.
+
+    Returns one row per corpus vector: (id, cluster_id, kept).
+    """
+    assigned = kmeans_assign(corpus, k=k, id_col=id_col, vec_col=vec_col).select(
+        id_col, "cluster_id"
+    )
+    qv = (
+        corpus.select(F.col(id_col), quantize(vec_col).alias("_v"))
+        .join(assigned, id_col)
+    )
+    a = qv.select(
+        F.col(id_col).alias("_id_a"), F.col("cluster_id"), F.col("_v").alias("_va")
+    )
+    b = qv.select(
+        F.col(id_col).alias("_id_b"), F.col("cluster_id"), F.col("_v").alias("_vb")
+    )
+    removed = (
+        a.join(b, "cluster_id")
+        .filter(F.col("_id_a") < F.col("_id_b"))
+        .filter(cosine_from_quantized(F.col("_va"), F.col("_vb")) >= threshold)
+        .select(F.col("_id_b").alias("_removed"))
+        .distinct()
+    )
+    return qv.join(
+        removed, qv[id_col] == removed["_removed"], "left"
+    ).select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("_removed").isNull().alias("kept"),
     )

@@ -134,3 +134,31 @@ class TestProductQuantization:
             ranked.sort()
             dists = [d for _r, d in ranked]
             assert dists == sorted(dists)  # ADC distance ascending by rank
+
+
+class TestSemanticDedup:
+    def test_prunes_within_cluster_near_dups(self, spark):
+        """Near-identical vectors in the same cluster collapse to the
+        lowest id; distinct directions all survive."""
+        from etl_stream_spark.operators.similarity import semantic_dedup
+
+        df, _ = _clustered(spark)
+        out = semantic_dedup(df, k=3, threshold=0.999).collect()
+        by_id = {r["vec_id"]: r for r in out}
+        assert len(by_id) == df.count()  # one row per input vector
+        # every vector in a tight cluster points the same way (cosine
+        # ~1.0 within cluster except near the origin-centered cluster),
+        # so in clusters 1 and 2 only the seed survives
+        for cid in (1, 2):
+            members = [r for r in out if r["cluster_id"] == cid]
+            kept = sorted(r["vec_id"] for r in members if r["kept"])
+            assert kept[0] == min(r["vec_id"] for r in members)
+            assert len(kept) == 1
+
+    def test_high_threshold_keeps_everything(self, spark):
+        from etl_stream_spark.operators.similarity import semantic_dedup
+
+        rows = [(i, [float(i + 1), float((i * 3) % 7), 1.0, 0.0]) for i in range(10)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = semantic_dedup(df, k=2, threshold=1.1)
+        assert out.filter(~F.col("kept")).count() == 0
