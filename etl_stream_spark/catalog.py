@@ -976,6 +976,35 @@ FROM ex GROUP BY passage HAVING COUNT(DISTINCT doc_id) >= 2
 """
 
 
+def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (domain) curation audit: doc counts, corpus-wide
+    exact-dup participation, token volume, quality keep-rate — the
+    report that drives source-level keep/downweight/drop decisions."""
+    return cp.source_report(_t(spark, sf_dir, "documents"))
+
+
+SOURCE_REPORT_SQL = f"""
+WITH toks AS ({TOKS_CTE}),
+fp AS (
+  SELECT source, md5(array_to_string(t, ' ')) AS fp, len(t) AS n_tokens,
+         (len(t) >= 5 AND
+          ROUND(CASE WHEN length(text) > 0
+                THEN CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+                     / length(text)
+                ELSE 0.0 END, 6) < 0.3) AS quality_keep
+  FROM toks
+),
+dup AS (SELECT fp, COUNT(*) AS n FROM fp GROUP BY fp HAVING COUNT(*) >= 2)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN dup.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(CASE WHEN quality_keep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS keep_rate
+FROM fp LEFT JOIN dup ON fp.fp = dup.fp
+GROUP BY source
+"""
+
+
 def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary with term and document frequencies."""
     docs = _t(spark, sf_dir, "documents")
@@ -3297,6 +3326,7 @@ CATALOG: dict[str, QueryDef] = {
     "text_rolling_fingerprint": QueryDef(text_rolling_fingerprint, ROLLING_FP_SQL),
     "text_repetition": QueryDef(text_repetition, REPETITION_SQL),
     "text_redact": QueryDef(text_redact, _redact_sql()),
+    "corpus_source_report": QueryDef(corpus_source_report, SOURCE_REPORT_SQL),
     "corpus_chunks": QueryDef(corpus_chunks, CHUNKS_SQL),
     "corpus_pack_sequences": QueryDef(corpus_pack_sequences, PACK_SQL),
     "text_bpe_pretokens": QueryDef(text_bpe_pretokens, BPE_SQL),

@@ -379,3 +379,52 @@ def contamination_report(
             ).alias("contamination_rate"),
         )
     )
+
+
+def source_report(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source curation audit — the domain-level report a web-scale
+    pipeline runs before deciding which sources to keep, downweight, or
+    drop (the RefinedWeb/C4 URL-level curation step, aggregated).
+
+    Per source: document count, documents participating in corpus-wide
+    exact duplication (md5 fingerprint shared with >= 2 docs anywhere,
+    not just within the source), total token volume, and the share of
+    documents passing the C4-style quality filter.
+
+    Scale shape: fingerprint counting is one shuffle on the 32-hex
+    digest with map-side partial aggregation; the dup flag joins back on
+    the same key (AQE merges the exchanges); the final rollup shuffles
+    |sources| rows. No collects, no UDFs.
+    """
+    from etl_stream_spark.operators.text_analysis import fingerprint, with_quality_score
+
+    fp = df.select(F.col(source_col), fingerprint(text_col).alias("_fp"))
+    dup_fps = (
+        fp.groupBy("_fp")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("_fp")
+    )
+    scored = with_quality_score(df, text_col).select(
+        F.col(source_col), fingerprint(text_col).alias("_fp"), "n_tokens", "quality_keep"
+    )
+    flagged = scored.join(
+        dup_fps.withColumn("_is_dup", F.lit(True)), "_fp", "left"
+    )
+    return (
+        flagged.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("_is_dup"), 1).otherwise(0)).cast("long").alias("n_dup_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(
+                F.sum(F.when(F.col("quality_keep"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("keep_rate"),
+        )
+    )

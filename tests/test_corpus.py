@@ -231,3 +231,24 @@ class TestModelScore:
         assert out[1].model_score > 0.5 and out[1].model_keep
         assert out[2].model_score < 0.5 and not out[2].model_keep
         assert 0.0 <= out[2].model_score <= out[1].model_score <= 1.0
+
+
+class TestSourceReport:
+    def test_counts_dups_and_quality(self, spark):
+        import etl_stream_spark.operators.corpus as cp
+
+        dup_text = "the quick brown fox jumps over a lazy dog again today"
+        rows = [
+            (1, "web", dup_text),
+            (2, "web", "!!!???###"),  # fails quality (punct soup, <5 toks)
+            (3, "books", dup_text),  # exact dup of doc 1, across sources
+            (4, "books", "a clean and long enough document about spark"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        out = {r.source: r for r in cp.source_report(docs).collect()}
+        assert out["web"].n_docs == 2 and out["books"].n_docs == 2
+        # the fingerprint is corpus-wide: both copies count, one per source
+        assert out["web"].n_dup_docs == 1 and out["books"].n_dup_docs == 1
+        assert out["books"].keep_rate == 1.0
+        assert out["web"].keep_rate == 0.5
+        assert out["web"].total_tokens > 0
