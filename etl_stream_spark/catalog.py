@@ -1279,6 +1279,35 @@ SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
 """
 
 
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup stack's end deliverable: LSH candidate pairs → connected
+    components → keep the lowest-id representative per cluster. One row
+    per document with its cluster, survivor flag, and cluster size — the
+    table a 100 TB pipeline semi-joins the corpus against to emit the
+    deduplicated training set."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, num_hashes=_NUM_HASHES, band_size=2)
+    clusters = dd.duplicate_clusters(docs, pairs)
+    w = Window.partitionBy("cluster_id")
+    return clusters.select(
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_survivor"),
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+    )
+
+
+def _survivors_sql() -> str:
+    clusters = _clusters_sql()
+    return f"""
+WITH c AS ({clusters})
+SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+       doc_id = cluster_id AS is_survivor,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM c
+"""
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), block_col="source", threshold=0.1
@@ -3370,6 +3399,7 @@ CATALOG: dict[str, QueryDef] = {
     "dedup_minhash_signatures": QueryDef(dedup_minhash_signatures, MINHASH_SQL),
     "dedup_lsh_pairs": QueryDef(dedup_lsh_pairs, _lsh_pairs_sql()),
     "dedup_clusters": QueryDef(dedup_clusters, _clusters_sql()),
+    "dedup_survivors": QueryDef(dedup_survivors, _survivors_sql()),
     "dedup_ngram_jaccard": QueryDef(dedup_ngram_jaccard, NGRAM_SQL),
     "dedup_simhash": QueryDef(dedup_simhash, SIMHASH_SQL),
     # similarity
