@@ -138,3 +138,23 @@ def test_moment_stats_partitioning_invariant(spark):
     finally:
         rx._t = orig
     assert a == b
+
+
+def test_semantic_dedup_and_source_report_partitioning_invariant(spark):
+    """Round-2 additions obey the same reproducibility contract."""
+    from etl_stream_spark.operators.corpus import source_report
+    from etl_stream_spark.operators.similarity import semantic_dedup
+    from etl_stream_spark.session import load_table
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = rows(semantic_dedup(emb, k=4, threshold=0.3))
+    b = rows(semantic_dedup(emb.repartition(17), k=4, threshold=0.3))
+    assert a == b and len(a) > 0
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = rows(source_report(docs))
+    b = rows(source_report(docs.coalesce(1)))
+    assert a == b and len(a) > 0
