@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "dedup_lsh_pairs",
     "dedup_lsh_verified",
     "dedup_simhash",
+    "semantic_dedup",
+    "corpus_source_report",
     "knn_bruteforce",
     "ann_lsh_topk",
     "ivf_topk",
@@ -86,15 +88,16 @@ def main() -> None:
     ).count()
 
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = CATALOG[name].fn
-        # two runs, report the min: the first run of a complex plan pays
-        # one-time whole-stage-codegen compilation (measured 3-5 s extra
-        # on the widest plans); the min reflects engine throughput
+        # three runs; report min (engine throughput once codegen is
+        # compiled) AND median (regression tracking robust to the 2-10x
+        # single-run noise observed on this box)
         runs = []
         n = 0
         try:
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.time()
                 df = fn(spark, sf_dir)
                 n = df.count()  # forces full evaluation; stays distributed
@@ -104,6 +107,7 @@ def main() -> None:
             print(f"# {name}: FAILED {exc}", file=sys.stderr)
             continue
         timings[name] = round(min(runs), 3)
+        medians[name] = round(sorted(runs)[len(runs) // 2], 3)
         print(f"# {name}: {n} rows in {timings[name]:.2f}s", file=sys.stderr)
 
     # CDC pipeline throughput: events → envelope decode → LWW dedup →
@@ -149,6 +153,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
         "sf": sf,
     }
     if cdc_rows_per_sec is not None:
