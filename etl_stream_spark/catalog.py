@@ -2000,6 +2000,41 @@ def cdc_streaming_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous vector-search serving: a stream of query vectors
+    answered against the static embedding corpus — per micro-batch,
+    exact cosine top-k inside ``foreachBatch`` (the ANN-serving shape:
+    the corpus never moves, only the bounded query batch does; at scale
+    swap the brute-force call for the IVF/PQ index search with the same
+    contract). Per-query results are batching-invariant, so the oracle
+    is the batch kNN SQL."""
+    _ensure_utc(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="stream_knn_")
+    src = os.path.join(root, "queries")
+    out = os.path.join(root, "results")
+    emb.filter(F.col("vec_id") < 5).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def serve(batch: DataFrame, _eid: int) -> None:
+        if batch.isEmpty():
+            return
+        sim.brute_force_topk(emb, batch, k=5).write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(serve)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out)
+
+
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-window aggregation as a real stateful stream
     (``F.session_window`` with a 30-minute gap + watermark): per-user
@@ -3424,6 +3459,7 @@ CATALOG: dict[str, QueryDef] = {
     "streaming_session_windows": QueryDef(streaming_session_windows, SESSIONS_SQL),
     "streaming_enrichment": QueryDef(streaming_enrichment, ENRICH_SQL),
     "streaming_stream_join": QueryDef(streaming_stream_join, SSJOIN_SQL),
+    "streaming_vector_search": QueryDef(streaming_vector_search, KNN_SQL),
     "cdc_streaming_merge": QueryDef(cdc_streaming_merge, CDC_STREAM_SQL),
 }
 

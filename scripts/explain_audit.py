@@ -47,6 +47,7 @@ def main() -> None:
         "cdc_streaming_merge",
         "streaming_sustained_alerts",
         "streaming_dedup",
+        "streaming_vector_search",
     }
     names = args.only.split(",") if args.only else [n for n in CATALOG if n not in skip]
 
