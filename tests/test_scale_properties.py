@@ -158,3 +158,40 @@ def test_semantic_dedup_and_source_report_partitioning_invariant(spark):
     a = rows(source_report(docs))
     b = rows(source_report(docs.coalesce(1)))
     assert a == b and len(a) > 0
+
+
+def test_no_cartesian_product_in_any_batch_plan(spark):
+    """Sweep every batch catalog entry: a CartesianProduct anywhere is
+    an unbounded pair-space blowup at 100 TB. Broadcast nested-loop
+    joins are acceptable only because their broadcast side is a
+    bounded query/probe set (kNN, IVF probes)."""
+    from etl_stream_spark.catalog import CATALOG
+
+    # streaming/stateful entries execute at build time — not plan-audit
+    # targets (their inner batch plans are covered by their own tests)
+    skip = {
+        "streaming_hourly_rollup",
+        "streaming_session_windows",
+        "streaming_sustained_alerts",
+        "streaming_enrichment",
+        "streaming_stream_join",
+        "streaming_dedup",
+        "streaming_vector_search",
+        "cdc_streaming_merge",
+        "cdc_gold_rollup",
+        "cdc_schema_evolution",
+        "wal_size_monitor",
+    }
+    offenders = []
+    for name, qd in CATALOG.items():
+        if name in skip:
+            continue
+        try:
+            df = qd.fn(spark, "/root/testdata/sf0.001")
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001
+            offenders.append(f"{name}: PLAN ERROR {exc}")
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
