@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "corpus_pack_sequences",
     "corpus_bigram_lm",
     "corpus_curation_funnel",
+    "corpus_dsir_weights",
     "corpus_contamination",
     "corpus_quality_model",
     "user_cohort_retention",

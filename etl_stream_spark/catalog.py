@@ -2663,6 +2663,110 @@ FROM scored GROUP BY doc_id
 """
 
 
+def _bigram_lm_over(docs: DataFrame) -> DataFrame:
+    """Bigram LM table (bg, p_cond) over an arbitrary document subset —
+    the corpus_bigram_lm recipe, parameterized for DSIR's two models."""
+    from etl_stream_spark.operators.dedup import _let
+
+    bg = docs.select(
+        F.explode(_let(ta.tokens("text"), lambda t: ta.token_ngrams(t, 2))).alias("bg")
+    )
+    c_ab = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_ab")).filter(
+        F.col("c_ab") >= 3
+    )
+    uni = docs.select(F.explode(ta.tokens("text")).alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c_a")
+    )
+    return (
+        c_ab.withColumn("head", F.substring_index("bg", " ", 1))
+        .join(F.broadcast(uni), F.col("head") == F.col("tok"))
+        .select(
+            "bg",
+            F.round(F.col("c_ab").cast("double") / F.col("c_a").cast("double"), 6).alias(
+                "p_cond"
+            ),
+        )
+    )
+
+
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style domain importance weights (Xie et al. 2023,
+    arXiv:2302.03169): per-document mean log2 ratio of a target-domain
+    bigram LM (here: the ``lang = 'en'`` subset) to the full-corpus LM.
+    Positive → more target-like; importance resampling keeps documents
+    with probability ∝ 2^weight.
+
+    Scale shape: both LM tables are vocabulary-sized and broadcast; the
+    document side contributes one row per bigram to two broadcast-hash
+    joins — the corpus is never shuffled. Each log term quantizes to
+    integer micro-bits before the per-document sum (exact integer
+    aggregation, partition-order independent — the proven
+    ``corpus_bigram_surprisal`` discipline), one double division at the
+    end. Unseen bigrams floor at 1e-6 in either model."""
+    from etl_stream_spark.operators.dedup import _let
+
+    docs = _t(spark, sf_dir, "documents")
+    target_lm = _bigram_lm_over(docs.filter(F.col("lang") == "en")).select(
+        "bg", F.col("p_cond").alias("p_t")
+    )
+    source_lm = _bigram_lm_over(docs).select("bg", F.col("p_cond").alias("p_s"))
+    doc_bg = docs.select(
+        "doc_id",
+        F.explode(_let(ta.tokens("text"), lambda t: ta.token_ngrams(t, 2))).alias("bg"),
+    )
+    src_mb = F.round(-F.log2(F.coalesce(F.col("p_s"), F.lit(1e-6))) * 1e6, 0).cast("long")
+    tgt_mb = F.round(-F.log2(F.coalesce(F.col("p_t"), F.lit(1e-6))) * 1e6, 0).cast("long")
+    return (
+        doc_bg.join(F.broadcast(target_lm), "bg", "left")
+        .join(F.broadcast(source_lm), "bg", "left")
+        .select("doc_id", (src_mb - tgt_mb).alias("_mb"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("_mb").cast("double") / (F.count(F.lit(1)) * 1e6), 6
+            ).alias("mean_log2_ratio"),
+        )
+    )
+
+
+DSIR_SQL = f"""
+WITH toks AS ({TOKS_CTE}),
+bg_all AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM toks
+),
+s_ab AS (SELECT bg, COUNT(*) AS c FROM bg_all GROUP BY bg HAVING COUNT(*) >= 3),
+s_uni AS (SELECT unnest(t) AS tok FROM toks),
+s_a AS (SELECT tok, COUNT(*) AS c FROM s_uni GROUP BY tok),
+s_lm AS (
+  SELECT bg, ROUND(CAST(s_ab.c AS DOUBLE) / CAST(s_a.c AS DOUBLE), 6) AS p_s
+  FROM s_ab JOIN s_a ON split_part(bg, ' ', 1) = tok
+),
+t_bg AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM toks WHERE lang = 'en'
+),
+t_ab AS (SELECT bg, COUNT(*) AS c FROM t_bg GROUP BY bg HAVING COUNT(*) >= 3),
+t_uni AS (SELECT unnest(t) AS tok FROM toks WHERE lang = 'en'),
+t_a AS (SELECT tok, COUNT(*) AS c FROM t_uni GROUP BY tok),
+t_lm AS (
+  SELECT bg, ROUND(CAST(t_ab.c AS DOUBLE) / CAST(t_a.c AS DOUBLE), 6) AS p_t
+  FROM t_ab JOIN t_a ON split_part(bg, ' ', 1) = tok
+),
+scored AS (
+  SELECT doc_id,
+         CAST(round(-log2(COALESCE(p_s, 1e-6)) * 1e6) AS BIGINT)
+         - CAST(round(-log2(COALESCE(p_t, 1e-6)) * 1e6) AS BIGINT) AS mb
+  FROM bg_all LEFT JOIN t_lm USING (bg) LEFT JOIN s_lm USING (bg)
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(mb) AS DOUBLE) / (COUNT(*) * 1e6), 6) AS mean_log2_ratio
+FROM scored GROUP BY doc_id
+"""
+
+
 def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation filter funnel with per-stage survivor counts:
     total → exact-dedup canonical (min doc_id per fingerprint) →
@@ -3398,6 +3502,7 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_shuffle": QueryDef(corpus_shuffle, SHUFFLE_SQL),
     "corpus_bigram_lm": QueryDef(corpus_bigram_lm, BIGRAM_LM_SQL),
     "corpus_bigram_surprisal": QueryDef(corpus_bigram_surprisal, SURPRISAL_SQL),
+    "corpus_dsir_weights": QueryDef(corpus_dsir_weights, DSIR_SQL),
     "bpe_pair_counts": QueryDef(bpe_pair_counts, BPE_PAIRS_SQL),
     "cdc_schema_inference": QueryDef(cdc_schema_inference, INFER_SQL),
     "corpus_curation_funnel": QueryDef(corpus_curation_funnel, _funnel_sql()),
