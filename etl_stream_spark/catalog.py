@@ -2663,6 +2663,31 @@ FROM scored GROUP BY doc_id
 """
 
 
+def corpus_quality_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-engine quality-classifier training (FineWeb-Edu/DCLM shape):
+    learn a logistic keep/drop model over columnar text features with
+    exact-integer distributed gradients, then score the corpus with the
+    learned weights as one pure expression. Fully deterministic
+    (bit-identical weights at any partitioning — pinned by
+    ``tests/test_ml.py``) but the training loop is not SQL-expressible,
+    so this entry takes the rows-only driver check."""
+    from etl_stream_spark.operators.ml import logistic_score, logistic_train
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = ta.with_quality_score(docs).select(
+        "doc_id",
+        "stopword_ratio",
+        "punct_ratio",
+        F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0)).alias("len_frac"),
+        F.col("quality_keep").cast("int").alias("label"),
+    )
+    cols = ["stopword_ratio", "punct_ratio", "len_frac"]
+    w, b = logistic_train(feats, cols, "label", lr=2.0, epochs=10)
+    return logistic_score(feats, cols, w, b, out_col="model_p").select(
+        "doc_id", "model_p", (F.col("model_p") > 0.5).alias("model_keep")
+    )
+
+
 def _bigram_lm_over(docs: DataFrame) -> DataFrame:
     """Bigram LM table (bg, p_cond) over an arbitrary document subset —
     the corpus_bigram_lm recipe, parameterized for DSIR's two models."""
@@ -3503,6 +3528,7 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_bigram_lm": QueryDef(corpus_bigram_lm, BIGRAM_LM_SQL),
     "corpus_bigram_surprisal": QueryDef(corpus_bigram_surprisal, SURPRISAL_SQL),
     "corpus_dsir_weights": QueryDef(corpus_dsir_weights, DSIR_SQL),
+    "corpus_quality_trained": QueryDef(corpus_quality_trained, None),
     "bpe_pair_counts": QueryDef(bpe_pair_counts, BPE_PAIRS_SQL),
     "cdc_schema_inference": QueryDef(cdc_schema_inference, INFER_SQL),
     "corpus_curation_funnel": QueryDef(corpus_curation_funnel, _funnel_sql()),
