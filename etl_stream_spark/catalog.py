@@ -3629,19 +3629,22 @@ _DRIVER_PRIORITY = [
     # event-stream aggregations
     "hourly_event_rollup",
     "user_session_stats",
-    # text analysis
+    # text analysis (langid/redact variants trail past the window —
+    # token_stats/quality/repetition represent the family)
     "text_token_stats",
     "text_quality",
-    "text_langid",
     "text_repetition",
-    "text_redact",
-    # dedup
+    # dedup (exact, semantic, LSH candidates, components, survivors,
+    # SimHash, verified pairs — the full stack)
     "dedup_exact",
     "semantic_dedup",
     "dedup_lsh_pairs",
     "dedup_clusters",
+    "dedup_survivors",
     "dedup_simhash",
     "dedup_lsh_verified",
+    # domain reweighting (DSIR)
+    "corpus_dsir_weights",
     # similarity / ANN
     "knn_bruteforce",
     "ann_lsh_topk",
