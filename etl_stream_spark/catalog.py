@@ -1285,9 +1285,7 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     per document with its cluster, survivor flag, and cluster size — the
     table a 100 TB pipeline semi-joins the corpus against to emit the
     deduplicated training set."""
-    docs = _t(spark, sf_dir, "documents")
-    pairs = dd.minhash_lsh_pairs(docs, num_hashes=_NUM_HASHES, band_size=2)
-    clusters = dd.duplicate_clusters(docs, pairs)
+    clusters = dedup_clusters(spark, sf_dir)
     w = Window.partitionBy("cluster_id")
     return clusters.select(
         "doc_id",
@@ -1593,7 +1591,7 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEMDEDUP_COS = (
-    "ROUND(CAST(list_sum(list_transform(range(1, 65), i -> av[i] * bv[i])) AS DOUBLE)"
+    f"ROUND(CAST(list_sum(list_transform(range(1, {_DIMS + 1}), i -> av[i] * bv[i])) AS DOUBLE)"
     " / sqrt(CAST(list_sum(list_transform(av, x -> x * x)) AS DOUBLE)"
     " * CAST(list_sum(list_transform(bv, x -> x * x)) AS DOUBLE)), 6)"
 )
@@ -1822,6 +1820,17 @@ def _raw_schema(spark: SparkSession, sf_dir: str, table: str):
     return _RAW_SCHEMA_CACHE[key]
 
 
+
+def _await_or_raise(q, secs: int) -> None:
+    """availableNow queries must FINISH before the result is read —
+    ``awaitTermination`` returns False on timeout without raising, which
+    would silently hand back a partially-written result. Fail loudly and
+    stop the orphan instead."""
+    if not q.awaitTermination(secs):
+        q.stop()
+        raise TimeoutError(f"streaming query did not finish within {secs}s")
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table with ``ts`` normalized
     to a session-zoned TIMESTAMP whatever the parquet generation stored
@@ -1863,7 +1872,7 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_raise(q, 300)
     return spark.table(name)
 
 
@@ -1898,7 +1907,7 @@ def streaming_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_raise(q, 300)
     return spark.table(name)
 
 
@@ -1947,7 +1956,7 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_raise(q, 300)
     return spark.table(name)
 
 
@@ -1991,7 +2000,7 @@ def cdc_streaming_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    _await_or_raise(q, 600)
     state = applier.target("events_state").read()
     return state.select(
         "user_id",
@@ -2031,7 +2040,7 @@ def streaming_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_raise(q, 300)
     return spark.read.parquet(out)
 
 
@@ -2064,7 +2073,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_raise(q, 300)
     return spark.table(name)
 
 
@@ -2119,7 +2128,7 @@ def streaming_sustained_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_raise(q, 300)
     return spark.table(name).select(
         "source",
         "status",
@@ -2499,31 +2508,10 @@ def corpus_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram language-model table: P(b|a) = c(a,b)/c(a) for
     bigrams seen ≥ 3 times. Both aggregations carry pre-combined counts;
     the unigram side joins on the bigram's head token (broadcast — the
-    vocabulary is small relative to the corpus)."""
-    from etl_stream_spark.operators.dedup import _let
-
-    docs = _t(spark, sf_dir, "documents")
-    bg = docs.select(
-        F.explode(_let(ta.tokens("text"), lambda t: ta.token_ngrams(t, 2))).alias("bg")
-    )
-    c_ab = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_ab")).filter(
-        F.col("c_ab") >= 3
-    )
-    uni = docs.select(F.explode(ta.tokens("text")).alias("tok")).groupBy("tok").agg(
-        F.count(F.lit(1)).alias("c_a")
-    )
-    return (
-        c_ab.withColumn("head", F.substring_index("bg", " ", 1))
-        .join(F.broadcast(uni), F.col("head") == F.col("tok"))
-        .select(
-            "bg",
-            "c_ab",
-            "c_a",
-            F.round(F.col("c_ab").cast("double") / F.col("c_a").cast("double"), 6).alias(
-                "p_cond"
-            ),
-        )
-    )
+    vocabulary is small relative to the corpus). Delegates to
+    ``_bigram_lm_over`` — the single LM recipe shared with the
+    surprisal scorer and DSIR."""
+    return _bigram_lm_over(_t(spark, sf_dir, "documents"))
 
 
 BIGRAM_LM_SQL = f"""
@@ -2620,7 +2608,7 @@ def corpus_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(_let(ta.tokens("text"), lambda t: ta.token_ngrams(t, 2))).alias("bg"),
     )
-    p = F.coalesce(F.col("p_cond"), F.lit(1e-6))
+    p = F.greatest(F.coalesce(F.col("p_cond"), F.lit(1e-6)), F.lit(1e-6))
     micro_bits = F.round(-F.log2(p) * F.lit(1e6), 0).cast("long")
     return (
         doc_bg.join(F.broadcast(lm), "bg", "left")
@@ -2654,7 +2642,7 @@ lm AS (
 ),
 scored AS (
   SELECT doc_id,
-         CAST(round(-log2(COALESCE(p_cond, 1e-6)) * 1e6) AS BIGINT) AS mb
+         CAST(round(-log2(GREATEST(COALESCE(p_cond, 1e-6), 1e-6)) * 1e6) AS BIGINT) AS mb
   FROM bg_all LEFT JOIN lm USING (bg)
 )
 SELECT doc_id, COUNT(*) AS n_bigrams,
@@ -2689,8 +2677,10 @@ def corpus_quality_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bigram_lm_over(docs: DataFrame) -> DataFrame:
-    """Bigram LM table (bg, p_cond) over an arbitrary document subset —
-    the corpus_bigram_lm recipe, parameterized for DSIR's two models."""
+    """Bigram LM table (bg, c_ab, c_a, p_cond) over an arbitrary
+    document subset — THE one LM recipe (P(b|a) = c(a,b)/c(a), count
+    floor 3); ``corpus_bigram_lm``, the surprisal scorer, and DSIR's
+    target model all call this so they can never desynchronize."""
     from etl_stream_spark.operators.dedup import _let
 
     bg = docs.select(
@@ -2707,6 +2697,8 @@ def _bigram_lm_over(docs: DataFrame) -> DataFrame:
         .join(F.broadcast(uni), F.col("head") == F.col("tok"))
         .select(
             "bg",
+            "c_ab",
+            "c_a",
             F.round(F.col("c_ab").cast("double") / F.col("c_a").cast("double"), 6).alias(
                 "p_cond"
             ),
@@ -2739,8 +2731,11 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(_let(ta.tokens("text"), lambda t: ta.token_ngrams(t, 2))).alias("bg"),
     )
-    src_mb = F.round(-F.log2(F.coalesce(F.col("p_s"), F.lit(1e-6))) * 1e6, 0).cast("long")
-    tgt_mb = F.round(-F.log2(F.coalesce(F.col("p_t"), F.lit(1e-6))) * 1e6, 0).cast("long")
+    # GREATEST floor: a 6-dp-rounded p_cond can be exactly 0.0 when a
+    # head token is frequent enough (c_a > 6M at the 100 TB target) —
+    # -log2(0) would saturate the long cast on Spark and error on DuckDB
+    src_mb = F.round(-F.log2(F.greatest(F.coalesce(F.col("p_s"), F.lit(1e-6)), F.lit(1e-6))) * 1e6, 0).cast("long")
+    tgt_mb = F.round(-F.log2(F.greatest(F.coalesce(F.col("p_t"), F.lit(1e-6)), F.lit(1e-6))) * 1e6, 0).cast("long")
     return (
         doc_bg.join(F.broadcast(target_lm), "bg", "left")
         .join(F.broadcast(source_lm), "bg", "left")
@@ -2782,8 +2777,8 @@ t_lm AS (
 ),
 scored AS (
   SELECT doc_id,
-         CAST(round(-log2(COALESCE(p_s, 1e-6)) * 1e6) AS BIGINT)
-         - CAST(round(-log2(COALESCE(p_t, 1e-6)) * 1e6) AS BIGINT) AS mb
+         CAST(round(-log2(GREATEST(COALESCE(p_s, 1e-6), 1e-6)) * 1e6) AS BIGINT)
+         - CAST(round(-log2(GREATEST(COALESCE(p_t, 1e-6), 1e-6)) * 1e6) AS BIGINT) AS mb
   FROM bg_all LEFT JOIN t_lm USING (bg) LEFT JOIN s_lm USING (bg)
 )
 SELECT doc_id, COUNT(*) AS n_bigrams,
@@ -3477,7 +3472,7 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_or_raise(q, 300)
     return spark.table(name)
 
 

@@ -47,26 +47,35 @@ def logistic_train(
     micro-units, and one aggregate produces exact integer sums — the
     only driver-side data ever collected.
     """
+    # persist the narrow feature projection: without it every epoch (and
+    # the count) re-evaluates the full upstream lineage — feature
+    # engineering over the whole corpus times epochs+1
     data = ensure_parallelism(df).select(
         *[F.col(c).cast("double").alias(c) for c in feature_cols],
         F.col(label_col).cast("double").alias("_y"),
-    )
-    n = data.count()
-    if n == 0:
-        raise ValueError("empty training input")
-    weights = [0.0] * len(feature_cols)
-    bias = 0.0
-    for _ in range(epochs):
-        err = F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(feature_cols, weights, bias))) - F.col("_y")
-        aggs = [
-            F.sum(F.round(err * F.col(c) * GRAD_QUANT, 0).cast("long")).alias(f"_g_{i}")
-            for i, c in enumerate(feature_cols)
-        ] + [F.sum(F.round(err * GRAD_QUANT, 0).cast("long")).alias("_g_b")]
-        row = data.agg(*aggs).first()
-        weights = [
-            w - lr * row[f"_g_{i}"] / (n * GRAD_QUANT) for i, w in enumerate(weights)
-        ]
-        bias = bias - lr * row["_g_b"] / (n * GRAD_QUANT)
+    ).persist()
+    try:
+        n = data.count()
+        if n == 0:
+            raise ValueError("empty training input")
+        weights = [0.0] * len(feature_cols)
+        bias = 0.0
+        for _ in range(epochs):
+            err = (
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(feature_cols, weights, bias)))
+                - F.col("_y")
+            )
+            aggs = [
+                F.sum(F.round(err * F.col(c) * GRAD_QUANT, 0).cast("long")).alias(f"_g_{i}")
+                for i, c in enumerate(feature_cols)
+            ] + [F.sum(F.round(err * GRAD_QUANT, 0).cast("long")).alias("_g_b")]
+            row = data.agg(*aggs).first()
+            weights = [
+                w - lr * row[f"_g_{i}"] / (n * GRAD_QUANT) for i, w in enumerate(weights)
+            ]
+            bias = bias - lr * row["_g_b"] / (n * GRAD_QUANT)
+    finally:
+        data.unpersist()
     return weights, bias
 
 
