@@ -1558,6 +1558,86 @@ SELECT query_id, neighbor_id, adc_dist, rank FROM (
 """
 
 
+def user_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (per the retrieved EDBT'19 pattern):
+    each user's 30-day activity profile — daily value sums in exact
+    cents — becomes an integer vector; probe users rank the corpus by
+    cosine. Behavioral-cohort lookalike search over the events table.
+
+    Scale shape: one groupBy builds (user, day) partial sums map-side;
+    profiles assemble per user (a 30-long array — no pivot); the probe
+    side is a bounded broadcast, the corpus never shuffles for the
+    scoring join. All sums are integer cents; cosine is the shared
+    quantized-integer expression."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value").cast(DEC) * 100, 0).cast("long")
+    day = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+    daily = (
+        ev.select(F.col("user_id"), day.alias("d"), cents.alias("c"))
+        .filter((F.col("d") >= 0) & (F.col("d") < 30))
+        .groupBy("user_id", "d")
+        .agg(F.sum("c").alias("s"))
+    )
+    prof = daily.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("d", "s"))).alias("_m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(29)),
+        lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0).cast("long")),
+    )
+    prof = prof.select(F.col("user_id"), vec.alias("_v")).filter(
+        sim.int_norm_sq(F.col("_v")) > 0
+    )
+    q = prof.filter(F.col("user_id") <= 5).select(
+        F.col("user_id").alias("query_user"), F.col("_v").alias("_qv")
+    )
+    pairs = prof.join(
+        F.broadcast(q), F.col("query_user") != F.col("user_id")
+    ).select(
+        "query_user",
+        F.col("user_id").alias("similar_user"),
+        sim.cosine_from_quantized(F.col("_qv"), F.col("_v")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_user").orderBy(F.col("cos_sim").desc(), "similar_user")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_user", "similar_user", "cos_sim", "rank")
+    )
+
+
+PROFILE_SIM_SQL = """
+WITH daily AS (
+  SELECT user_id, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+         CAST(SUM(CAST(round(CAST(value AS DECIMAL(18,2)) * 100, 0) AS BIGINT)) AS BIGINT) AS s
+  FROM events
+  WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) BETWEEN 0 AND 29
+  GROUP BY 1, 2
+),
+grid AS (SELECT DISTINCT user_id FROM daily),
+days AS (SELECT CAST(unnest(range(0, 30)) AS BIGINT) AS d),
+vec AS (
+  SELECT g.user_id, list(COALESCE(daily.s, 0) ORDER BY days.d) AS v
+  FROM grid g CROSS JOIN days
+  LEFT JOIN daily ON daily.user_id = g.user_id AND daily.d = days.d
+  GROUP BY g.user_id
+),
+nz AS (SELECT * FROM vec WHERE list_sum(list_transform(v, x -> x * x)) > 0),
+p AS (
+  SELECT a.user_id AS query_user, b.user_id AS similar_user,
+         ROUND(CAST(list_sum(list_transform(range(1, 31), i -> a.v[i] * b.v[i])) AS DOUBLE)
+               / sqrt(CAST(list_sum(list_transform(a.v, x -> x * x)) AS DOUBLE)
+                      * CAST(list_sum(list_transform(b.v, x -> x * x)) AS DOUBLE)), 6) AS cos_sim
+  FROM nz a JOIN nz b ON a.user_id <= 5 AND b.user_id <> a.user_id
+)
+SELECT query_user, similar_user, cos_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_user
+                               ORDER BY cos_sim DESC, similar_user) AS rank
+  FROM p
+) WHERE rank <= 5
+"""
+
+
 def kmeans_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One k-means assignment round (deterministic init: vectors 0..7
     seed the centroids), exact integer squared-L2 argmin."""
@@ -3524,6 +3604,7 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_bigram_surprisal": QueryDef(corpus_bigram_surprisal, SURPRISAL_SQL),
     "corpus_dsir_weights": QueryDef(corpus_dsir_weights, DSIR_SQL),
     "corpus_quality_trained": QueryDef(corpus_quality_trained, None),
+    "user_profile_similarity": QueryDef(user_profile_similarity, PROFILE_SIM_SQL),
     "bpe_pair_counts": QueryDef(bpe_pair_counts, BPE_PAIRS_SQL),
     "cdc_schema_inference": QueryDef(cdc_schema_inference, INFER_SQL),
     "corpus_curation_funnel": QueryDef(corpus_curation_funnel, _funnel_sql()),
