@@ -2867,6 +2867,88 @@ FROM scored GROUP BY doc_id
 """
 
 
+def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users whose FIRST signup precedes
+    their first view precedes their first purchase (strict first-
+    occurrence chain — the standard product-analytics funnel). One
+    groupBy with conditional mins per step, one tiny rollup; shuffle
+    carries three timestamps per user at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    step = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    per_user = ev.groupBy("user_id").agg(
+        step("signup").alias("t_signup"),
+        step("view").alias("t_view"),
+        step("purchase").alias("t_purchase"),
+    )
+    s1 = F.col("t_signup").isNotNull()
+    s2 = s1 & (F.col("t_signup") < F.col("t_view"))
+    s3 = s2 & (F.col("t_view") < F.col("t_purchase"))
+    agg = per_user.agg(
+        *[
+            F.sum(F.when(c, 1).otherwise(0)).cast("long").alias(n)
+            for n, c in [("signup", s1), ("view_after", s2), ("purchase_after", s3)]
+        ]
+    )
+    return agg.select(
+        F.expr(
+            "stack(3, '1_signup', signup, '2_view_after_signup', view_after, "
+            "'3_purchase_after_view', purchase_after) as (stage, n_users)"
+        )
+    )
+
+
+FUNNEL_EVENTS_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+),
+f AS (
+  SELECT CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+         CAST(SUM(CASE WHEN t_signup < t_view THEN 1 ELSE 0 END) AS BIGINT) AS view_after,
+         CAST(SUM(CASE WHEN t_signup < t_view AND t_view < t_purchase THEN 1 ELSE 0 END) AS BIGINT) AS purchase_after
+  FROM per_user
+)
+SELECT '1_signup' AS stage, signup AS n_users FROM f
+UNION ALL SELECT '2_view_after_signup', view_after FROM f
+UNION ALL SELECT '3_purchase_after_view', purchase_after FROM f
+"""
+
+
+def corpus_difficulty_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning data ordering: documents bucketed into
+    difficulty deciles by LM surprisal (easy → hard), with per-decile
+    volume and boundary stats — the table a curriculum sampler reads to
+    schedule training data. Deterministic: ``ntile`` over (surprisal,
+    doc_id); the ranking shuffle carries two scalars per document."""
+    scored = corpus_bigram_surprisal(spark, sf_dir)
+    w = Window.orderBy("mean_surprisal_bits", "doc_id")
+    deciled = scored.withColumn("decile", F.ntile(10).over(w).cast("long"))
+    return deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("mean_surprisal_bits").alias("min_surprisal"),
+        F.max("mean_surprisal_bits").alias("max_surprisal"),
+        F.sum("n_bigrams").cast("long").alias("total_bigrams"),
+    )
+
+
+DECILES_SQL = f"""
+WITH scored AS ({SURPRISAL_SQL}),
+d AS (
+  SELECT *, NTILE(10) OVER (ORDER BY mean_surprisal_bits, doc_id) AS decile
+  FROM scored
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(mean_surprisal_bits) AS min_surprisal,
+       MAX(mean_surprisal_bits) AS max_surprisal,
+       CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams
+FROM d GROUP BY decile
+"""
+
+
 def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation filter funnel with per-stage survivor counts:
     total → exact-dedup canonical (min doc_id per fingerprint) →
@@ -3605,6 +3687,8 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_dsir_weights": QueryDef(corpus_dsir_weights, DSIR_SQL),
     "corpus_quality_trained": QueryDef(corpus_quality_trained, None),
     "user_profile_similarity": QueryDef(user_profile_similarity, PROFILE_SIM_SQL),
+    "corpus_difficulty_deciles": QueryDef(corpus_difficulty_deciles, DECILES_SQL),
+    "events_conversion_funnel": QueryDef(events_conversion_funnel, FUNNEL_EVENTS_SQL),
     "bpe_pair_counts": QueryDef(bpe_pair_counts, BPE_PAIRS_SQL),
     "cdc_schema_inference": QueryDef(cdc_schema_inference, INFER_SQL),
     "corpus_curation_funnel": QueryDef(corpus_curation_funnel, _funnel_sql()),
