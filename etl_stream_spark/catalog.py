@@ -3779,7 +3779,6 @@ _DRIVER_PRIORITY = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
-    "q10_returned_items",
     "q14_promo_revenue",
     "q18_large_orders",
     "order_priority_stats",
@@ -3822,6 +3821,7 @@ _DRIVER_PRIORITY = [
     "streaming_sustained_alerts",
     "streaming_enrichment",
     "streaming_stream_join",
+    "streaming_vector_search",
     # temporal joins
     "asof_latest_purchase",
     "user_value_resampled",
