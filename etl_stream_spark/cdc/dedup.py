@@ -31,10 +31,23 @@ def last_writer_wins(
     seq_col: str = SEQUENCE_COL,
     keep_rank_col: bool = False,
 ) -> DataFrame:
-    """Keep only the highest-sequence row per key."""
+    """Keep only the highest-sequence row per key.
+
+    Sequences are unique per key by construction (µs-epoch + row index,
+    or LSN) — but at-least-once redelivery CAN collide on an identical
+    sequence with a different body, and ``row_number`` with a tied sort
+    key picks by partition-internal order: nondeterministic across runs.
+    A content hash over all non-window columns breaks ties
+    deterministically (repo rule: explicit tie-breaks under every
+    row_number), so replaying the same batch always installs the same
+    survivor.
+    """
     if not keys:
         raise ValueError("last_writer_wins requires at least one key column")
-    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(F.col(seq_col).desc())
+    tie_break = F.xxhash64(*[F.col(c) for c in df.columns])
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        F.col(seq_col).desc(), tie_break.desc()
+    )
     ranked = df.withColumn(DEDUPE_RANK_COL, F.row_number().over(w))
     out = ranked.filter(F.col(DEDUPE_RANK_COL) == 1)
     return out if keep_rank_col else out.drop(DEDUPE_RANK_COL)

@@ -170,8 +170,13 @@ class ParquetMergeTable:
         keep = ~(src_wins & is_delete) & (matched | (src_wins & ~is_delete))
 
         def pick(col: str) -> F.Column:
-            b_side = F.col(f"b.{col}") if col in b_data else F.lit(None)
+            # a column absent from the batch SCHEMA keeps the target's
+            # value on matched update — Delta's whenMatchedUpdate(set=…)
+            # can only assign listed columns, so the parquet engine must
+            # match or the documented drop-in swap would change results.
+            # (A NULL *value* in a present column still overwrites.)
             t_side = F.col(f"t.{col}") if col in t_data else F.lit(None)
+            b_side = F.col(f"b.{col}") if col in b_data else t_side
             return F.when(src_wins & ~is_delete, b_side).otherwise(t_side).alias(col)
 
         key_exprs = [

@@ -21,6 +21,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors.exceptions.captured import AnalysisException
 
 from etl_stream_spark.cdc.envelope import OP_TRUNCATE, OPERATION_COL, SEQUENCE_COL
 from etl_stream_spark.cdc.merge import ParquetMergeTable
@@ -28,7 +29,14 @@ from etl_stream_spark.schema.identifiers import validate_identifier
 
 
 def apply_with_truncate_barrier(table: ParquetMergeTable, events: DataFrame) -> None:
-    """Apply one table's CDC events respecting TRUNCATE ordering (G8)."""
+    """Apply one table's CDC events respecting TRUNCATE ordering (G8).
+
+    Within one synchronous call nothing can observe the target between
+    segments, and a TRUNCATE erases everything the earlier segments
+    would have merged — so the pre-truncate segments are skipped
+    entirely (consecutive truncates collapse for free, the reference's
+    dedup at ``bigquery/core.rs:657-676``): one truncate, then one merge
+    of the events after the last barrier."""
     trunc_seqs = sorted(
         r[0]
         for r in events.filter(F.col(OPERATION_COL) == OP_TRUNCATE)
@@ -40,17 +48,8 @@ def apply_with_truncate_barrier(table: ParquetMergeTable, events: DataFrame) -> 
     if not trunc_seqs:
         table.merge(data)
         return
-    prev: str | None = None
-    for boundary in [*trunc_seqs, None]:
-        seg = data
-        if prev is not None:
-            seg = seg.filter(F.col(SEQUENCE_COL) > prev)
-        if boundary is not None:
-            seg = seg.filter(F.col(SEQUENCE_COL) < boundary)
-        table.merge(seg)  # no-op on empty segment (consecutive truncates)
-        if boundary is not None:
-            table.truncate()
-        prev = boundary
+    table.truncate()
+    table.merge(data.filter(F.col(SEQUENCE_COL) > trunc_seqs[-1]))
 
 
 @dataclass
@@ -152,11 +151,13 @@ class MergeTask:
 
     def run_once(self) -> str | None:
         """One merge cycle; returns the consumed watermark sequence, or
-        None when the landing was empty."""
-        try:
-            max_seq = self.landing.max_sequence()
-        except Exception:  # landing path not created yet — nothing landed
+        None when the landing was empty. A landing path that exists but
+        cannot be read is a REAL error (corrupt files, storage fault) and
+        raises — swallowing it would stall the merge loop silently while
+        events accumulate unmerged."""
+        if not self.landing.exists():
             return None
+        max_seq = self.landing.max_sequence()
         if max_seq == "0":
             return None
         batch = self.landing.read().filter(F.col(SEQUENCE_COL) <= max_seq)
@@ -185,24 +186,58 @@ class LandingTable:
             writer = writer.partitionBy(*self.partition_cols)
         writer.parquet(self.path)
 
+    def exists(self) -> bool:
+        fs_path = self.spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        p = fs_path(self.path)
+        return p.getFileSystem(conf).exists(p)
+
     def read(self) -> DataFrame:
-        return self.spark.read.option("mergeSchema", "true").parquet(self.path)
+        try:
+            return self.spark.read.option("mergeSchema", "true").parquet(self.path)
+        except AnalysisException:
+            # directory exists but holds no data files (fully purged) —
+            # schema inference fails at PLANNING time only in that case;
+            # real read faults (corrupt footers, storage errors) surface
+            # at execution as different exception types and still raise
+            return self.spark.createDataFrame([], "struct<>")
 
     def max_sequence(self) -> str:
         """``COALESCE(MAX(sequence), '0')`` watermark snapshot
         (``task.py:159-161``)."""
-        row = self.read().agg(F.coalesce(F.max(SEQUENCE_COL), F.lit("0"))).first()
-        return row[0]
+        df = self.read()
+        if not df.columns:
+            return "0"
+        return df.agg(F.coalesce(F.max(SEQUENCE_COL), F.lit("0"))).first()[0]
 
     def purge_upto(self, max_seq: str) -> None:
-        """Drop rows with sequence <= watermark (``task.py:186-189``) by
-        rewriting the retained remainder."""
-        retained = self.read().filter(F.col(SEQUENCE_COL) > max_seq)
-        tmp = self.path.rstrip("/") + "._purge_tmp"
-        retained.write.mode("overwrite").parquet(tmp)
-        fs_path = self.spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+        """Drop rows with sequence <= watermark (``task.py:186-189``).
+
+        Concurrent-append safe: the file set is SNAPSHOTTED first, the
+        retained remainder of exactly those files is written in as new
+        files, and only the snapshotted files are deleted — appends that
+        land during the rewrite are never touched (the earlier
+        delete-directory-and-swap form destroyed them). Crash window:
+        before the deletes, retained rows exist twice; the merge's
+        stale-sequence guard makes replaying them a no-op, so recovery
+        is re-running the purge.
+        """
+        snapshot = list(self.read().inputFiles())
+        if not snapshot:
+            return
+        retained = (
+            self.spark.read.option("mergeSchema", "true")
+            .option("basePath", self.path)
+            .parquet(*snapshot)
+            .filter(F.col(SEQUENCE_COL) > max_seq)
+        )
+        # write the remainder INTO the landing as a normal append (keeps
+        # the partition layout); empty remainder writes nothing
+        if not retained.isEmpty():
+            self.append(retained)
+        jvm = self.spark.sparkContext._jvm
         conf = self.spark.sparkContext._jsc.hadoopConfiguration()
-        src, dst = fs_path(tmp), fs_path(self.path)
-        fs = dst.getFileSystem(conf)
-        fs.delete(dst, True)
-        fs.rename(src, dst)
+        for f in snapshot:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            fs = p.getFileSystem(conf)
+            fs.delete(p, False)

@@ -69,6 +69,14 @@ class IncrementalRollup:
         row = state.agg(F.max(SEQ_STATE_COL).alias("m")).first()
         return int(row["m"]) if row and row["m"] is not None else 0
 
+    def _silver_df(self) -> DataFrame | None:
+        """Readable silver state, or None when the table is absent OR
+        exists-but-empty (every row deleted → the merge removed all
+        bucket files and ``read()`` degenerates to a zero-column frame
+        that would fail any column reference)."""
+        state = self.silver._read_state()
+        return None if state is None else self.silver.read()
+
     def touched_groups(self, batch: DataFrame) -> list[tuple]:
         """Group keys whose aggregates this batch can change, captured
         BEFORE the silver merge: the batch's own (non-null) groups plus
@@ -78,10 +86,11 @@ class IncrementalRollup:
         driver (bounded by batch key count) because the lazy pre-image
         lineage would read post-merge files if evaluated later."""
         batch_groups = batch.select(*self.group_cols).na.drop(how="any").distinct()
-        if self.silver.exists():
+        pre_src = self._silver_df()
+        if pre_src is not None:
             keys = batch.select(*self.silver.keys).distinct()
             pre = (
-                self.silver.read()
+                pre_src
                 .join(F.broadcast(keys), self.silver.keys, "left_semi")
                 .select(*self.group_cols)
                 .distinct()
@@ -108,15 +117,28 @@ class IncrementalRollup:
     def refresh_groups(self, touched_rows: list[tuple]) -> None:
         if not touched_rows:
             return
-        schema_src = self.silver.read() if self.silver.exists() else None
-        touched = self.spark.createDataFrame(
-            touched_rows,
-            schema_src.select(*self.group_cols).schema
-            if schema_src is not None
-            else ", ".join(f"{c} string" for c in self.group_cols),
-        )
+        schema_src = self._silver_df()
         if schema_src is None:
+            # silver fully emptied: every touched group vanished — gold
+            # must receive the DELETEs or it would serve stale aggregates
+            gold_state = self.gold._read_state()
+            if gold_state is None:
+                return  # nothing on either side
+            touched = self.spark.createDataFrame(
+                touched_rows, gold_state.select(*self.group_cols).schema
+            )
+            self._refresh_seq += 1
+            seq = F.lit(f"{self._refresh_seq:020d}")
+            deletes = touched.withColumn(OPERATION_COL, F.lit(OP_DELETE)).withColumn(
+                SEQUENCE_COL, seq
+            )
+            for name in self.aggs:
+                deletes = deletes.withColumn(name, F.lit(None))
+            self.gold.merge(deletes)
             return
+        touched = self.spark.createDataFrame(
+            touched_rows, schema_src.select(*self.group_cols).schema
+        )
         silver_rows = schema_src.join(F.broadcast(touched), self.group_cols, "inner")
         recomputed = silver_rows.groupBy(*self.group_cols).agg(
             *[build().alias(name) for name, build in self.aggs.items()]

@@ -130,8 +130,14 @@ def sustained_threshold_alerts(
             st, since, notified = state.get
             machine.import_state(source, (st, since, notified))
         fired = []
-        for pdf in pdfs:
-            for row in pdf.sort_values(ts_col).itertuples(index=False):
+        # pdfs is an iterator of Arrow CHUNKS of one key's rows; sorting
+        # each chunk alone would process time-regressing sequences when a
+        # key spans chunks (>maxRecordsPerBatch rows) — concat first, one
+        # global event-time sort per key
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = pd.concat(chunks, ignore_index=True)
+            for row in whole.sort_values(ts_col).itertuples(index=False):
                 payload = machine.observe(
                     source, float(getattr(row, size_col)), float(getattr(row, ts_col))
                 )

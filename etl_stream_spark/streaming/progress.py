@@ -32,6 +32,7 @@ class ProgressMetricsListener(StreamingQueryListener):
 
     def __init__(self, registry: MetricsRegistry) -> None:
         self.registry = registry
+        self._started_labels: dict[str, str] = {}  # runId → gauge label
         registry.describe("stream_input_rows_total", "Rows admitted per query")
         registry.describe("stream_batches_total", "Micro-batches completed")
         registry.describe("stream_batch_duration_ms", "Last batch duration")
@@ -42,9 +43,11 @@ class ProgressMetricsListener(StreamingQueryListener):
     # -- listener contract -------------------------------------------------
 
     def onQueryStarted(self, event) -> None:
-        self.registry.set_gauge(
-            "stream_active", 1.0, {"query": event.name or event.runId}
-        )
+        label = event.name or str(event.runId)
+        # terminated events carry only the runId — remember the label we
+        # used at start so the SAME gauge series is flipped to 0 later
+        self._started_labels[str(event.runId)] = label
+        self.registry.set_gauge("stream_active", 1.0, {"query": label})
 
     def onQueryProgress(self, event) -> None:
         p = event.progress
@@ -66,6 +69,6 @@ class ProgressMetricsListener(StreamingQueryListener):
         pass
 
     def onQueryTerminated(self, event) -> None:
-        # terminated events carry no name — flip every known active flag
-        # for this runId; name-labeled flags are handled by the manager
-        self.registry.set_gauge("stream_active", 0.0, {"query": str(event.runId)})
+        rid = str(event.runId)
+        label = self._started_labels.pop(rid, rid)
+        self.registry.set_gauge("stream_active", 0.0, {"query": label})

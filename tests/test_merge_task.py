@@ -134,3 +134,90 @@ class TestBucketedJoin:
         finally:
             spark.sql("DROP TABLE IF EXISTS bj_facts")
             spark.sql("DROP TABLE IF EXISTS bj_dims")
+
+
+class TestPurgeConcurrencyAndParity:
+    def test_purge_preserves_concurrent_appends(self, spark, tmp_path):
+        """Files appended between the merge's watermark snapshot and the
+        purge must survive — the review-identified data-loss window."""
+        from etl_stream_spark.cdc.pipeline import LandingTable
+
+        landing = LandingTable(spark, str(tmp_path / "l"))
+        seq = lambda i: f"{i:020d}"  # noqa: E731
+        landing.append(
+            spark.createDataFrame(
+                [(1, "a", "INSERT", seq(1)), (2, "b", "INSERT", seq(2))],
+                "id long, v string, operation string, sequence string",
+            )
+        )
+        # concurrent append lands AFTER the watermark was snapshotted
+        landing.append(
+            spark.createDataFrame(
+                [(3, "c", "INSERT", seq(3))],
+                "id long, v string, operation string, sequence string",
+            )
+        )
+        landing.purge_upto(seq(2))
+        left = {(r["id"], r["sequence"]) for r in landing.read().collect()}
+        assert left == {(3, seq(3))}
+
+    def test_update_batch_missing_column_preserves_target_value(self, spark, tmp_path):
+        """Parquet/Delta twin parity: a matched UPDATE from a batch whose
+        SCHEMA lacks a target column keeps the stored value (Delta's
+        whenMatchedUpdate can only assign listed columns)."""
+        from etl_stream_spark.cdc import OP_INSERT, OP_UPDATE, ParquetMergeTable
+
+        t = ParquetMergeTable(spark, str(tmp_path / "t"), keys=["id"], num_buckets=4)
+        seq = lambda i: f"{i:020d}"  # noqa: E731
+        t.merge(
+            spark.createDataFrame(
+                [(1, "v1", "keepme", OP_INSERT, seq(1))],
+                "id long, v string, email string, operation string, sequence string",
+            )
+        )
+        t.merge(
+            spark.createDataFrame(
+                [(1, "v2", OP_UPDATE, seq(2))],
+                "id long, v string, operation string, sequence string",
+            )
+        )
+        row = t.read().collect()[0]
+        assert row["v"] == "v2"
+        assert row["email"] == "keepme"  # not nulled by the narrower batch
+
+    def test_rollup_survives_fully_emptied_silver(self, spark, tmp_path):
+        """Deleting every silver row must propagate DELETEs to gold, not
+        crash on the zero-column empty state."""
+        from pyspark.sql import functions as F
+
+        from etl_stream_spark.cdc import OP_DELETE, OP_INSERT, ParquetMergeTable
+        from etl_stream_spark.cdc.rollup import IncrementalRollup
+
+        silver = ParquetMergeTable(spark, str(tmp_path / "s"), keys=["id"], num_buckets=4)
+        rollup = IncrementalRollup(
+            spark,
+            silver,
+            str(tmp_path / "g"),
+            group_cols=["grp"],
+            aggs={"n": lambda: F.count(F.lit(1)).cast("long")},
+        )
+        seq = lambda i: f"{i:020d}"  # noqa: E731
+        b1 = spark.createDataFrame(
+            [(1, "g1", OP_INSERT, seq(1)), (2, "g1", OP_INSERT, seq(2))],
+            "id long, grp string, operation string, sequence string",
+        )
+        rollup.merge_and_refresh(b1)
+        assert {(r["grp"], r["n"]) for r in rollup.read().collect()} == {("g1", 2)}
+        b2 = spark.createDataFrame(
+            [(1, None, OP_DELETE, seq(3)), (2, None, OP_DELETE, seq(4))],
+            "id long, grp string, operation string, sequence string",
+        )
+        rollup.merge_and_refresh(b2)  # silver now empty-but-existing
+        assert rollup.read().count() == 0
+        # and the next batch still works
+        b3 = spark.createDataFrame(
+            [(5, "g2", OP_INSERT, seq(5))],
+            "id long, grp string, operation string, sequence string",
+        )
+        rollup.merge_and_refresh(b3)
+        assert {(r["grp"], r["n"]) for r in rollup.read().collect()} == {("g2", 1)}
