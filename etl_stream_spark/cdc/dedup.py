@@ -44,7 +44,14 @@ def last_writer_wins(
     """
     if not keys:
         raise ValueError("last_writer_wins requires at least one key column")
-    tie_break = F.xxhash64(*[F.col(c) for c in df.columns])
+    # md5 (not xxhash64): the repo's hashing convention is engine-portable
+    # md5 so a DuckDB oracle CAN mirror the tie-break exactly:
+    # md5(concat_ws(chr(31), COALESCE(CAST(c AS VARCHAR), chr(0)), ...)).
+    # The null sentinel keeps ("a", NULL) and (NULL, "a") distinct.
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in df.columns
+    ]
+    tie_break = F.md5(F.concat_ws("\x1f", *parts))
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
         F.col(seq_col).desc(), tie_break.desc()
     )

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.errors.exceptions.captured import AnalysisException
 
 from etl_stream_spark.cdc.envelope import OP_TRUNCATE, OPERATION_COL, SEQUENCE_COL
-from etl_stream_spark.cdc.merge import ParquetMergeTable
+from etl_stream_spark.cdc.merge import ParquetMergeTable, _hadoop_fs, _hadoop_path
 from etl_stream_spark.schema.identifiers import validate_identifier
 
 
@@ -187,10 +187,8 @@ class LandingTable:
         writer.parquet(self.path)
 
     def exists(self) -> bool:
-        fs_path = self.spark.sparkContext._jvm.org.apache.hadoop.fs.Path
-        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
-        p = fs_path(self.path)
-        return p.getFileSystem(conf).exists(p)
+        fs, p = _hadoop_fs(self.spark, self.path)
+        return fs.exists(p)
 
     def read(self) -> DataFrame:
         try:
@@ -230,14 +228,15 @@ class LandingTable:
             .option("basePath", self.path)
             .parquet(*snapshot)
             .filter(F.col(SEQUENCE_COL) > max_seq)
+            .persist()  # isEmpty + append must not scan the snapshot twice
         )
-        # write the remainder INTO the landing as a normal append (keeps
-        # the partition layout); empty remainder writes nothing
-        if not retained.isEmpty():
-            self.append(retained)
-        jvm = self.spark.sparkContext._jvm
-        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        try:
+            # write the remainder INTO the landing as a normal append
+            # (keeps the partition layout); empty remainder writes nothing
+            if not retained.isEmpty():
+                self.append(retained)
+        finally:
+            retained.unpersist()
+        fs, _ = _hadoop_fs(self.spark, self.path)
         for f in snapshot:
-            p = jvm.org.apache.hadoop.fs.Path(f)
-            fs = p.getFileSystem(conf)
-            fs.delete(p, False)
+            fs.delete(_hadoop_path(self.spark, f), False)

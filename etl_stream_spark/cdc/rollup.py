@@ -74,8 +74,10 @@ class IncrementalRollup:
         exists-but-empty (every row deleted → the merge removed all
         bucket files and ``read()`` degenerates to a zero-column frame
         that would fail any column reference)."""
+        from etl_stream_spark.cdc.merge import BUCKET_COL
+
         state = self.silver._read_state()
-        return None if state is None else self.silver.read()
+        return None if state is None else state.drop(BUCKET_COL, SEQ_STATE_COL)
 
     def touched_groups(self, batch: DataFrame) -> list[tuple]:
         """Group keys whose aggregates this batch can change, captured

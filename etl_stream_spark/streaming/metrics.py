@@ -71,10 +71,10 @@ class MetricsRegistry:
                     lines.append(f"# HELP {name} {self._help[name]}")
                 lines.append(f"# TYPE {name} {kind}")
                 for labels, v, _ in sorted(families[name]):
-                    # full precision: '{:g}' keeps only 6 significant
-                    # digits, silently rounding counters past ~1e6 (a
-                    # 123456789-row counter would scrape as 1.23457e+08)
-                    lines.append(f"{name}{_fmt_labels(dict(labels))} {v:.17g}")
+                    # repr: shortest round-trip form — full precision
+                    # ('{:g}' keeps 6 significant digits, silently
+                    # rounding counters past ~1e6) without 17-digit noise
+                    lines.append(f"{name}{_fmt_labels(dict(labels))} {v!r}")
         return "\n".join(lines) + "\n"
 
 

@@ -33,6 +33,7 @@ class ProgressMetricsListener(StreamingQueryListener):
     def __init__(self, registry: MetricsRegistry) -> None:
         self.registry = registry
         self._started_labels: dict[str, str] = {}  # runId → gauge label
+        self._label_owner: dict[str, str] = {}  # gauge label → newest runId
         registry.describe("stream_input_rows_total", "Rows admitted per query")
         registry.describe("stream_batches_total", "Micro-batches completed")
         registry.describe("stream_batch_duration_ms", "Last batch duration")
@@ -45,8 +46,13 @@ class ProgressMetricsListener(StreamingQueryListener):
     def onQueryStarted(self, event) -> None:
         label = event.name or str(event.runId)
         # terminated events carry only the runId — remember the label we
-        # used at start so the SAME gauge series is flipped to 0 later
-        self._started_labels[str(event.runId)] = label
+        # used at start so the SAME gauge series is flipped to 0 later.
+        # The label OWNER is the newest run: a restarted query re-takes
+        # the label, and the old run's (async, possibly late) terminated
+        # event must not flip the live query's gauge to 0.
+        rid = str(event.runId)
+        self._started_labels[rid] = label
+        self._label_owner[label] = rid
         self.registry.set_gauge("stream_active", 1.0, {"query": label})
 
     def onQueryProgress(self, event) -> None:
@@ -71,4 +77,6 @@ class ProgressMetricsListener(StreamingQueryListener):
     def onQueryTerminated(self, event) -> None:
         rid = str(event.runId)
         label = self._started_labels.pop(rid, rid)
-        self.registry.set_gauge("stream_active", 0.0, {"query": label})
+        if self._label_owner.get(label, rid) == rid:
+            self._label_owner.pop(label, None)
+            self.registry.set_gauge("stream_active", 0.0, {"query": label})
