@@ -639,6 +639,176 @@ FROM (
 """
 
 
+def _snapshot_cutoff(ev: DataFrame, num: int, den: int) -> DataFrame:
+    """One-row DataFrame with ``_cutoff = floor(max(event_id)*num/den)``.
+
+    Broadcast-joined against the log so the snapshot point scales with
+    the data (no hard-coded ids that would pin the query to one SF);
+    the aggregate reduces to a single row, so the join is free.
+    """
+    return F.broadcast(
+        ev.agg(
+            F.floor(F.max("event_id") * num / F.lit(den)).cast("long").alias("_cutoff")
+        )
+    )
+
+
+def _state_at(ev: DataFrame, num: int, den: int) -> DataFrame:
+    """Merged target state after replaying the log up to the cutoff —
+    LWW dedup per key, delete-winners dropped (the G3+G4 pipeline of
+    ``cdc_final_state``, pinned at an earlier sequence)."""
+    env = with_cdc_metadata(ev, _op_col(), _seq_col(), timestamp=F.col("ts"))
+    snap = env.join(_snapshot_cutoff(ev, num, den)).filter(
+        F.col("event_id") <= F.col("_cutoff")
+    )
+    merged = last_writer_wins(snap, ["user_id"])
+    return merged.filter(F.col("operation") != "DELETE")
+
+
+def cdc_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: reconstruct the merged table AS OF an earlier
+    sequence (60% of the log) straight from the landing log — the
+    Delta/Iceberg ``VERSION AS OF`` analog for a landing-table CDC
+    design (reference keeps only current state,
+    ``etl-snowflake-py/etl_snowflake/task.py:154-190``; the log makes
+    every historical state reconstructible).
+
+    Scale: one cutoff aggregate (single-row broadcast), one window
+    shuffle on the key — identical cost profile to ``cdc_final_state``.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return _state_at(ev, 3, 5).select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        _dbl(F.col("value").cast(DEC)).alias("last_value"),
+        F.col("sequence").alias("asof_sequence"),
+    )
+
+
+POINT_IN_TIME_SQL = f"""
+WITH cut AS (SELECT CAST(FLOOR(MAX(event_id) * 3 / 5) AS BIGINT) AS c FROM events)
+SELECT user_id, event_type AS last_event_type,
+       CAST(ROUND(CAST(value AS DECIMAL(18,2)), 2) AS DOUBLE) AS last_value,
+       lpad(CAST(event_id AS VARCHAR), 20, '0') AS asof_sequence
+FROM (
+  SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events e, cut WHERE e.event_id <= cut.c
+) WHERE rn = 1 AND {_OP_CASE} <> 'DELETE'
+"""
+
+
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history from the CDC log: every
+    INSERT/UPDATE becomes a version row with a
+    ``[valid_from_seq, valid_to_seq)`` validity interval; the next
+    event on the key (including a DELETE) closes the interval, and an
+    open interval marks the current version. This is the standard
+    warehouse "history table" a CDC user derives from the landing log
+    the reference only ever collapses to current state.
+
+    Scale: a single window shuffle on the key; ``lead`` is frame-free
+    (no buffering beyond one row), so the pass is as cheap as the LWW
+    dedup itself.
+    """
+    ev = _t(spark, sf_dir, "events")
+    env = with_cdc_metadata(ev, _op_col(), _seq_col(), timestamp=F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("sequence")
+    hist = env.withColumn("valid_to_seq", F.lead("sequence").over(w))
+    return hist.filter(F.col("operation") != "DELETE").select(
+        "user_id",
+        F.col("sequence").alias("valid_from_seq"),
+        "valid_to_seq",
+        "event_type",
+        _dbl(F.col("value").cast(DEC)).alias("value"),
+        F.col("valid_to_seq").isNull().alias("is_current"),
+    )
+
+
+SCD2_SQL = f"""
+SELECT user_id, valid_from_seq, valid_to_seq, event_type, value,
+       (valid_to_seq IS NULL) AS is_current
+FROM (
+  SELECT user_id,
+         lpad(CAST(event_id AS VARCHAR), 20, '0') AS valid_from_seq,
+         lead(lpad(CAST(event_id AS VARCHAR), 20, '0'))
+           OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to_seq,
+         event_type,
+         CAST(ROUND(CAST(value AS DECIMAL(18,2)), 2) AS DOUBLE) AS value,
+         {_OP_CASE} AS op
+  FROM events
+) WHERE op <> 'DELETE'
+"""
+
+
+def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed between two table snapshots (Delta CDF analog):
+    diff the merged state at 40% of the log against the state at 80%,
+    classifying every key as INSERT (appeared), DELETE (disappeared)
+    or UPDATE (survived with a newer winning sequence). Unchanged keys
+    are dropped — the output is exactly what a downstream consumer
+    must re-process.
+
+    Scale: two LWW passes (each one window shuffle) + one full outer
+    join on the key; both sides are already partitioned by the key
+    from their windows, so the join reuses the exchange.
+    """
+    ev = _t(spark, sf_dir, "events")
+    a = _state_at(ev, 2, 5).select(
+        "user_id",
+        F.col("sequence").alias("old_sequence"),
+        _dbl(F.col("value").cast(DEC)).alias("old_value"),
+    )
+    b = _state_at(ev, 4, 5).select(
+        "user_id",
+        F.col("sequence").alias("new_sequence"),
+        _dbl(F.col("value").cast(DEC)).alias("new_value"),
+    )
+    diff = a.join(b, "user_id", "full_outer")
+    return diff.withColumn(
+        "change_type",
+        F.when(F.col("old_sequence").isNull(), "INSERT")
+        .when(F.col("new_sequence").isNull(), "DELETE")
+        .otherwise("UPDATE"),
+    ).filter(
+        F.col("old_sequence").isNull()
+        | F.col("new_sequence").isNull()
+        | (F.col("old_sequence") != F.col("new_sequence"))
+    ).select(
+        "user_id", "change_type", "old_sequence", "new_sequence",
+        "old_value", "new_value",
+    )
+
+
+CHANGE_FEED_SQL = f"""
+WITH cuts AS (
+  SELECT CAST(FLOOR(MAX(event_id) * 2 / 5) AS BIGINT) AS a,
+         CAST(FLOOR(MAX(event_id) * 4 / 5) AS BIGINT) AS b
+  FROM events
+), sa AS (
+  SELECT user_id, lpad(CAST(event_id AS VARCHAR), 20, '0') AS old_sequence,
+         CAST(ROUND(CAST(value AS DECIMAL(18,2)), 2) AS DOUBLE) AS old_value
+  FROM (
+    SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM events e, cuts WHERE e.event_id <= cuts.a
+  ) WHERE rn = 1 AND {_OP_CASE} <> 'DELETE'
+), sb AS (
+  SELECT user_id, lpad(CAST(event_id AS VARCHAR), 20, '0') AS new_sequence,
+         CAST(ROUND(CAST(value AS DECIMAL(18,2)), 2) AS DOUBLE) AS new_value
+  FROM (
+    SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM events e, cuts WHERE e.event_id <= cuts.b
+  ) WHERE rn = 1 AND {_OP_CASE} <> 'DELETE'
+)
+SELECT COALESCE(sa.user_id, sb.user_id) AS user_id,
+       CASE WHEN sa.user_id IS NULL THEN 'INSERT'
+            WHEN sb.user_id IS NULL THEN 'DELETE'
+            ELSE 'UPDATE' END AS change_type,
+       old_sequence, new_sequence, old_value, new_value
+FROM sa FULL OUTER JOIN sb ON sa.user_id = sb.user_id
+WHERE sa.user_id IS NULL OR sb.user_id IS NULL OR old_sequence <> new_sequence
+"""
+
+
 # --------------------------------------------------------------------------
 # Text analysis (documents table)
 # --------------------------------------------------------------------------
@@ -3668,6 +3838,9 @@ CATALOG: dict[str, QueryDef] = {
     "cdc_json_props": QueryDef(cdc_json_props, JSON_PROPS_SQL),
     "cdc_latest_event": QueryDef(cdc_latest_event, CDC_LATEST_SQL),
     "cdc_final_state": QueryDef(cdc_final_state, CDC_FINAL_SQL),
+    "cdc_point_in_time": QueryDef(cdc_point_in_time, POINT_IN_TIME_SQL),
+    "cdc_scd2_history": QueryDef(cdc_scd2_history, SCD2_SQL),
+    "cdc_change_feed": QueryDef(cdc_change_feed, CHANGE_FEED_SQL),
     # text analysis
     "text_token_stats": QueryDef(text_token_stats, TOKEN_STATS_SQL),
     "text_quality": QueryDef(text_quality, QUALITY_SQL),
