@@ -748,34 +748,62 @@ def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     are dropped — the output is exactly what a downstream consumer
     must re-process.
 
-    Scale: two LWW passes (each one window shuffle) + one full outer
-    join on the key; both sides are already partitioned by the key
-    from their windows, so the join reuses the exchange.
+    Scale: both snapshot winners come from ONE log scan and ONE
+    aggregation shuffle — ``max`` over an event_id-led struct is a
+    conditional last-writer-wins that combines map-side (``max``
+    ignores NULLs, so the ≤40% winner is just the max over a ``when``
+    guard). No windows, no self-join: 100 TB cost is a single partial
+    agg per key, versus 2 window sorts + a join for the naive plan.
     """
     ev = _t(spark, sf_dir, "events")
-    a = _state_at(ev, 2, 5).select(
-        "user_id",
-        F.col("sequence").alias("old_sequence"),
-        _dbl(F.col("value").cast(DEC)).alias("old_value"),
+    cuts = F.broadcast(
+        ev.agg(
+            F.floor(F.max("event_id") * 2 / F.lit(5)).cast("long").alias("_a"),
+            F.floor(F.max("event_id") * 4 / F.lit(5)).cast("long").alias("_b"),
+        )
     )
-    b = _state_at(ev, 4, 5).select(
-        "user_id",
-        F.col("sequence").alias("new_sequence"),
-        _dbl(F.col("value").cast(DEC)).alias("new_value"),
+    env = with_cdc_metadata(ev, _op_col(), _seq_col(), timestamp=F.col("ts"))
+    payload = F.struct(
+        F.col("event_id"), F.col("sequence"), F.col("operation"), F.col("value")
     )
-    diff = a.join(b, "user_id", "full_outer")
-    return diff.withColumn(
-        "change_type",
-        F.when(F.col("old_sequence").isNull(), "INSERT")
-        .when(F.col("new_sequence").isNull(), "DELETE")
-        .otherwise("UPDATE"),
-    ).filter(
-        F.col("old_sequence").isNull()
-        | F.col("new_sequence").isNull()
-        | (F.col("old_sequence") != F.col("new_sequence"))
-    ).select(
-        "user_id", "change_type", "old_sequence", "new_sequence",
-        "old_value", "new_value",
+    winners = (
+        env.join(cuts)
+        .filter(F.col("event_id") <= F.col("_b"))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_id") <= F.col("_a"), payload)).alias("o"),
+            F.max(payload).alias("n"),
+        )
+    )
+    alive = lambda c: c.isNotNull() & (c["operation"] != "DELETE")  # noqa: E731
+    diff = winners.select(
+        "user_id",
+        F.when(alive(F.col("o")), F.col("o")).alias("o"),
+        F.when(alive(F.col("n")), F.col("n")).alias("n"),
+    )
+    return (
+        diff.withColumn(
+            "change_type",
+            F.when(F.col("o").isNull() & F.col("n").isNotNull(), "INSERT")
+            .when(F.col("o").isNotNull() & F.col("n").isNull(), "DELETE")
+            .otherwise("UPDATE"),
+        )
+        .filter(
+            (F.col("o").isNull() != F.col("n").isNull())
+            | (
+                F.col("o").isNotNull()
+                & F.col("n").isNotNull()
+                & (F.col("o")["sequence"] != F.col("n")["sequence"])
+            )
+        )
+        .select(
+            "user_id",
+            "change_type",
+            F.col("o")["sequence"].alias("old_sequence"),
+            F.col("n")["sequence"].alias("new_sequence"),
+            _dbl(F.col("o")["value"].cast(DEC)).alias("old_value"),
+            _dbl(F.col("n")["value"].cast(DEC)).alias("new_value"),
+        )
     )
 
 
