@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from etl_stream_spark.cdc.dedup import last_writer_wins
+from etl_stream_spark.cdc.dedup import last_writer_wins, last_writer_wins_agg
 from etl_stream_spark.cdc.envelope import with_cdc_metadata
 from etl_stream_spark.operators import corpus as cp
 from etl_stream_spark.operators import dedup as dd
@@ -618,7 +618,7 @@ def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     the merged target state after replaying the log."""
     ev = _t(spark, sf_dir, "events")
     env = with_cdc_metadata(ev, _op_col(), _seq_col(), timestamp=F.col("ts"))
-    merged = last_writer_wins(env, ["user_id"])
+    merged = last_writer_wins_agg(env, ["user_id"])
     return merged.filter(F.col("operation") != "DELETE").select(
         "user_id",
         F.col("event_type").alias("last_event_type"),
@@ -661,7 +661,7 @@ def _state_at(ev: DataFrame, num: int, den: int) -> DataFrame:
     snap = env.join(_snapshot_cutoff(ev, num, den)).filter(
         F.col("event_id") <= F.col("_cutoff")
     )
-    merged = last_writer_wins(snap, ["user_id"])
+    merged = last_writer_wins_agg(snap, ["user_id"])
     return merged.filter(F.col("operation") != "DELETE")
 
 

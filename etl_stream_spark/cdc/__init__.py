@@ -1,7 +1,7 @@
 """CDC core: envelope projection, last-writer-wins dedup, merge engine,
 truncate barrier (SURVEY.md §2.4 G1-G5, G8)."""
 
-from etl_stream_spark.cdc.dedup import last_writer_wins
+from etl_stream_spark.cdc.dedup import last_writer_wins, last_writer_wins_agg
 from etl_stream_spark.cdc.envelope import (
     OP_DELETE,
     OP_INSERT,
@@ -37,6 +37,7 @@ __all__ = [
     "apply_with_truncate_barrier",
     "effective_row",
     "last_writer_wins",
+    "last_writer_wins_agg",
     "make_sequence",
     "with_cdc_metadata",
 ]

@@ -58,3 +58,42 @@ def last_writer_wins(
     ranked = df.withColumn(DEDUPE_RANK_COL, F.row_number().over(w))
     out = ranked.filter(F.col(DEDUPE_RANK_COL) == 1)
     return out if keep_rank_col else out.drop(DEDUPE_RANK_COL)
+
+
+def last_writer_wins_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    seq_col: str = SEQUENCE_COL,
+) -> DataFrame:
+    """Aggregation-based LWW: picks the same survivor as
+    :func:`last_writer_wins` (same sequence ordering, same md5
+    tie-break), expressed as ``max`` over a ``(seq, tie, row)`` struct.
+
+    Why a second form: ``max`` is partial-aggregatable, so each map
+    task pre-reduces to one candidate per key and the shuffle carries
+    ~|keys| rows instead of the whole log — the right plan for full-log
+    replays (time travel, final-state reconstruction) where the input
+    is every event ever written. The window form remains the per-batch
+    operator: there the batch is small and its key-shuffle is reused
+    by the merge join that follows.
+
+    Struct comparison is field-by-field, so ``max`` orders by sequence
+    first and the tie-break hash second — exactly the window's
+    ``ORDER BY seq DESC, tie DESC`` with rank 1.
+    """
+    if not keys:
+        raise ValueError("last_writer_wins_agg requires at least one key column")
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in df.columns
+    ]
+    tie_break = F.md5(F.concat_ws("\x1f", *parts))
+    packed = F.struct(
+        F.col(seq_col).alias("_seq"),
+        tie_break.alias("_tie"),
+        F.struct(*[F.col(c) for c in df.columns]).alias("_row"),
+    )
+    return (
+        df.groupBy(*[F.col(k) for k in keys])
+        .agg(F.max(packed).alias("_w"))
+        .select("_w._row.*")
+    )

@@ -86,3 +86,34 @@ def test_random_log_converges_to_oracle_state(spark, tmp_path_factory, log, cuts
 
     got = {r["id"]: r["payload"] for r in table.read().collect()}
     assert got == {k: p for k, (p, _) in expected.items()}
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from([1, 2, 3, 4]),          # key
+            st.integers(min_value=0, max_value=3),  # sequence (ties likely)
+            st.one_of(st.none(), st.integers(min_value=0, max_value=5)),  # payload
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_lww_agg_matches_window_form(spark, rows):
+    """The aggregation-based LWW must install the exact survivor the
+    window form does — including on duplicated sequences, where both
+    fall back to the md5 content tie-break, and NULL payloads."""
+    from etl_stream_spark.cdc.dedup import last_writer_wins, last_writer_wins_agg
+
+    df = spark.createDataFrame(
+        [(k, f"{s:020d}", v) for k, s, v in rows],
+        "id long, sequence string, v long",
+    )
+    win = {tuple(r) for r in last_writer_wins(df, ["id"]).collect()}
+    agg = {tuple(r) for r in last_writer_wins_agg(df, ["id"]).collect()}
+    assert agg == win
