@@ -740,6 +740,38 @@ FROM (
 """
 
 
+def cdc_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental SCD2 engine end-to-end: replay the event log in
+    four sequential micro-batches through :class:`Scd2Table`
+    (append-only closed zone + merge-table open zone) — the final
+    history must be batching-invariant, so the oracle is the same SQL
+    as the full-log derivation (``cdc_scd2_history``)."""
+    from etl_stream_spark.cdc.scd2 import Scd2Table
+
+    _ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    env = with_cdc_metadata(ev, _op_col(), _seq_col(), timestamp=F.col("ts")).select(
+        "user_id", "event_id", "event_type", "value", "operation", "sequence"
+    )
+    hi = env.agg(F.max("event_id")).collect()[0][0] or 0
+    root = tempfile.mkdtemp(prefix="cdc_scd2_")
+    t = Scd2Table(spark, os.path.join(root, "hist"), keys=["user_id"], num_buckets=8)
+    bounds = [hi * i // 4 for i in range(5)]
+    for lo, b in zip(bounds, bounds[1:]):
+        chunk = env.filter(
+            (F.col("event_id") > F.lit(lo)) & (F.col("event_id") <= F.lit(b))
+        ).drop("event_id")
+        t.apply_batch(chunk)
+    return t.read().select(
+        "user_id",
+        "valid_from_seq",
+        "valid_to_seq",
+        "event_type",
+        _dbl(F.col("value").cast(DEC)).alias("value"),
+        "is_current",
+    )
+
+
 def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change feed between two table snapshots (Delta CDF analog):
     diff the merged state at 40% of the log against the state at 80%,
@@ -3868,6 +3900,7 @@ CATALOG: dict[str, QueryDef] = {
     "cdc_final_state": QueryDef(cdc_final_state, CDC_FINAL_SQL),
     "cdc_point_in_time": QueryDef(cdc_point_in_time, POINT_IN_TIME_SQL),
     "cdc_scd2_history": QueryDef(cdc_scd2_history, SCD2_SQL),
+    "cdc_scd2_incremental": QueryDef(cdc_scd2_incremental, SCD2_SQL),
     "cdc_change_feed": QueryDef(cdc_change_feed, CHANGE_FEED_SQL),
     # text analysis
     "text_token_stats": QueryDef(text_token_stats, TOKEN_STATS_SQL),

@@ -2,6 +2,7 @@
 truncate barrier (SURVEY.md §2.4 G1-G5, G8)."""
 
 from etl_stream_spark.cdc.dedup import last_writer_wins, last_writer_wins_agg
+from etl_stream_spark.cdc.scd2 import Scd2Table
 from etl_stream_spark.cdc.envelope import (
     OP_DELETE,
     OP_INSERT,
@@ -38,6 +39,7 @@ __all__ = [
     "effective_row",
     "last_writer_wins",
     "last_writer_wins_agg",
+    "Scd2Table",
     "make_sequence",
     "with_cdc_metadata",
 ]

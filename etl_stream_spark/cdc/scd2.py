@@ -1,0 +1,217 @@
+"""Incremental SCD Type-2 history maintenance.
+
+The batch derivation (catalog ``cdc_scd2_history``) re-derives the whole
+history from the full log each run; this class maintains the identical
+history *incrementally* under the CDC micro-batch contract (rows with
+OPERATION/SEQUENCE metadata, the envelope of
+``etl-snowflake-py/etl_snowflake/client.py:598-609``): each key's
+current version row carries an open ``[valid_from_seq, NULL)`` interval,
+a newer event closes it at that event's sequence, DELETE closes without
+opening, and out-of-order (stale) events are rejected exactly like the
+MERGE engine's stale guard (``cdc/merge.py``).
+
+Storage — the scale design, two zones:
+
+* ``closed/`` — append-only parquet of finished versions. A closed
+  version is immutable, so the ever-growing history is never rewritten:
+  each batch only APPENDS the versions it closes. At 100 TB of history
+  this is the property that matters — cost per batch is O(changes),
+  independent of history length.
+* ``open/`` — one row per live key (the current version), which is
+  exactly the CDC MERGE shape, so it IS a :class:`ParquetMergeTable`
+  (hash-bucketed, bucket-pruned rewrites, stale-sequence guard,
+  emptied-bucket cleanup — all inherited, and the documented Delta/
+  Iceberg swap seam applies unchanged).
+
+Per-batch dataflow: one key-shuffle of the (small) batch for the
+within-batch ordering, one bucket-pruned read of the open zone to close
+prior versions, one append, one bounded MERGE. No driver-side data
+collects beyond the merge engine's bucket-id list.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_stream_spark.cdc.envelope import (
+    OP_DELETE,
+    OP_INSERT,
+    OPERATION_COL,
+    SEQUENCE_COL,
+    TIMESTAMP_COL,
+)
+from etl_stream_spark.cdc.merge import SEQ_STATE_COL, ParquetMergeTable
+
+VALID_FROM_COL = "valid_from_seq"
+VALID_TO_COL = "valid_to_seq"
+IS_CURRENT_COL = "is_current"
+
+_META = (OPERATION_COL, SEQUENCE_COL, TIMESTAMP_COL)
+
+
+def _tie_break(df: DataFrame) -> F.Column:
+    """Deterministic order among equal sequences — the md5 content hash
+    of :func:`~etl_stream_spark.cdc.dedup.last_writer_wins` (same
+    convention: the replayed batch always produces the same history)."""
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in df.columns
+    ]
+    return F.md5(F.concat_ws("\x1f", *parts))
+
+
+class Scd2Table:
+    """A PK-keyed SCD Type-2 history table fed by CDC micro-batches."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: Sequence[str],
+        num_buckets: int = 32,
+    ) -> None:
+        if not keys:
+            raise ValueError("Scd2Table requires at least one key column")
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.keys = list(keys)
+        self.open = ParquetMergeTable(
+            spark, f"{self.path}/open", keys, num_buckets=num_buckets
+        )
+        self.closed_path = f"{self.path}/closed"
+
+    # -- reads -------------------------------------------------------------
+
+    def _read_closed(self) -> DataFrame | None:
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        try:
+            return self.spark.read.parquet(self.closed_path)
+        except AnalysisException:
+            return None
+
+    def read(self) -> DataFrame:
+        """Full history: closed versions ∪ open (current) versions, with
+        ``is_current`` derived from the open interval."""
+        open_df = self.open.read()
+        if not open_df.columns:
+            cur = None
+        else:
+            cur = open_df.withColumn(VALID_TO_COL, F.lit(None).cast("string"))
+        closed = self._read_closed()
+        if cur is None and closed is None:
+            return self.spark.createDataFrame([], "struct<>")
+        if cur is None:
+            hist = closed
+        elif closed is None:
+            hist = cur
+        else:
+            hist = closed.unionByName(cur, allowMissingColumns=True)
+        return hist.withColumn(IS_CURRENT_COL, F.col(VALID_TO_COL).isNull())
+
+    # -- the batch apply ---------------------------------------------------
+
+    def apply_batch(self, batch: DataFrame) -> None:
+        """Apply one CDC micro-batch to the history.
+
+        Semantics (identical to the full-log derivation): events are
+        ordered by (sequence, content-hash); each event closes the
+        key's open interval at its sequence; INSERT/UPDATE then opens a
+        new version; DELETE leaves the key closed. Events at or below
+        the key's open ``valid_from_seq`` are stale and dropped.
+        """
+        for c in (TIMESTAMP_COL,):
+            if c in batch.columns:
+                batch = batch.drop(c)
+        payload_cols = [
+            c for c in batch.columns if c not in self.keys and c not in _META
+        ]
+
+        # Prior open versions for the batch's keys: prune the open-zone
+        # scan to the batch's buckets via the merge table's own bucket
+        # expression (the collect is bucket IDs — bounded, not data).
+        from etl_stream_spark.cdc.merge import BUCKET_COL
+
+        touched = [
+            r[0]
+            for r in batch.select(self.open._bucket_expr().alias(BUCKET_COL))
+            .distinct()
+            .collect()
+        ]
+        state = self.open._read_state(buckets=touched) if touched else None
+        prior_k = (
+            state.select(
+                *self.keys, F.col(VALID_FROM_COL).alias("_prior_from"), *payload_cols
+            )
+            if state is not None
+            else None
+        )
+
+        # Stale guard: drop events at/below the open version's start.
+        if prior_k is not None:
+            guarded = batch.join(
+                prior_k.select(*self.keys, "_prior_from"), on=self.keys, how="left"
+            ).filter(
+                F.col("_prior_from").isNull()
+                | (F.col(SEQUENCE_COL) > F.col("_prior_from"))
+            )
+        else:
+            guarded = batch.withColumn("_prior_from", F.lit(None).cast("string"))
+
+        # Within-batch ordering: each event is closed by the next one.
+        w = Window.partitionBy(*self.keys).orderBy(
+            F.col(SEQUENCE_COL).asc(), _tie_break(batch).asc()
+        )
+        ordered = guarded.withColumn("_next", F.lead(SEQUENCE_COL).over(w))
+        ordered = ordered.persist()
+        try:
+            # 1. Close prior open versions at the key's first fresh event.
+            firsts = ordered.groupBy(*self.keys).agg(
+                F.min(SEQUENCE_COL).alias("_first")
+            )
+            newly_closed = []
+            if prior_k is not None:
+                closed_prior = prior_k.join(firsts, on=self.keys, how="inner").select(
+                    *self.keys,
+                    *payload_cols,
+                    F.col("_prior_from").alias(VALID_FROM_COL),
+                    F.col("_first").alias(VALID_TO_COL),
+                )
+                newly_closed.append(closed_prior)
+
+            # 2. Batch-internal versions closed by a later batch event.
+            closed_internal = (
+                ordered.filter(
+                    (F.col(OPERATION_COL) != OP_DELETE) & F.col("_next").isNotNull()
+                )
+                .select(
+                    *self.keys,
+                    *payload_cols,
+                    F.col(SEQUENCE_COL).alias(VALID_FROM_COL),
+                    F.col("_next").alias(VALID_TO_COL),
+                )
+            )
+            newly_closed.append(closed_internal)
+            to_append = newly_closed[0]
+            for extra in newly_closed[1:]:
+                to_append = to_append.unionByName(extra)
+            to_append.write.mode("append").parquet(self.closed_path)
+
+            # 3. New open state: the key's last fresh event — INSERT/UPDATE
+            #    upserts the new current version, DELETE removes the key.
+            #    The merge table's LWW + stale guard are inert here (one
+            #    row per key, already guarded) but harmless.
+            last = ordered.filter(F.col("_next").isNull()).select(
+                *self.keys,
+                *payload_cols,
+                F.col(SEQUENCE_COL).alias(VALID_FROM_COL),
+                F.when(F.col(OPERATION_COL) == OP_DELETE, OP_DELETE)
+                .otherwise(OP_INSERT)
+                .alias(OPERATION_COL),
+                F.col(SEQUENCE_COL).alias(SEQUENCE_COL),
+            )
+            self.open.merge(last)
+        finally:
+            ordered.unpersist()

@@ -1,0 +1,110 @@
+"""Incremental SCD2 maintenance (`cdc/scd2.py`) — the replayed history
+must equal the sequential oracle no matter how the log is cut into
+micro-batches, and stale cross-batch events must be rejected."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etl_stream_spark.cdc import OP_DELETE, OP_INSERT, OP_UPDATE, Scd2Table
+
+KEYS = [1, 2, 3]
+OPS = [OP_INSERT, OP_UPDATE, OP_DELETE]
+
+event_st = st.tuples(
+    st.sampled_from(OPS),
+    st.sampled_from(KEYS),
+    st.integers(min_value=0, max_value=9),
+)
+log_st = st.lists(event_st, min_size=1, max_size=12)
+cuts_st = st.lists(st.integers(min_value=1, max_value=11), max_size=3, unique=True)
+
+
+def seq(i: int) -> str:
+    return f"{i:020d}"
+
+
+def oracle_history(events):
+    """Sequential replay: each event closes the key's open interval at
+    its sequence; INSERT/UPDATE opens a new version, DELETE does not.
+    Returns {(key, valid_from): (payload, valid_to)}."""
+    versions: dict[tuple[int, str], tuple[int, str | None]] = {}
+    open_at: dict[int, str] = {}
+    for op, key, payload, s in events:
+        if key in open_at:
+            frm = open_at.pop(key)
+            pay, _ = versions[(key, frm)]
+            versions[(key, frm)] = (pay, s)
+        if op != OP_DELETE:
+            versions[(key, s)] = (payload, None)
+            open_at[key] = s
+    return versions
+
+
+def replay(spark, tmp, events, cut_points):
+    t = Scd2Table(spark, f"{tmp}/scd2_{uuid.uuid4().hex}", keys=["id"], num_buckets=4)
+    bounds = sorted({c for c in cut_points if c < len(events)}) + [len(events)]
+    start = 0
+    for end in bounds:
+        if end <= start:
+            continue
+        chunk = events[start:end]
+        start = end
+        df = spark.createDataFrame(
+            [(k, p, op, s) for op, k, p, s in chunk],
+            "id long, v long, operation string, sequence string",
+        )
+        t.apply_batch(df)
+    return t
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(log=log_st, cuts=cuts_st)
+def test_incremental_history_matches_sequential_oracle(spark, tmp_path, log, cuts):
+    events = [(op, k, p, seq(i + 1)) for i, (op, k, p) in enumerate(log)]
+    t = replay(spark, str(tmp_path), events, cuts)
+    got = {
+        (r["id"], r["valid_from_seq"]): (r["v"], r["valid_to_seq"])
+        for r in t.read().collect()
+    }
+    assert got == oracle_history(events)
+
+
+def test_is_current_flags_and_delete_closure(spark, tmp_path):
+    events = [
+        (OP_INSERT, 1, 10, seq(1)),
+        (OP_UPDATE, 1, 11, seq(2)),
+        (OP_INSERT, 2, 20, seq(3)),
+        (OP_DELETE, 2, 0, seq(4)),
+    ]
+    t = replay(spark, str(tmp_path), events, [2])
+    rows = {(r["id"], r["valid_from_seq"]): r for r in t.read().collect()}
+    assert rows[(1, seq(1))]["valid_to_seq"] == seq(2)
+    assert not rows[(1, seq(1))]["is_current"]
+    assert rows[(1, seq(2))]["valid_to_seq"] is None
+    assert rows[(1, seq(2))]["is_current"]
+    # deleted key: version closed at the delete, nothing current
+    assert rows[(2, seq(3))]["valid_to_seq"] == seq(4)
+    assert not any(r["is_current"] for (k, _), r in rows.items() if k == 2)
+
+
+def test_stale_cross_batch_event_rejected(spark, tmp_path):
+    t = Scd2Table(spark, str(tmp_path / "t"), keys=["id"], num_buckets=4)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "id long, v long, operation string, sequence string"
+    )
+    t.apply_batch(mk([(1, 10, OP_INSERT, seq(5))]))
+    # stale update (older than the open version) must not rewrite history
+    t.apply_batch(mk([(1, 99, OP_UPDATE, seq(3))]))
+    rows = t.read().collect()
+    assert len(rows) == 1
+    assert rows[0]["v"] == 10 and rows[0]["valid_from_seq"] == seq(5)
+    assert rows[0]["is_current"]
