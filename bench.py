@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "user_session_stats",
     "cdc_latest_event",
     "cdc_final_state",
+    "cdc_point_in_time",
+    "cdc_change_feed",
     "text_token_stats",
     "text_quality",
     "dedup_exact",

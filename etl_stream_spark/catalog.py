@@ -4000,7 +4000,8 @@ CATALOG.update({name: QueryDef(fn, sql) for name, fn, sql in _EXTRA})
 #: flagship CDC path plus at least one representative of every operator
 #: family inside that window; redundant TPC-H variants trail.
 _DRIVER_PRIORITY = [
-    # CDC core (flagship G3/G4 + S1/P2/P7 + streaming merge)
+    # CDC core (flagship G3/G4 + S1/P2/P7 + streaming merge + the
+    # round-2 time-travel surface)
     "cdc_final_state",
     "cdc_latest_event",
     "cdc_envelope_decode",
@@ -4009,49 +4010,49 @@ _DRIVER_PRIORITY = [
     "cdc_streaming_merge",
     "cdc_gold_rollup",
     "cdc_schema_evolution",
-    # relational / TPC-H basics (agg, joins, windows, semi/anti)
+    "cdc_change_feed",
+    "cdc_scd2_incremental",
+    # relational / TPC-H basics (agg, joins, windows, semi/anti) —
+    # includes every round-1 hash-fail so the fix is driver-proven
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q10_returned_items",
     "q14_promo_revenue",
     "q18_large_orders",
     "order_priority_stats",
     "top3_parts_per_brand",
     "customers_without_orders",
     "active_suppliers",
-    # event-stream aggregations
+    "setops_customer_segments",
+    # event-stream aggregations (user_event_pivot: round-1 hash-fail)
     "hourly_event_rollup",
     "user_session_stats",
+    "user_event_pivot",
     # text analysis (langid/redact variants trail past the window —
     # token_stats/quality/repetition represent the family)
     "text_token_stats",
     "text_quality",
     "text_repetition",
-    # dedup (exact, semantic, LSH candidates, components, survivors,
-    # SimHash, verified pairs — the full stack)
+    # dedup (exact, semantic, LSH candidates, components, SimHash)
     "dedup_exact",
     "semantic_dedup",
     "dedup_lsh_pairs",
     "dedup_clusters",
-    "dedup_survivors",
     "dedup_simhash",
-    "dedup_lsh_verified",
     # domain reweighting (DSIR)
     "corpus_dsir_weights",
     # similarity / ANN
-    "knn_bruteforce",
     "ann_lsh_topk",
     "embedding_neardup",
     "ivf_topk",
     "kmeans_assignment",
-    "embedding_centroids",
     "pq_topk",
     # multimodal
     "multimodal_features",
-    "multimodal_frame_sample",
     # structured streaming
     "streaming_hourly_rollup",
-    "streaming_session_windows",
     "streaming_sustained_alerts",
     "streaming_enrichment",
     "streaming_stream_join",
