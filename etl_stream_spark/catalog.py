@@ -869,6 +869,109 @@ WHERE sa.user_id IS NULL OR sb.user_id IS NULL OR old_sequence <> new_sequence
 """
 
 
+def sketch_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV cardinality sketch vs exact: distinct ordering customers per
+    order priority, estimated from the 256 smallest md5 hashes. The
+    exact count rides along so estimate quality is itself checked."""
+    from etl_stream_spark.operators import sketches as sk
+
+    o = _t(spark, sf_dir, "orders")
+    return sk.kmv_distinct(o, ["o_orderpriority"], "o_custkey", k=256)
+
+
+_KMV_K = 256
+_KMV_H = "('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13))::BIGINT"
+
+SKETCH_DISTINCT_SQL = f"""
+WITH hashed AS (
+  SELECT DISTINCT o_orderpriority, {_KMV_H} AS h FROM orders
+), ranked AS (
+  SELECT o_orderpriority, h,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
+  FROM hashed
+), sk AS (
+  SELECT o_orderpriority,
+         MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS kth,
+         COUNT(*) AS n_seen
+  FROM ranked WHERE rn <= {_KMV_K} GROUP BY o_orderpriority
+), ex AS (
+  SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS exact_distinct
+  FROM orders GROUP BY o_orderpriority
+), est AS (
+  SELECT sk.o_orderpriority, exact_distinct,
+         ROUND(CASE WHEN n_seen < {_KMV_K} THEN CAST(n_seen AS DOUBLE)
+                    ELSE ({_KMV_K} - 1) / (CAST(kth AS DOUBLE) / POWER(16, 13))
+               END, 4) AS est_distinct
+  FROM sk JOIN ex USING (o_orderpriority)
+)
+SELECT o_orderpriority, exact_distinct, est_distinct,
+       ROUND(ABS(est_distinct - exact_distinct) / CAST(exact_distinct AS DOUBLE), 4)
+         AS rel_err
+FROM est
+"""
+
+
+def sketch_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set algebra: union/intersection cardinality of customer sets
+    across order priorities from merged sketches alone (no pairwise
+    self-join of the data — the sketches are ≤ k rows per group)."""
+    from etl_stream_spark.operators import sketches as sk
+
+    o = _t(spark, sf_dir, "orders")
+    return sk.kmv_union_overlap(
+        o,
+        "o_orderpriority",
+        "o_custkey",
+        pairs=[("1-URGENT", "2-HIGH"), ("1-URGENT", "5-LOW")],
+        k=256,
+    )
+
+
+def _kmv_overlap_sql() -> str:
+    k = _KMV_K
+    est = (
+        f"ROUND(CASE WHEN n_seen < {k} THEN CAST(n_seen AS DOUBLE) "
+        f"ELSE ({k} - 1) / (CAST(kth AS DOUBLE) / POWER(16, 13)) END, 4)"
+    )
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT o_orderpriority, {_KMV_H} AS h FROM orders
+), ranked AS (
+  SELECT o_orderpriority, h,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
+  FROM hashed
+), sk AS (
+  SELECT o_orderpriority, h FROM ranked WHERE rn <= {k}
+), singles AS (
+  SELECT o_orderpriority,
+         MAX(CASE WHEN rn = {k} THEN h END) AS kth, COUNT(*) AS n_seen
+  FROM ranked WHERE rn <= {k} GROUP BY o_orderpriority
+), pairs(group_a, group_b) AS (
+  VALUES ('1-URGENT', '2-HIGH'), ('1-URGENT', '5-LOW')
+), merged_h AS (
+  SELECT DISTINCT group_a, group_b, h
+  FROM pairs JOIN sk s ON s.o_orderpriority IN (group_a, group_b)
+), merged AS (
+  SELECT group_a, group_b, h,
+         ROW_NUMBER() OVER (PARTITION BY group_a, group_b ORDER BY h) AS rn
+  FROM merged_h
+), usk AS (
+  SELECT group_a, group_b,
+         MAX(CASE WHEN rn = {k} THEN h END) AS kth, COUNT(*) AS n_seen
+  FROM merged WHERE rn <= {k} GROUP BY group_a, group_b
+), uest AS (
+  SELECT group_a, group_b, {est} AS est_union FROM usk
+), sest AS (
+  SELECT o_orderpriority, {est} AS e FROM singles
+)
+SELECT group_a, group_b, est_union,
+       ROUND(a.e + b.e - est_union, 4) AS est_intersection
+FROM uest
+JOIN sest a ON a.o_orderpriority = group_a
+JOIN sest b ON b.o_orderpriority = group_b
+"""
+
+
 # --------------------------------------------------------------------------
 # Text analysis (documents table)
 # --------------------------------------------------------------------------
@@ -3902,6 +4005,11 @@ CATALOG: dict[str, QueryDef] = {
     "cdc_scd2_history": QueryDef(cdc_scd2_history, SCD2_SQL),
     "cdc_scd2_incremental": QueryDef(cdc_scd2_incremental, SCD2_SQL),
     "cdc_change_feed": QueryDef(cdc_change_feed, CHANGE_FEED_SQL),
+    # sketches
+    "sketch_distinct_customers": QueryDef(
+        sketch_distinct_customers, SKETCH_DISTINCT_SQL
+    ),
+    "sketch_customer_overlap": QueryDef(sketch_customer_overlap, _kmv_overlap_sql()),
     # text analysis
     "text_token_stats": QueryDef(text_token_stats, TOKEN_STATS_SQL),
     "text_quality": QueryDef(text_quality, QUALITY_SQL),

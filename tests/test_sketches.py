@@ -1,0 +1,58 @@
+"""KMV sketch properties: exactness below k, mergeability (the property
+that makes it a sketch and not a sample), and estimate quality."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_stream_spark.operators import sketches as sk
+
+
+def test_exact_below_k(spark):
+    df = spark.createDataFrame([(i % 40,) for i in range(400)], "v long").withColumn(
+        "g", F.lit("a")
+    )
+    out = sk.kmv_distinct(df, ["g"], "v", k=256).collect()[0]
+    assert out["exact_distinct"] == 40
+    assert out["est_distinct"] == 40.0
+    assert out["rel_err"] == 0.0
+
+
+def test_estimate_quality_above_k(spark):
+    n = 5000
+    df = spark.createDataFrame([(i,) for i in range(n)], "v long").withColumn(
+        "g", F.lit("a")
+    )
+    out = sk.kmv_distinct(df, ["g"], "v", k=256).collect()[0]
+    assert out["exact_distinct"] == n
+    # KMV relative error ~ 1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
+    assert out["rel_err"] < 0.25
+
+
+def test_merge_rule_matches_union_sketch(spark):
+    """k smallest of (sketch(A) ∪ sketch(B)) == sketch(A ∪ B)."""
+    k = 64
+    a = spark.createDataFrame([(i,) for i in range(800)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(400, 1200)], "v long")
+    ga = a.withColumn("g", F.lit("x"))
+    gb = b.withColumn("g", F.lit("y"))
+    both = ga.unionByName(gb)
+
+    # merged-from-parts, via the pairwise helper
+    est_union = sk.kmv_union_overlap(both, "g", "v", pairs=[("x", "y")], k=k).collect()[
+        0
+    ]["est_union"]
+
+    # direct sketch of the true union
+    u = a.unionByName(b).withColumn("g", F.lit("u"))
+    direct = sk.kmv_distinct(u, ["g"], "v", k=k).collect()[0]["est_distinct"]
+    assert est_union == direct
+
+    # inclusion-exclusion intersection error scales with the UNION size
+    # (|A∪B| / sqrt(k-2) per sketch term) — assert a 4-sigma bound on
+    # that, not on the (much smaller) true overlap
+    inter = sk.kmv_union_overlap(both, "g", "v", pairs=[("x", "y")], k=k).collect()[0][
+        "est_intersection"
+    ]
+    sigma = 1200 / (k - 2) ** 0.5
+    assert abs(inter - 400) < 4 * sigma
