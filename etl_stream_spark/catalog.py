@@ -2982,6 +2982,36 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL tokenizer-training loop (`operators/bpe.py`): iterate
+    the merge-selection step eight times, greedily re-folding the
+    symbolized vocabulary after each argmax. Data-side cost per step is
+    one pair aggregation over the word table; the driver sees one row
+    per step. Not SQL-expressible (argmax-dependent iteration) → rows
+    -only check; the per-step semantics are pinned against a pure-
+    Python reference in ``tests/test_bpe.py`` and the single step has
+    its own oracle (``bpe_pair_counts``)."""
+    from etl_stream_spark.operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, _ = bpe.train_bpe(bpe.word_frequencies(docs), n_merges=8)
+    return spark.createDataFrame(
+        merges, "step long, left string, right string, pair_count long"
+    )
+
+
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained tokenizer back to the corpus: per-document
+    BPE token counts via a broadcast join against the symbolized
+    vocabulary (documents never shuffle; unseen words fall back to
+    character count)."""
+    from etl_stream_spark.operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    _, vocab = bpe.train_bpe(bpe.word_frequencies(docs), n_merges=8)
+    return bpe.encode_stats(docs, vocab)
+
+
 BPE_PAIRS_SQL = f"""
 WITH toks AS ({TOKS_CTE}),
 words AS (SELECT unnest(t) AS w FROM toks),
@@ -4032,6 +4062,8 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_difficulty_deciles": QueryDef(corpus_difficulty_deciles, DECILES_SQL),
     "events_conversion_funnel": QueryDef(events_conversion_funnel, FUNNEL_EVENTS_SQL),
     "bpe_pair_counts": QueryDef(bpe_pair_counts, BPE_PAIRS_SQL),
+    "bpe_learned_merges": QueryDef(bpe_learned_merges, None),
+    "bpe_encode_stats": QueryDef(bpe_encode_stats, None),
     "cdc_schema_inference": QueryDef(cdc_schema_inference, INFER_SQL),
     "corpus_curation_funnel": QueryDef(corpus_curation_funnel, _funnel_sql()),
     "fusion_cluster_text_report": QueryDef(fusion_cluster_text_report, FUSION_SQL),

@@ -33,6 +33,8 @@ def test_queries_and_oracles_consistent():
         "streaming_hourly_rollup",
         "streaming_session_windows",
         "corpus_quality_trained",  # training loop is not SQL-expressible
+        "bpe_learned_merges",  # argmax-dependent iteration, not SQL-expressible
+        "bpe_encode_stats",  # applies the trained (non-SQL) merge table
     }
 
 
