@@ -1757,6 +1757,52 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 """
 
 
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality audit: recall@k of the LSH index against the exact
+    brute-force top-k, per query. The metric every ANN deployment
+    tracks before trusting the index — here both sides are
+    deterministic (md5-seeded hyperplanes), so even the recall numbers
+    are oracle-checkable."""
+    exact = knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = ann_lsh(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    per = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("_hit").alias("n_hits"),
+        )
+    )
+    return per.select(
+        "query_id",
+        "n_exact",
+        "n_hits",
+        F.round(
+            F.col("n_hits").cast("double") / F.col("n_exact").cast("double"), 4
+        ).alias("recall_at_k"),
+    )
+
+
+def _ann_recall_sql() -> str:
+    return f"""
+WITH exact AS (SELECT query_id, neighbor_id FROM ({KNN_SQL})),
+approx AS (SELECT query_id, neighbor_id FROM ({_ann_sql()})),
+per AS (
+  SELECT e.query_id,
+         CAST(COUNT(*) AS BIGINT) AS n_exact,
+         CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits
+  FROM exact e LEFT JOIN approx a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT query_id, n_exact, n_hits,
+       ROUND(CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE), 4) AS recall_at_k
+FROM per
+"""
+
+
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return sim.embedding_neardup_pairs(
@@ -4106,6 +4152,7 @@ CATALOG: dict[str, QueryDef] = {
     "knn_bruteforce": QueryDef(knn_bruteforce, KNN_SQL),
     "knn_bruteforce_pandas": QueryDef(knn_bruteforce_pandas, KNN_SQL),
     "ann_lsh_topk": QueryDef(ann_lsh, _ann_sql()),
+    "ann_recall_audit": QueryDef(ann_recall_audit, _ann_recall_sql()),
     "embedding_neardup": QueryDef(embedding_neardup, _neardup_sql()),
     "embedding_centroids": QueryDef(embedding_centroids, CENTROIDS_SQL),
     "embedding_quantize_int8": QueryDef(embedding_quantize_int8, QUANT8_SQL),
