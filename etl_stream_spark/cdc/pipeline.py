@@ -71,6 +71,7 @@ class CdcBatchApplier:
         max_parallel_tables: int = 4,
         metrics=None,
         rollups: dict[str, "IncrementalRollup"] | None = None,
+        histories: dict[str, "Scd2Table"] | None = None,
     ) -> None:
         self.spark = spark
         self.base_path = base_path.rstrip("/")
@@ -78,6 +79,7 @@ class CdcBatchApplier:
         self.max_parallel_tables = max_parallel_tables
         self.metrics = metrics  # optional MetricsRegistry
         self.rollups = dict(rollups or {})  # table name → IncrementalRollup
+        self.histories = dict(histories or {})  # table name → Scd2Table
         self._targets: dict[str, ParquetMergeTable] = {}
         self._configs = dict(tables)
 
@@ -112,6 +114,11 @@ class CdcBatchApplier:
                     per_table.filter(F.col(OPERATION_COL) == OP_TRUNCATE).limit(1).count()
                     > 0
                 )
+            history = self.histories.get(name)
+            if history is not None:
+                # history records pre-truncate versions, so it applies
+                # with its own (segment-preserving) truncate handling
+                history.apply_with_truncate_barrier(per_table)
             apply_with_truncate_barrier(self.target(name), per_table)
             if rollup is not None:
                 if has_trunc:

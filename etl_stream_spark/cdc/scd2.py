@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from etl_stream_spark.cdc.envelope import (
     OP_DELETE,
     OP_INSERT,
+    OP_TRUNCATE,
     OPERATION_COL,
     SEQUENCE_COL,
     TIMESTAMP_COL,
@@ -110,6 +111,46 @@ class Scd2Table:
         else:
             hist = closed.unionByName(cur, allowMissingColumns=True)
         return hist.withColumn(IS_CURRENT_COL, F.col(VALID_TO_COL).isNull())
+
+    def close_all(self, at_seq: str) -> None:
+        """TRUNCATE semantics for a history table: a truncate does not
+        erase history (that is the point of keeping one) — it CLOSES
+        every open interval at the truncate's sequence, so the record
+        survives while no version remains current."""
+        open_df = self.open.read()
+        if not open_df.columns:
+            return
+        open_df.withColumn(VALID_TO_COL, F.lit(at_seq)).write.mode("append").parquet(
+            self.closed_path
+        )
+        self.open.truncate()
+
+    def apply_with_truncate_barrier(self, events: DataFrame) -> None:
+        """Apply a batch that may contain TRUNCATE markers, in order:
+        unlike the merge target (where pre-truncate segments are
+        skipped — nothing can observe them), the history must RECORD
+        pre-truncate versions, so each segment is applied before its
+        truncate closes all open intervals."""
+        trunc_seqs = sorted(
+            r[0]
+            for r in events.filter(F.col(OPERATION_COL) == OP_TRUNCATE)
+            .select(SEQUENCE_COL)
+            .distinct()
+            .collect()
+        )
+        data = events.filter(F.col(OPERATION_COL) != OP_TRUNCATE)
+        if not trunc_seqs:
+            self.apply_batch(data)
+            return
+        lo = None
+        for ts in trunc_seqs:
+            seg = data.filter(F.col(SEQUENCE_COL) < ts)
+            if lo is not None:
+                seg = seg.filter(F.col(SEQUENCE_COL) > lo)
+            self.apply_batch(seg)
+            self.close_all(ts)
+            lo = ts
+        self.apply_batch(data.filter(F.col(SEQUENCE_COL) > trunc_seqs[-1]))
 
     # -- the batch apply ---------------------------------------------------
 

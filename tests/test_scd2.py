@@ -108,3 +108,44 @@ def test_stale_cross_batch_event_rejected(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["v"] == 10 and rows[0]["valid_from_seq"] == seq(5)
     assert rows[0]["is_current"]
+
+
+def test_pipeline_history_with_truncate_barrier(spark, tmp_path):
+    """CdcBatchApplier with a history target: pre-truncate versions are
+    RECORDED (closed at the truncate seq) while the merge target drops
+    them — the two truncate semantics side by side."""
+    from pyspark.sql import functions as F
+
+    from etl_stream_spark.cdc import OP_TRUNCATE
+    from etl_stream_spark.cdc.pipeline import CdcBatchApplier, CdcTableConfig
+
+    hist = Scd2Table(spark, str(tmp_path / "hist"), keys=["id"], num_buckets=4)
+    applier = CdcBatchApplier(
+        spark,
+        str(tmp_path / "silver"),
+        {"t": CdcTableConfig(keys=["id"], num_buckets=4)},
+        histories={"t": hist},
+    )
+    rows = [
+        (1, 10, OP_INSERT, seq(1), "t"),
+        (1, 11, OP_UPDATE, seq(2), "t"),
+        (None, None, OP_TRUNCATE, seq(3), "t"),
+        (2, 20, OP_INSERT, seq(4), "t"),
+    ]
+    batch = spark.createDataFrame(
+        rows, "id long, v long, operation string, sequence string, table string"
+    )
+    applier.apply_batch(batch)
+
+    # merge target: only the post-truncate row survives
+    silver = {(r["id"], r["v"]) for r in applier.target("t").read().collect()}
+    assert silver == {(2, 20)}
+
+    # history: pre-truncate versions recorded, closed at the truncate
+    h = {
+        (r["id"], r["valid_from_seq"]): (r["valid_to_seq"], r["is_current"])
+        for r in hist.read().collect()
+    }
+    assert h[(1, seq(1))] == (seq(2), False)
+    assert h[(1, seq(2))] == (seq(3), False)  # closed BY the truncate
+    assert h[(2, seq(4))] == (None, True)
