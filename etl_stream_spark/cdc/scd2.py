@@ -112,6 +112,23 @@ class Scd2Table:
             hist = closed.unionByName(cur, allowMissingColumns=True)
         return hist.withColumn(IS_CURRENT_COL, F.col(VALID_TO_COL).isNull())
 
+    def compact_closed(self, target_file_bytes: int | None = None) -> dict:
+        """Periodic maintenance for the append-only zone: every batch
+        appends a few files, so closed-history file counts grow with
+        batch count, not data volume. Closed versions are immutable —
+        compaction is a pure rewrite with no correctness interaction
+        (run it between batches; it is not concurrent-append safe,
+        same contract as the merge engine's commit)."""
+        from etl_stream_spark.plans.compaction import compact_parquet
+
+        kwargs = {} if target_file_bytes is None else {
+            "target_file_bytes": target_file_bytes
+        }
+        try:
+            return compact_parquet(self.spark, self.closed_path, **kwargs)
+        except FileNotFoundError:
+            return {"files_before": 0, "files_after": 0, "skipped": True}
+
     def close_all(self, at_seq: str) -> None:
         """TRUNCATE semantics for a history table: a truncate does not
         erase history (that is the point of keeping one) — it CLOSES

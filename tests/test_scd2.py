@@ -149,3 +149,25 @@ def test_pipeline_history_with_truncate_barrier(spark, tmp_path):
     assert h[(1, seq(1))] == (seq(2), False)
     assert h[(1, seq(2))] == (seq(3), False)  # closed BY the truncate
     assert h[(2, seq(4))] == (None, True)
+
+
+def test_compact_closed_shrinks_files_preserves_history(spark, tmp_path):
+    t = Scd2Table(spark, str(tmp_path / "t"), keys=["id"], num_buckets=2)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "id long, v long, operation string, sequence string"
+    )
+    for i in range(1, 5):  # 4 batches → 4 append rounds of closed files
+        t.apply_batch(mk([(1, i, OP_UPDATE if i > 1 else OP_INSERT, seq(i))]))
+    before = {
+        (r["id"], r["valid_from_seq"], r["valid_to_seq"]) for r in t.read().collect()
+    }
+    from etl_stream_spark.plans.compaction import parquet_files
+
+    n_before = len(parquet_files(t.closed_path))
+    out = t.compact_closed(target_file_bytes=1 << 30)
+    assert not out["skipped"]
+    assert out["files_after"] < n_before
+    after = {
+        (r["id"], r["valid_from_seq"], r["valid_to_seq"]) for r in t.read().collect()
+    }
+    assert after == before
