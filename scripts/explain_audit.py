@@ -42,12 +42,18 @@ def main() -> None:
     from etl_stream_spark.session import get_spark
 
     # streaming queries execute at build time — skip them in a plan audit
+    # skip entries that execute work at build time (streaming runs,
+    # driver-looped training, multi-batch replays) — their cost is real
+    # compute, not a plan to audit
     skip = {
         "streaming_hourly_rollup",
         "cdc_streaming_merge",
         "streaming_sustained_alerts",
         "streaming_dedup",
         "streaming_vector_search",
+        "cdc_scd2_incremental",
+        "bpe_learned_merges",
+        "bpe_encode_stats",
     }
     names = args.only.split(",") if args.only else [n for n in CATALOG if n not in skip]
 
