@@ -89,7 +89,13 @@ class Scd2Table:
         from pyspark.errors.exceptions.captured import AnalysisException
 
         try:
-            return self.spark.read.parquet(self.closed_path)
+            # mergeSchema: batches may add columns over the table's life
+            # (schema evolution through the pipeline); files written
+            # before the column existed read as NULL, like the merge
+            # engine's evolution path.
+            return self.spark.read.option("mergeSchema", "true").parquet(
+                self.closed_path
+            )
         except AnalysisException:
             return None
 
@@ -199,13 +205,22 @@ class Scd2Table:
             .collect()
         ]
         state = self.open._read_state(buckets=touched) if touched else None
-        prior_k = (
-            state.select(
-                *self.keys, F.col(VALID_FROM_COL).alias("_prior_from"), *payload_cols
+        if state is not None:
+            # The stored open rows close with their OWN payload columns —
+            # which may differ from this batch's after schema evolution
+            # (new columns appear, old ones may be absent from a narrow
+            # batch); the closed-zone union below aligns by name.
+            stored_payload = [
+                c
+                for c in state.columns
+                if c not in self.keys
+                and c not in (VALID_FROM_COL, BUCKET_COL, SEQ_STATE_COL)
+            ]
+            prior_k = state.select(
+                *self.keys, F.col(VALID_FROM_COL).alias("_prior_from"), *stored_payload
             )
-            if state is not None
-            else None
-        )
+        else:
+            prior_k = None
 
         # Stale guard: drop events at/below the open version's start.
         if prior_k is not None:
@@ -233,7 +248,7 @@ class Scd2Table:
             if prior_k is not None:
                 closed_prior = prior_k.join(firsts, on=self.keys, how="inner").select(
                     *self.keys,
-                    *payload_cols,
+                    *stored_payload,
                     F.col("_prior_from").alias(VALID_FROM_COL),
                     F.col("_first").alias(VALID_TO_COL),
                 )
@@ -254,7 +269,7 @@ class Scd2Table:
             newly_closed.append(closed_internal)
             to_append = newly_closed[0]
             for extra in newly_closed[1:]:
-                to_append = to_append.unionByName(extra)
+                to_append = to_append.unionByName(extra, allowMissingColumns=True)
             to_append.write.mode("append").parquet(self.closed_path)
 
             # 3. New open state: the key's last fresh event — INSERT/UPDATE

@@ -171,3 +171,33 @@ def test_compact_closed_shrinks_files_preserves_history(spark, tmp_path):
         (r["id"], r["valid_from_seq"], r["valid_to_seq"]) for r in t.read().collect()
     }
     assert after == before
+
+
+def test_schema_evolution_through_history(spark, tmp_path):
+    """A later batch adds a column: old closed versions read as NULL for
+    it, the new version carries it; a narrower batch afterwards carries
+    the stored value forward (merge-engine evolution semantics)."""
+    t = Scd2Table(spark, str(tmp_path / "t"), keys=["id"], num_buckets=2)
+    t.apply_batch(
+        spark.createDataFrame(
+            [(1, 10, OP_INSERT, seq(1))],
+            "id long, v long, operation string, sequence string",
+        )
+    )
+    t.apply_batch(
+        spark.createDataFrame(
+            [(1, 11, "a@x", OP_UPDATE, seq(2))],
+            "id long, v long, email string, operation string, sequence string",
+        )
+    )
+    t.apply_batch(
+        spark.createDataFrame(
+            [(1, 12, OP_UPDATE, seq(3))],
+            "id long, v long, operation string, sequence string",
+        )
+    )
+    rows = {r["valid_from_seq"]: r for r in t.read().collect()}
+    assert rows[seq(1)]["email"] is None and rows[seq(1)]["valid_to_seq"] == seq(2)
+    assert rows[seq(2)]["email"] == "a@x" and rows[seq(2)]["valid_to_seq"] == seq(3)
+    # narrow batch: open version carries the stored email forward
+    assert rows[seq(3)]["email"] == "a@x" and rows[seq(3)]["is_current"]
