@@ -118,6 +118,26 @@ class Scd2Table:
             hist = closed.unionByName(cur, allowMissingColumns=True)
         return hist.withColumn(IS_CURRENT_COL, F.col(VALID_TO_COL).isNull())
 
+    def as_of(self, seq: str) -> DataFrame:
+        """Point-in-time read FROM THE MAINTAINED HISTORY: the version
+        of each key whose validity interval contains ``seq``
+        (``valid_from <= seq < valid_to``, open intervals unbounded).
+
+        The complement of replaying the landing log
+        (catalog ``cdc_point_in_time``): the replay costs a full log
+        scan per question; this is a filter over the history table —
+        with the closed zone partitioned/sorted by ``valid_from`` it
+        prunes to a sliver, which is what makes frequent AS OF queries
+        viable at 100 TB.
+        """
+        hist = self.read()
+        if not hist.columns:
+            return hist
+        return hist.filter(
+            (F.col(VALID_FROM_COL) <= F.lit(seq))
+            & (F.col(VALID_TO_COL).isNull() | (F.col(VALID_TO_COL) > F.lit(seq)))
+        ).drop(IS_CURRENT_COL)
+
     def compact_closed(self, target_file_bytes: int | None = None) -> dict:
         """Periodic maintenance for the append-only zone: every batch
         appends a few files, so closed-history file counts grow with

@@ -201,3 +201,35 @@ def test_schema_evolution_through_history(spark, tmp_path):
     assert rows[seq(2)]["email"] == "a@x" and rows[seq(2)]["valid_to_seq"] == seq(3)
     # narrow batch: open version carries the stored email forward
     assert rows[seq(3)]["email"] == "a@x" and rows[seq(3)]["is_current"]
+
+
+def test_as_of_reads_match_log_replay(spark, tmp_path):
+    """History-indexed AS OF must agree with the sequential oracle's
+    state at every sequence point of the log."""
+    events = [
+        (OP_INSERT, 1, 10, seq(1)),
+        (OP_INSERT, 2, 20, seq(2)),
+        (OP_UPDATE, 1, 11, seq(3)),
+        (OP_DELETE, 2, 0, seq(4)),
+        (OP_INSERT, 3, 30, seq(5)),
+        (OP_UPDATE, 1, 12, seq(6)),
+    ]
+    t = replay(spark, str(tmp_path), events, [2, 4])
+
+    def oracle_state(upto: str):
+        state = {}
+        for op, k, p, s in events:
+            if s > upto:
+                break
+            if op == OP_DELETE:
+                state.pop(k, None)
+            else:
+                state[k] = (p, s)
+        return state
+
+    for i in range(1, 7):
+        got = {
+            r["id"]: (r["v"], r["valid_from_seq"])
+            for r in t.as_of(seq(i)).collect()
+        }
+        assert got == oracle_state(seq(i)), f"as_of({i})"
