@@ -114,6 +114,78 @@ def kmv_distinct(
     )
 
 
+class KmvSketchStore:
+    """Persisted per-group KMV sketches maintained incrementally.
+
+    The operational form of the merge rule: each batch is sketched and
+    k-min-merged into the stored sketches, so running distinct counts
+    (per source, per day, per slice) stay queryable without ever
+    re-reading history — the update cost is O(batch + groups×k)
+    regardless of how much data the sketches have absorbed. Use from a
+    streaming ``foreachBatch`` or a scheduled batch job.
+
+    Exactness of the merge (not just approximation) is testable: a
+    store built from ANY batch split equals the sketch of the full
+    data, row for row — md5 hashing makes that deterministic.
+    """
+
+    def __init__(
+        self, spark, path: str, group_cols: list[str], value_col: str, k: int = 256
+    ) -> None:
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.group_cols = list(group_cols)
+        self.value_col = value_col
+        self.k = k
+
+    def _read(self) -> DataFrame | None:
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        try:
+            return self.spark.read.parquet(self.path)
+        except AnalysisException:
+            return None
+
+    def update(self, batch: DataFrame) -> None:
+        """Sketch the batch and k-min-merge it into the store."""
+        fresh = kmv_sketch(batch, self.group_cols, self.value_col, self.k).select(
+            *self.group_cols, "_h"
+        )
+        stored = self._read()
+        merged = (
+            fresh
+            if stored is None
+            else stored.select(*self.group_cols, "_h").unionByName(fresh).distinct()
+        )
+        w = Window.partitionBy(*self.group_cols).orderBy(F.col("_h").asc())
+        out = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= self.k)
+            .persist()
+        )
+        try:
+            out.count()  # materialize before overwriting our own input
+            out.write.mode("overwrite").parquet(self.path)
+        finally:
+            out.unpersist()
+
+    def estimates(self) -> DataFrame:
+        """Per-group distinct-count estimates from the stored sketches."""
+        stored = self._read()
+        if stored is None:
+            return self.spark.createDataFrame([], "struct<>")
+        agg = stored.groupBy(*self.group_cols).agg(
+            F.max(F.when(F.col("_rn") == self.k, F.col("_h"))).alias("_kth"),
+            F.count(F.lit(1)).alias("_n_seen"),
+        )
+        return agg.select(
+            *self.group_cols,
+            kmv_estimate(F.col("_kth"), F.col("_n_seen"), self.k).alias(
+                "est_distinct"
+            ),
+        )
+
+
 def kmv_union_overlap(
     df: DataFrame,
     group_col: str,

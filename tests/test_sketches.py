@@ -56,3 +56,42 @@ def test_merge_rule_matches_union_sketch(spark):
     ]
     sigma = 1200 / (k - 2) ** 0.5
     assert abs(inter - 400) < 4 * sigma
+
+
+def test_incremental_store_equals_full_sketch(spark, tmp_path):
+    """A store fed any batch split must equal the one-shot sketch of the
+    full data — the merge rule is exact, not approximate."""
+    from pyspark.sql import functions as F
+
+    full = spark.createDataFrame(
+        [("g%d" % (i % 3), i % 700) for i in range(2000)], "g string, v long"
+    )
+    store = sk.KmvSketchStore(spark, str(tmp_path / "sk"), ["g"], "v", k=128)
+    # three uneven batches with overlapping values
+    for lo, hi in ((0, 500), (400, 1300), (1200, 2000)):
+        store.update(
+            spark.createDataFrame(
+                [("g%d" % (i % 3), i % 700) for i in range(lo, hi)],
+                "g string, v long",
+            )
+        )
+    got = {
+        tuple(r) for r in store._read().select("g", "_h", "_rn").collect()
+    }
+    want = {
+        tuple(r)
+        for r in sk.kmv_sketch(full, ["g"], "v", 128)
+        .select("g", "_h", "_rn")
+        .collect()
+    }
+    assert got == want
+
+    est = {r["g"]: r["est_distinct"] for r in store.estimates().collect()}
+    exact = {
+        r["g"]: r["n"]
+        for r in full.groupBy("g").agg(
+            F.countDistinct("v").alias("n")
+        ).collect()
+    }
+    for g, n in exact.items():
+        assert abs(est[g] - n) / n < 0.4  # k=128
