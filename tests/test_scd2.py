@@ -233,3 +233,48 @@ def test_as_of_reads_match_log_replay(spark, tmp_path):
             for r in t.as_of(seq(i)).collect()
         }
         assert got == oracle_state(seq(i)), f"as_of({i})"
+
+
+def test_streaming_scd2_maintenance(spark, tmp_path):
+    """History maintenance under the real streaming runtime: two source
+    files → two micro-batches through foreachBatch with a checkpoint;
+    the history equals the sequential oracle over the full log."""
+    import json
+
+    src = tmp_path / "src"
+    src.mkdir()
+    b1 = [
+        {"id": 1, "v": 10, "operation": OP_INSERT, "sequence": seq(1)},
+        {"id": 1, "v": 11, "operation": OP_UPDATE, "sequence": seq(2)},
+    ]
+    b2 = [
+        {"id": 1, "v": 12, "operation": OP_UPDATE, "sequence": seq(3)},
+        {"id": 2, "v": 20, "operation": OP_INSERT, "sequence": seq(4)},
+    ]
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in b1))
+    (src / "b.json").write_text("\n".join(json.dumps(r) for r in b2))
+
+    hist = Scd2Table(spark, str(tmp_path / "hist"), keys=["id"], num_buckets=4)
+    stream = (
+        spark.readStream.schema("id long, v long, operation string, sequence string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(lambda df, _eid: hist.apply_batch(df))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["id"], r["valid_from_seq"]): (r["valid_to_seq"], r["is_current"])
+        for r in hist.read().collect()
+    }
+    assert got == {
+        (1, seq(1)): (seq(2), False),
+        (1, seq(2)): (seq(3), False),
+        (1, seq(3)): (None, True),
+        (2, seq(4)): (None, True),
+    }
