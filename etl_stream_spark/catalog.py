@@ -1803,6 +1803,88 @@ FROM per
 """
 
 
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 over the token tables + embedding cosine,
+    fused with reciprocal-rank fusion (doc_id ≅ vec_id in the test
+    corpus). Candidate generation is a term equi-join (no corpus cross
+    join); the vector side is the existing broadcast kNN."""
+    from etl_stream_spark.operators import retrieval as rtr
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    bm = rtr.bm25_topk(docs, docs.filter(F.col("doc_id") < 5), k=10)
+    vec = sim.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("vec_rank"),
+    )
+    return rtr.rrf_fuse(
+        [bm.select("query_id", "doc_id", "bm25_rank"), vec],
+        ["bm25_rank", "vec_rank"],
+        k=5,
+    )
+
+
+def _hybrid_sql() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(t) AS tok FROM ({TOKS_CTE})),
+tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+qterms AS (SELECT DISTINCT doc_id AS query_id, tok FROM tok WHERE doc_id < 5),
+contrib AS (
+  SELECT q.query_id, f.doc_id,
+         CAST(ROUND(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * (f.tf * (1.2 + 1))
+              / (f.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)), 8)
+              AS DECIMAL(28,8)) AS c
+  FROM qterms q
+  JOIN tf f ON q.tok = f.tok AND f.doc_id <> q.query_id
+  JOIN dl l ON f.doc_id = l.doc_id
+  JOIN dfreq d ON d.tok = f.tok
+  CROSS JOIN stats s
+),
+bm25 AS (
+  SELECT query_id, doc_id,
+         CAST(ROUND(CAST(SUM(c) AS DECIMAL(38,8)), 6) AS DOUBLE) AS bm25_score
+  FROM contrib GROUP BY 1, 2
+),
+btop AS (
+  SELECT query_id, doc_id, bm25_rank FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY bm25_score DESC, doc_id) AS bm25_rank
+    FROM bm25) WHERE bm25_rank <= 10
+),
+qv AS (SELECT vec_id AS query_id, {QVEC} AS qv FROM embeddings WHERE vec_id < 5),
+cvt AS (SELECT vec_id AS doc_id, {QVEC} AS cv FROM embeddings),
+vp AS (SELECT query_id, doc_id, {_COS} AS cos_sim
+       FROM qv CROSS JOIN cvt WHERE query_id <> doc_id),
+vtop AS (
+  SELECT query_id, doc_id, vec_rank FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, doc_id) AS vec_rank
+    FROM vp) WHERE vec_rank <= 10
+),
+fused AS (
+  SELECT COALESCE(b.query_id, v.query_id) AS query_id,
+         COALESCE(b.doc_id, v.doc_id) AS doc_id,
+         ROUND(COALESCE(1.0 / (60 + b.bm25_rank), 0)
+               + COALESCE(1.0 / (60 + v.vec_rank), 0), 6) AS rrf_score,
+         b.bm25_rank, v.vec_rank
+  FROM btop b FULL OUTER JOIN vtop v
+    ON b.query_id = v.query_id AND b.doc_id = v.doc_id
+)
+SELECT query_id, doc_id, rrf_score, bm25_rank, vec_rank, fused_rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rrf_score DESC, doc_id) AS fused_rank
+  FROM fused) WHERE fused_rank <= 5
+"""
+
+
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return sim.embedding_neardup_pairs(
@@ -4153,6 +4235,7 @@ CATALOG: dict[str, QueryDef] = {
     "knn_bruteforce_pandas": QueryDef(knn_bruteforce_pandas, KNN_SQL),
     "ann_lsh_topk": QueryDef(ann_lsh, _ann_sql()),
     "ann_recall_audit": QueryDef(ann_recall_audit, _ann_recall_sql()),
+    "hybrid_search_rrf": QueryDef(hybrid_search_rrf, _hybrid_sql()),
     "embedding_neardup": QueryDef(embedding_neardup, _neardup_sql()),
     "embedding_centroids": QueryDef(embedding_centroids, CENTROIDS_SQL),
     "embedding_quantize_int8": QueryDef(embedding_quantize_int8, QUANT8_SQL),

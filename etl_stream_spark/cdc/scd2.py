@@ -205,7 +205,13 @@ class Scd2Table:
         key's open interval at its sequence; INSERT/UPDATE then opens a
         new version; DELETE leaves the key closed. Events at or below
         the key's open ``valid_from_seq`` are stale and dropped.
+
+        TRUNCATE markers are ignored here (they carry no key) — route
+        batches that may contain them through
+        :meth:`apply_with_truncate_barrier`, which closes all open
+        intervals at each marker.
         """
+        batch = batch.filter(F.col(OPERATION_COL) != OP_TRUNCATE)
         for c in (TIMESTAMP_COL,):
             if c in batch.columns:
                 batch = batch.drop(c)
