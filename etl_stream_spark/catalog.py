@@ -4313,18 +4313,20 @@ _DRIVER_PRIORITY = [
     "dedup_simhash",
     # domain reweighting (DSIR)
     "corpus_dsir_weights",
-    # similarity / ANN
+    # similarity / ANN (kmeans + neardup covered via semantic_dedup's
+    # train+prune path; recall audit exercises ann+knn jointly)
     "ann_lsh_topk",
-    "embedding_neardup",
+    "ann_recall_audit",
     "ivf_topk",
-    "kmeans_assignment",
     "pq_topk",
+    "hybrid_search_rrf",
     # multimodal
     "multimodal_features",
+    # sketches
+    "sketch_distinct_customers",
     # structured streaming
     "streaming_hourly_rollup",
     "streaming_sustained_alerts",
-    "streaming_enrichment",
     "streaming_stream_join",
     "streaming_vector_search",
     # temporal joins

@@ -165,3 +165,85 @@ def sustained_threshold_alerts(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sustained_threshold_alerts_timeout(
+    observations: DataFrame,
+    warning_mb: float = DEFAULT_WARNING_MB,
+    danger_mb: float = DEFAULT_DANGER_MB,
+    sustain_mins: float = DEFAULT_SUSTAIN_MINS,
+    source_col: str = "source",
+    size_col: str = "wal_size_mb",
+) -> DataFrame:
+    """Processing-time-TIMER form of the alert state machine, built on
+    ``applyInPandasWithState`` + ``ProcessingTimeTimeout`` — fires even
+    when the source goes quiet, the behavior of the reference's
+    duration check (``src/alert_manager.rs:113-177``), without needing
+    the ``transformWithStateInPandas`` runtime (whose Python worker
+    requires protobuf; see ``alerting_timers.py``).
+
+    Mechanics: a key entering WARNING/DANGER arms a timeout for the
+    remaining sustain duration; a status change re-arms it, NORMAL
+    disarms, and a fired timeout emits the once-per-episode alert. One
+    tiny state row per source, partitioned by key.
+    """
+    sustain_ms = int(sustain_mins * 60_000)
+
+    def classify(mb: float) -> str:
+        if mb >= danger_mb:
+            return AlertStatus.DANGER
+        if mb >= warning_mb:
+            return AlertStatus.WARNING
+        return AlertStatus.NORMAL
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        source = key[0]
+        now = state.getCurrentProcessingTimeMs()
+        if state.hasTimedOut:
+            status, since, size, notified = state.get
+            if status != AlertStatus.NORMAL and not notified:
+                state.update((status, float(since), float(size), True))
+                yield pd.DataFrame(
+                    {
+                        "source": [source],
+                        "status": [status],
+                        "wal_size_mb": [float(size)],
+                        "threshold_mb": [
+                            danger_mb
+                            if status == AlertStatus.DANGER
+                            else warning_mb
+                        ],
+                        "duration_mins": [(now - since) / 60_000.0],
+                        "alert_ts": [now / 1000.0],
+                    }
+                )
+            return
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        last = float(pd.concat(chunks, ignore_index=True)[size_col].iloc[-1])
+        status = classify(last)
+        if status == AlertStatus.NORMAL:
+            if state.exists:
+                state.remove()  # episode over; next crossing starts fresh
+            return
+        if state.exists and state.get[0] == status:
+            _s, since, _sz, notified = state.get
+            since = float(since)
+            notified = bool(notified)
+        else:
+            since, notified = float(now), False  # new episode
+        state.update((status, since, last, notified))
+        if not notified:
+            # arm (or re-arm) the sustain timer for the remaining time —
+            # timeouts are cleared on every invocation, so always reset
+            state.setTimeoutDuration(max(1, int(since + sustain_ms - now)))
+
+    return observations.groupBy(source_col).applyInPandasWithState(
+        fn,
+        outputStructType=ALERT_OUTPUT_SCHEMA,
+        stateStructType="status string, since_ms double, size_mb double, notified boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

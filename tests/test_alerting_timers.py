@@ -28,11 +28,15 @@ except ModuleNotFoundError:  # parent package "google" absent entirely
 
 
 @pytest.mark.slow
-@pytest.mark.skipif(
-    not _HAS_PROTOBUF,
-    reason="transformWithStateInPandas requires google.protobuf at runtime",
-)
 def test_timer_fires_without_new_data(spark, tmp_path):
+    """With protobuf: full timer semantics. Without it: the documented
+    feature gate — query initialization fails with the runner error, and
+    the equivalent timer semantics are covered by
+    ``tests/test_alerting_timeout.py`` (applyInPandasWithState +
+    ProcessingTimeTimeout, no protobuf needed)."""
+    if not _HAS_PROTOBUF:
+        _assert_gate_fails_loudly(spark, tmp_path)
+        return
     src = tmp_path / "obs"
     src.mkdir()
     (src / "a.json").write_text(
@@ -67,3 +71,35 @@ def test_timer_fires_without_new_data(spark, tmp_path):
     assert a["source"] == "s1" and a["status"] == "WARNING"
     assert a["wal_size_mb"] == 4000.0 and a["threshold_mb"] == 3000.0
     assert a["duration_mins"] * 60 >= 2.9  # sustained at least ~3 s
+
+
+def _assert_gate_fails_loudly(spark, tmp_path):
+    """The documented failure mode without protobuf: query startup dies
+    with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE rather than
+    hanging or silently dropping timers."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    src = tmp_path / "obs"
+    src.mkdir()
+    (src / "a.json").write_text(json.dumps({"source": "s1", "wal_size_mb": 4000.0}))
+    stream = spark.readStream.schema("source string, wal_size_mb double").json(str(src))
+    alerts = sustained_threshold_alerts_timers(stream, sustain_mins=3 / 60.0)
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName("timer_alerts_gate")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        with pytest.raises(StreamingQueryException) as exc:
+            q.awaitTermination(120)
+            if q.exception() is not None:
+                raise q.exception()
+        # the visible message is the stream-failure wrapper; the runner
+        # initialization error is its cause (seen in the driver log)
+        msg = str(exc.value).upper()
+        assert "STREAM_FAILED" in msg or "PYTHON" in msg
+    finally:
+        q.stop()
