@@ -195,3 +195,47 @@ def test_no_cartesian_product_in_any_batch_plan(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_round2_session_ops_partitioning_invariant(spark):
+    """Sketches, hybrid retrieval, and the CDC time-travel queries obey
+    the same reproducibility contract: identical results no matter how
+    the input is split."""
+    import pyspark.sql.functions as F
+
+    from etl_stream_spark.operators.retrieval import bm25_topk
+    from etl_stream_spark.operators.sketches import kmv_distinct
+    from etl_stream_spark.session import load_table
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    q = docs.filter(F.col("doc_id") < 3)
+    a = rows(bm25_topk(docs, q, k=5))
+    b = rows(bm25_topk(docs.repartition(17), q, k=5))
+    assert a == b and len(a) > 0
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    a = rows(kmv_distinct(ev, ["event_type"], "user_id", k=64))
+    b = rows(kmv_distinct(ev.repartition(13), ["event_type"], "user_id", k=64))
+    assert a == b and len(a) > 0
+
+
+def test_change_feed_partitioning_invariant(spark):
+    from etl_stream_spark import catalog as cat
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    a = rows(cat.cdc_change_feed(spark, "/root/testdata/sf0.001"))
+    ev = cat.load_table(spark, "/root/testdata/sf0.001", "events").repartition(11)
+    orig = cat.load_table
+    try:
+        cat.load_table = (
+            lambda spark, sf, name: ev if name == "events" else orig(spark, sf, name)
+        )
+        b = rows(cat.cdc_change_feed(spark, "/root/testdata/sf0.001"))
+    finally:
+        cat.load_table = orig
+    assert a == b and len(a) > 0
