@@ -2226,6 +2226,29 @@ FROM documents
 """
 
 
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched resize plumbing (stub kernel): target dimensions +
+    the scale factors a real resampler would apply, derived from the
+    deterministic stub decode — the binary payload stays engine-side
+    (dropped at the driver boundary, which allows no BINARY)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.to_media_column(docs)
+    return mm.resize_media(media, target_w=224, target_h=224).select(
+        "doc_id", "modality", "content_md5", "width", "height", "scale_x", "scale_y"
+    )
+
+
+RESIZE_SQL = """
+SELECT doc_id, 'image' AS modality, md5(text) AS content_md5,
+       CAST(224 AS BIGINT) AS width, CAST(224 AS BIGINT) AS height,
+       ROUND(224.0 / (64 + ('0x' || substr(md5(text), 1, 2))::INT % 64), 6)
+         AS scale_x,
+       ROUND(224.0 / (64 + ('0x' || substr(md5(text), 3, 2))::INT % 64), 6)
+         AS scale_y
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # Source & monitoring layer (S1 envelope decode, S6/G7 WAL aggregation)
 # --------------------------------------------------------------------------
@@ -4246,6 +4269,7 @@ CATALOG: dict[str, QueryDef] = {
     # multimodal
     "multimodal_features": QueryDef(multimodal_features, MULTIMODAL_SQL),
     "multimodal_frame_sample": QueryDef(multimodal_frame_sample, FRAMES_SQL),
+    "multimodal_resize": QueryDef(multimodal_resize, RESIZE_SQL),
     # source & monitoring layer
     "wal_size_monitor": QueryDef(wal_size_monitor, WAL_SIZE_SQL),
     # streaming (real streaming jobs, all value-checked against SQL twins)
