@@ -772,6 +772,73 @@ def cdc_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained JOIN materialized view end-to-end:
+    orders ⟕ customer replayed as four interleaved CDC batches (half
+    the dims arrive AFTER the facts referencing them — the
+    late-arriving-dimension case), maintained by delta refreshes only.
+    The final view must equal the full join, so the oracle is the
+    plain SQL join."""
+    from etl_stream_spark.cdc.envelope import OPERATION_COL, SEQUENCE_COL
+    from etl_stream_spark.cdc.join_view import IncrementalJoinView
+    from etl_stream_spark.cdc.merge import ParquetMergeTable
+
+    _ensure_utc(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    root = tempfile.mkdtemp(prefix="cdc_jv_")
+    fact = ParquetMergeTable(
+        spark, os.path.join(root, "fact"), keys=["o_orderkey"], num_buckets=8
+    )
+    dim = ParquetMergeTable(
+        spark, os.path.join(root, "dim"), keys=["c_custkey"], num_buckets=8
+    )
+    view = IncrementalJoinView(
+        spark,
+        os.path.join(root, "view"),
+        fact,
+        dim,
+        fk_cols=["o_custkey"],
+        dim_payload=["c_name", "c_mktsegment"],
+        num_buckets=8,
+    )
+
+    def cdcify(df: DataFrame, key: str) -> DataFrame:
+        return df.withColumn(OPERATION_COL, F.lit("INSERT")).withColumn(
+            SEQUENCE_COL, F.lpad(F.col(key).cast("string"), 20, "0")
+        )
+
+    hi_c = c.agg(F.max("c_custkey")).collect()[0][0] or 0
+    hi_o = o.agg(F.max("o_orderkey")).collect()[0][0] or 0
+    batches = [
+        ("D", c.filter(F.col("c_custkey") <= hi_c // 2), "c_custkey"),
+        ("F", o.filter(F.col("o_orderkey") <= hi_o // 2), "o_orderkey"),
+        ("F", o.filter(F.col("o_orderkey") > hi_o // 2), "o_orderkey"),
+        ("D", c.filter(F.col("c_custkey") > hi_c // 2), "c_custkey"),
+    ]
+    for side, df, key in batches:
+        b = cdcify(df, key)
+        if side == "F":
+            fact.merge(b)
+            view.on_fact_batch(b)
+        else:
+            dim.merge(b)
+            view.on_dim_batch(b)
+    return view.read().select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "c_name", "c_mktsegment"
+    )
+
+
+JOIN_VIEW_SQL = """
+SELECT o_orderkey, o_custkey, o_orderpriority, c_name, c_mktsegment
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+"""
+
+
 def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change feed between two table snapshots (Delta CDF analog):
     diff the merged state at 40% of the log against the state at 80%,
@@ -4185,6 +4252,7 @@ CATALOG: dict[str, QueryDef] = {
     "cdc_point_in_time": QueryDef(cdc_point_in_time, POINT_IN_TIME_SQL),
     "cdc_scd2_history": QueryDef(cdc_scd2_history, SCD2_SQL),
     "cdc_scd2_incremental": QueryDef(cdc_scd2_incremental, SCD2_SQL),
+    "cdc_join_view": QueryDef(cdc_join_view, JOIN_VIEW_SQL),
     "cdc_change_feed": QueryDef(cdc_change_feed, CHANGE_FEED_SQL),
     # sketches
     "sketch_distinct_customers": QueryDef(
