@@ -3,6 +3,7 @@ truncate barrier (SURVEY.md §2.4 G1-G5, G8)."""
 
 from etl_stream_spark.cdc.dedup import last_writer_wins, last_writer_wins_agg
 from etl_stream_spark.cdc.scd2 import Scd2Table
+from etl_stream_spark.cdc.join_view import IncrementalJoinView
 from etl_stream_spark.cdc.envelope import (
     OP_DELETE,
     OP_INSERT,
@@ -40,6 +41,7 @@ __all__ = [
     "last_writer_wins",
     "last_writer_wins_agg",
     "Scd2Table",
+    "IncrementalJoinView",
     "make_sequence",
     "with_cdc_metadata",
 ]

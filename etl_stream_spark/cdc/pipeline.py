@@ -72,6 +72,7 @@ class CdcBatchApplier:
         metrics=None,
         rollups: dict[str, "IncrementalRollup"] | None = None,
         histories: dict[str, "Scd2Table"] | None = None,
+        join_views: list[tuple["IncrementalJoinView", str, str]] | None = None,
     ) -> None:
         self.spark = spark
         self.base_path = base_path.rstrip("/")
@@ -80,6 +81,10 @@ class CdcBatchApplier:
         self.metrics = metrics  # optional MetricsRegistry
         self.rollups = dict(rollups or {})  # table name → IncrementalRollup
         self.histories = dict(histories or {})  # table name → Scd2Table
+        # (view, fact_table_name, dim_table_name): a join view listens
+        # to TWO tables, so its refresh runs in a sequential phase after
+        # the parallel per-table merges (no concurrent view rewrites)
+        self.join_views = list(join_views or [])
         self._targets: dict[str, ParquetMergeTable] = {}
         self._configs = dict(tables)
 
@@ -136,6 +141,32 @@ class CdcBatchApplier:
         else:
             with ThreadPoolExecutor(max_workers=self.max_parallel_tables) as pool:
                 list(pool.map(run, names))
+
+        # Sequential view-maintenance phase: each join view sees the
+        # fully merged state of both its tables (no concurrent view
+        # rewrites). A TRUNCATE on either side invalidates keys beyond
+        # the batch's own — the view rebuilds from current state then.
+        def _per(name: str) -> DataFrame:
+            return events.filter(F.col(self.table_col) == name).drop(self.table_col)
+
+        def _had_trunc(per: DataFrame) -> bool:
+            return (
+                per.filter(F.col(OPERATION_COL) == OP_TRUNCATE).limit(1).count() > 0
+            )
+
+        for view, fact_name, dim_name in self.join_views:
+            fact_per = _per(fact_name) if fact_name in names else None
+            dim_per = _per(dim_name) if dim_name in names else None
+            if (fact_per is not None and _had_trunc(fact_per)) or (
+                dim_per is not None and _had_trunc(dim_per)
+            ):
+                view.view.truncate()
+                view.refresh_full()
+                continue
+            if fact_per is not None:
+                view.on_fact_batch(fact_per)
+            if dim_per is not None:
+                view.on_dim_batch(dim_per)
 
 
 @dataclass

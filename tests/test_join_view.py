@@ -125,3 +125,56 @@ def test_dim_update_rewrites_referencing_rows_only(spark, tmp_path):
     dim.merge(db3)
     view.on_dim_batch(db3)
     assert view_rows(view) == {1: (1, 101, None), 2: (2, 202, None)}
+
+
+def test_pipeline_wiring_with_truncate_rebuild(spark, tmp_path):
+    """CdcBatchApplier maintains the join view across multi-table
+    batches; a fact-side TRUNCATE rebuilds the view from current state
+    instead of leaving stale rows."""
+    from etl_stream_spark.cdc import OP_TRUNCATE
+    from etl_stream_spark.cdc.pipeline import CdcBatchApplier, CdcTableConfig
+
+    applier = CdcBatchApplier(
+        spark,
+        str(tmp_path / "silver"),
+        {
+            "orders": CdcTableConfig(keys=["oid"], num_buckets=4),
+            "cust": CdcTableConfig(keys=["cid"], num_buckets=4),
+        },
+    )
+    view = IncrementalJoinView(
+        spark,
+        str(tmp_path / "view"),
+        applier.target("orders"),
+        applier.target("cust"),
+        fk_cols=["cid"],
+        dim_payload=["name"],
+    )
+    applier.join_views.append((view, "orders", "cust"))
+
+    orders_rows = [
+        (1, 1, 101, OP_INSERT, seq(1), "orders"),
+        (2, 2, 202, OP_INSERT, seq(2), "orders"),
+    ]
+    cust_rows = [(1, "alice", OP_INSERT, seq(3), "cust")]
+    ob = spark.createDataFrame(
+        orders_rows,
+        "oid long, cid long, amount long, operation string, sequence string, table string",
+    )
+    cb = spark.createDataFrame(
+        cust_rows, "cid long, name string, operation string, sequence string, table string"
+    )
+    applier.apply_batch(ob)
+    applier.apply_batch(cb)
+    assert view_rows(view) == {1: (1, 101, "alice"), 2: (2, 202, None)}
+
+    # truncate orders, then a fresh order arrives in the same batch
+    tb = spark.createDataFrame(
+        [
+            (None, None, None, OP_TRUNCATE, seq(4), "orders"),
+            (3, 1, 303, OP_INSERT, seq(5), "orders"),
+        ],
+        "oid long, cid long, amount long, operation string, sequence string, table string",
+    )
+    applier.apply_batch(tb)
+    assert view_rows(view) == {3: (1, 303, "alice")}
