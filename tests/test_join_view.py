@@ -178,3 +178,43 @@ def test_pipeline_wiring_with_truncate_rebuild(spark, tmp_path):
     )
     applier.apply_batch(tb)
     assert view_rows(view) == {3: (1, 303, "alice")}
+
+
+def test_rollup_composes_over_join_view(spark, tmp_path):
+    """Silver→view→gold composition: an IncrementalRollup whose silver
+    IS the join view's merge table maintains segment-level aggregates
+    over the enriched rows — medallion layering out of the box."""
+    from pyspark.sql import functions as F
+
+    from etl_stream_spark.cdc.rollup import IncrementalRollup
+
+    fact, dim, view = build(spark, str(tmp_path))
+    rollup = IncrementalRollup(
+        spark,
+        view.view,
+        str(tmp_path / "gold"),
+        group_cols=["name"],
+        aggs={"total": lambda: F.sum("amount").cast("long")},
+    )
+
+    fb = spark.createDataFrame(
+        [(1, 1, 100, OP_INSERT, seq(1)), (2, 1, 50, OP_INSERT, seq(2)),
+         (3, 2, 7, OP_INSERT, seq(3))],
+        FACT_SCHEMA,
+    )
+    db = spark.createDataFrame(
+        [(1, "alice", OP_INSERT, seq(4)), (2, "bob", OP_INSERT, seq(5))],
+        DIM_SCHEMA,
+    )
+    fact.merge(fb); view.on_fact_batch(fb)
+    dim.merge(db); view.on_dim_batch(db)
+    rollup.refresh_groups([("alice",), ("bob",), (None,)])
+    gold = {r["name"]: r["total"] for r in rollup.read().collect()}
+    assert gold == {"alice": 150, "bob": 7}
+
+    # dim rename moves the whole group; rollup refresh follows
+    db2 = spark.createDataFrame([(1, "alicia", OP_UPDATE, seq(6))], DIM_SCHEMA)
+    dim.merge(db2); view.on_dim_batch(db2)
+    rollup.refresh_groups([("alice",), ("alicia",)])
+    gold = {r["name"]: r["total"] for r in rollup.read().collect()}
+    assert gold == {"alicia": 150, "bob": 7}
