@@ -951,7 +951,7 @@ _KMV_H = "('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13))::BIGINT"
 
 SKETCH_DISTINCT_SQL = f"""
 WITH hashed AS (
-  SELECT DISTINCT o_orderpriority, {_KMV_H} AS h FROM orders
+  SELECT DISTINCT o_orderpriority, {_KMV_H} AS h FROM orders WHERE o_custkey IS NOT NULL
 ), ranked AS (
   SELECT o_orderpriority, h,
          ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
@@ -1002,7 +1002,7 @@ def _kmv_overlap_sql() -> str:
     )
     return f"""
 WITH hashed AS (
-  SELECT DISTINCT o_orderpriority, {_KMV_H} AS h FROM orders
+  SELECT DISTINCT o_orderpriority, {_KMV_H} AS h FROM orders WHERE o_custkey IS NOT NULL
 ), ranked AS (
   SELECT o_orderpriority, h,
          ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
@@ -1898,14 +1898,14 @@ WITH tok AS (SELECT doc_id, unnest(t) AS tok FROM ({TOKS_CTE})),
 tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
 dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
 stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-                 AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+                 CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
 dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
 qterms AS (SELECT DISTINCT doc_id AS query_id, tok FROM tok WHERE doc_id < 5),
 contrib AS (
   SELECT q.query_id, f.doc_id,
          CAST(ROUND(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
               * (f.tf * (1.2 + 1))
-              / (f.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)), 8)
+              / (f.tf + 1.2 * (1 - 0.75 + 0.75 * (CAST(l.dl AS DOUBLE) * s.n_docs / s.sum_dl))), 8)
               AS DECIMAL(28,8)) AS c
   FROM qterms q
   JOIN tf f ON q.tok = f.tok AND f.doc_id <> q.query_id

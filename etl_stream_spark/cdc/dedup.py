@@ -25,6 +25,20 @@ from etl_stream_spark.cdc.envelope import SEQUENCE_COL
 DEDUPE_RANK_COL = "_dedupe_id"
 
 
+def content_tie_break(columns: Sequence[str]) -> F.Column:
+    """Deterministic order among equal sequences: md5 over all columns.
+
+    md5 (not xxhash64) because the repo's hashing convention is
+    engine-portable md5, so a DuckDB oracle CAN mirror the tie-break:
+    ``md5(concat_ws(chr(31), COALESCE(CAST(c AS VARCHAR), chr(0)), …))``.
+    The null sentinel keeps ("a", NULL) and (NULL, "a") distinct. Shared
+    by both LWW forms and the SCD2 within-batch ordering — one
+    definition, or replayed-batch determinism would silently diverge.
+    """
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in columns]
+    return F.md5(F.concat_ws("\x1f", *parts))
+
+
 def last_writer_wins(
     df: DataFrame,
     keys: Sequence[str],
@@ -44,14 +58,7 @@ def last_writer_wins(
     """
     if not keys:
         raise ValueError("last_writer_wins requires at least one key column")
-    # md5 (not xxhash64): the repo's hashing convention is engine-portable
-    # md5 so a DuckDB oracle CAN mirror the tie-break exactly:
-    # md5(concat_ws(chr(31), COALESCE(CAST(c AS VARCHAR), chr(0)), ...)).
-    # The null sentinel keeps ("a", NULL) and (NULL, "a") distinct.
-    parts = [
-        F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in df.columns
-    ]
-    tie_break = F.md5(F.concat_ws("\x1f", *parts))
+    tie_break = content_tie_break(df.columns)
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
         F.col(seq_col).desc(), tie_break.desc()
     )
@@ -83,10 +90,7 @@ def last_writer_wins_agg(
     """
     if not keys:
         raise ValueError("last_writer_wins_agg requires at least one key column")
-    parts = [
-        F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in df.columns
-    ]
-    tie_break = F.md5(F.concat_ws("\x1f", *parts))
+    tie_break = content_tie_break(df.columns)
     packed = F.struct(
         F.col(seq_col).alias("_seq"),
         tie_break.alias("_tie"),

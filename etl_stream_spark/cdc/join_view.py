@@ -38,7 +38,6 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_stream_spark.cdc.dedup import last_writer_wins
 from etl_stream_spark.cdc.envelope import OP_DELETE, OP_INSERT, OPERATION_COL, SEQUENCE_COL
 from etl_stream_spark.cdc.merge import BUCKET_COL, SEQ_STATE_COL, ParquetMergeTable
 
@@ -87,20 +86,29 @@ class IncrementalJoinView:
 
     def on_fact_batch(self, batch: DataFrame) -> None:
         """Refresh after ``fact.merge(batch)`` was applied."""
-        keys = last_writer_wins(batch, self.fact.keys).select(*self.fact.keys)
-        self._refresh(keys)
+        # only the key SET matters (the refresh re-derives row content
+        # from post-merge state) — distinct beats an LWW window here
+        self._refresh(batch.select(*self.fact.keys).distinct())
 
     def on_dim_batch(self, batch: DataFrame) -> None:
         """Refresh after ``dim.merge(batch)`` was applied."""
-        changed = last_writer_wins(batch, self.dim.keys).select(*self.dim.keys)
+        changed = batch.select(*self.dim.keys).distinct()
         fact_state = self.fact._read_state()
         if fact_state is None:
             return
+        present_fks = [c for c in self.fk_cols if c in fact_state.columns]
+        if len(present_fks) < len(self.fk_cols):
+            # fk column(s) never landed in fact state (narrow early
+            # batches under schema evolution): no fact row can
+            # reference a dim key yet
+            return
         # narrow (pk, fk) probe of the fact state — columnar pruning
-        # keeps this a 2-column scan however wide the fact table is
+        # keeps this a 2-column scan however wide the fact table is.
+        # Plain equality, NOT null-safe: a NULL fk references no dim
+        # row (left-join SQL semantics, same as the refresh join).
         probe = fact_state.select(*self.fact.keys, *self.fk_cols)
         cond = [
-            probe[fk].eqNullSafe(changed[dk])
+            probe[fk] == changed[dk]
             for fk, dk in zip(self.fk_cols, self.dim.keys)
         ]
         affected = probe.join(changed, cond, "left_semi").select(*self.fact.keys)
@@ -116,8 +124,16 @@ class IncrementalJoinView:
     # -- the delta refresh -------------------------------------------------
 
     def _buckets_of(self, df: DataFrame, cols: Sequence[str], n: int) -> list[int]:
-        expr = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n)).cast("int")
-        return [r[0] for r in df.select(expr.alias("b")).distinct().collect()]
+        # the merge engine's OWN bucket function — a drifted reimpl
+        # would silently prune the wrong buckets
+        from etl_stream_spark.cdc.merge import bucket_expr_for
+
+        return [
+            r[0]
+            for r in df.select(bucket_expr_for(cols, n).alias("b"))
+            .distinct()
+            .collect()
+        ]
 
     def _refresh(self, keys_df: DataFrame) -> None:
         fact_buckets = self._buckets_of(keys_df, self.fact.keys, self.fact.num_buckets)
@@ -148,19 +164,42 @@ class IncrementalJoinView:
         dim_state = (
             self.dim._read_state(buckets=dim_buckets) if dim_buckets else None
         )
+        # payload columns actually present in dim state: schema
+        # evolution means early dim files may lack declared columns —
+        # select only what exists, null-fill the rest like the
+        # dim-absent branch
+        present_payload = (
+            [c for c in self.dim_payload if c in dim_state.columns]
+            if dim_state is not None
+            else []
+        )
         if dim_state is not None:
             # alias dim keys so an fk sharing the dim key's name never
             # collides in the join output
             aliased = [f"_dk{i}" for i in range(len(self.dim.keys))]
             dim_rows = dim_state.select(
                 *[F.col(k).alias(a) for k, a in zip(self.dim.keys, aliased)],
-                *self.dim_payload,
+                *present_payload,
             )
+            # plain equality, NOT null-safe: a NULL fk must read as
+            # unreferenced (the documented LEFT JOIN ON fk = dim_pk
+            # invariant), not match a NULL-keyed dim row
             cond = [
-                rows[fk].eqNullSafe(dim_rows[a])
+                rows[fk] == dim_rows[a]
                 for fk, a in zip(self.fk_cols, aliased)
             ]
             joined = rows.join(dim_rows, cond, "left").drop(*aliased)
+            missing = [c for c in self.dim_payload if c not in present_payload]
+            if missing:
+                vstate = self.view._read_state()
+                vfields = (
+                    {f.name: f.dataType for f in vstate.schema.fields}
+                    if vstate is not None
+                    else {}
+                )
+                for c in missing:
+                    if c in vfields:
+                        joined = joined.withColumn(c, F.lit(None).cast(vfields[c]))
         else:
             # The dim table holds no rows at all. If the view already
             # carries the payload columns, they must be explicitly

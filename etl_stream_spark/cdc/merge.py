@@ -54,6 +54,16 @@ SEQ_STATE_COL = "_seq"
 _META_COLS = (OPERATION_COL, SEQUENCE_COL, TIMESTAMP_COL, BUCKET_COL, SEQ_STATE_COL)
 
 
+def bucket_expr_for(cols: Sequence[str], num_buckets: int):
+    """THE bucket function of every merge-table layout:
+    ``pmod(xxhash64(cols), n)``. Shared so bucket-pruned readers
+    (join-view refreshes, SCD2 probes) can never drift from the writer
+    — drift would silently prune the wrong buckets."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(num_buckets)).cast(
+        "int"
+    )
+
+
 def _hadoop_path(spark: SparkSession, path: str):
     jvm = spark.sparkContext._jvm
     return jvm.org.apache.hadoop.fs.Path(path)
@@ -88,9 +98,7 @@ class ParquetMergeTable:
     # -- storage helpers ---------------------------------------------------
 
     def _bucket_expr(self):
-        return F.pmod(F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(self.num_buckets)).cast(
-            "int"
-        )
+        return bucket_expr_for(self.keys, self.num_buckets)
 
     def exists(self) -> bool:
         fs, p = _hadoop_fs(self.spark, self.path)

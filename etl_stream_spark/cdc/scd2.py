@@ -54,13 +54,12 @@ _META = (OPERATION_COL, SEQUENCE_COL, TIMESTAMP_COL)
 
 
 def _tie_break(df: DataFrame) -> F.Column:
-    """Deterministic order among equal sequences — the md5 content hash
-    of :func:`~etl_stream_spark.cdc.dedup.last_writer_wins` (same
-    convention: the replayed batch always produces the same history)."""
-    parts = [
-        F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in df.columns
-    ]
-    return F.md5(F.concat_ws("\x1f", *parts))
+    """Deterministic order among equal sequences — the SAME md5 content
+    hash both LWW forms use (shared definition in ``dedup.py``: the
+    replayed batch always produces the same history)."""
+    from etl_stream_spark.cdc.dedup import content_tie_break
+
+    return content_tie_break(df.columns)
 
 
 class Scd2Table:

@@ -47,10 +47,13 @@ def bm25_topk(
     toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
     tf = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
     dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # exact-integer corpus stats (no float aggregation — the repo's
+    # determinism rule): the average length enters the formula as
+    # dl * n_docs / sum_dl, evaluated per-row in doubles
     stats = F.broadcast(
         dl.agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.avg(F.col("dl").cast("double")).alias("avgdl"),
+            F.sum("dl").cast("long").alias("sum_dl"),
         )
     )
     dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
@@ -62,8 +65,9 @@ def bm25_topk(
     )
 
     idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    rel_len = F.col("dl").cast("double") * F.col("n_docs") / F.col("sum_dl")
     tf_norm = (F.col("tf") * (K1 + 1)) / (
-        F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
+        F.col("tf") + K1 * (1 - B + B * rel_len)
     )
     contrib = (
         F.broadcast(qterms)
@@ -104,6 +108,13 @@ def rrf_fuse(
     contribute nothing. Returns the fused top-k with the per-list ranks
     riding along (NULL where a list missed the document).
     """
+    if not lists:
+        raise ValueError("rrf_fuse requires at least one ranked list")
+    if len(lists) != len(rank_cols):
+        raise ValueError(
+            f"rrf_fuse: {len(lists)} lists but {len(rank_cols)} rank_cols — "
+            "a silent zip-truncation would drop whole lists from the fusion"
+        )
     qc, dc = id_cols
     fused = None
     for df, rc in zip(lists, rank_cols):

@@ -74,7 +74,14 @@ def kmv_sketch(df: DataFrame, group_cols: list[str], value_col: str, k: int) -> 
     rows leaving the stage are ≤ k per group: downstream merges and
     set operations are driver-light metadata, not data.
     """
-    hashed = df.select(*group_cols, kmv_hash(value_col).alias("_h")).distinct()
+    # NULL values never enter the sketch — COUNT(DISTINCT) ignores them,
+    # and a NULL hash row would both inflate n_seen and sort opposite
+    # ways across engines (Spark asc = NULLS FIRST, DuckDB NULLS LAST)
+    hashed = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, kmv_hash(value_col).alias("_h"))
+        .distinct()
+    )
     w = Window.partitionBy(*group_cols).orderBy(F.col("_h").asc())
     return hashed.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
 
@@ -99,8 +106,11 @@ def kmv_distinct(
         .agg(F.countDistinct(value_col).alias("exact_distinct"))
     )
     est = kmv_estimate(F.col("_kth"), F.col("_n_seen"), k)
+    # null-safe join: a NULL group key is a legitimate group and must
+    # not vanish under plain-equality join semantics
+    cond = [agg[c].eqNullSafe(exact[c]) for c in group_cols]
     return (
-        agg.join(exact, group_cols)
+        agg.join(exact, cond).drop(*[exact[c] for c in group_cols])
         .select(
             *group_cols,
             "exact_distinct",
@@ -158,16 +168,16 @@ class KmvSketchStore:
             else stored.select(*self.group_cols, "_h").unionByName(fresh).distinct()
         )
         w = Window.partitionBy(*self.group_cols).orderBy(F.col("_h").asc())
+        # localCheckpoint, not persist: the write overwrites its own
+        # input path, and a cache-evicted partition would recompute from
+        # lineage against deleted files — checkpointing truncates the
+        # lineage so the materialized rows are the only source
         out = (
             merged.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= self.k)
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        try:
-            out.count()  # materialize before overwriting our own input
-            out.write.mode("overwrite").parquet(self.path)
-        finally:
-            out.unpersist()
+        out.write.mode("overwrite").parquet(self.path)
 
     def estimates(self) -> DataFrame:
         """Per-group distinct-count estimates from the stored sketches."""

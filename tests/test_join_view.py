@@ -218,3 +218,32 @@ def test_rollup_composes_over_join_view(spark, tmp_path):
     rollup.refresh_groups([("alice",), ("alicia",)])
     gold = {r["name"]: r["total"] for r in rollup.read().collect()}
     assert gold == {"alicia": 150, "bob": 7}
+
+
+def test_narrow_dim_batches_and_null_fk(spark, tmp_path):
+    """Review-found edge cases: (1) dim state missing a declared payload
+    column (narrow early batches under schema evolution) must not crash
+    the refresh; (2) a NULL fk must stay unreferenced even when a
+    NULL-keyed dim row exists (plain-equality join semantics)."""
+    fact, dim, view = build(spark, str(tmp_path))
+    # dim batch WITHOUT the declared 'name' payload column
+    narrow = spark.createDataFrame(
+        [(1, OP_INSERT, seq(1))], "cid long, operation string, sequence string"
+    )
+    dim.merge(narrow)
+    fb = spark.createDataFrame(
+        [(1, 1, 101, OP_INSERT, seq(2)), (2, None, 202, OP_INSERT, seq(3))],
+        FACT_SCHEMA,
+    )
+    fact.merge(fb)
+    view.on_fact_batch(fb)  # must not raise despite missing 'name'
+    assert view_rows(view) == {1: (1, 101, None), 2: (None, 202, None)}
+
+    # NULL-keyed dim row must never attach to the NULL-fk fact row
+    nulldim = spark.createDataFrame(
+        [(None, "ghost", OP_INSERT, seq(4)), (1, "alice", OP_UPDATE, seq(5))],
+        DIM_SCHEMA,
+    )
+    dim.merge(nulldim)
+    view.on_dim_batch(nulldim)
+    assert view_rows(view) == {1: (1, 101, "alice"), 2: (None, 202, None)}
