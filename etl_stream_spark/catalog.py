@@ -772,6 +772,63 @@ def cdc_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations over orders: key
+    nullability + uniqueness, referential integrity to customer,
+    accepted status values, price range — row-level rules fused into
+    one aggregation pass, set-level rules as bounded probe jobs
+    (`schema/expectations.py`)."""
+    from etl_stream_spark.schema import expectations as ex
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return ex.check(
+        o,
+        [
+            ex.not_null("o_orderkey"),
+            ex.unique("o_orderkey"),
+            ex.not_null("o_custkey"),
+            ex.foreign_key(["o_custkey"], c, ["c_custkey"]),
+            ex.accepted_values("o_orderstatus", ["O", "F", "P"]),
+            ex.in_range("o_totalprice", 0.0, 1_000_000.0),
+        ],
+    )
+
+
+DQ_REPORT_SQL = """
+WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders),
+r AS (
+  SELECT 'not_null(o_orderkey)' AS expectation,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderkey IS NULL)
+           AS violations
+  UNION ALL
+  SELECT 'unique(o_orderkey)',
+         (SELECT CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+          FROM orders)
+  UNION ALL
+  SELECT 'not_null(o_custkey)',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_custkey IS NULL)
+  UNION ALL
+  SELECT 'foreign_key(o_custkey)',
+         (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL)
+  UNION ALL
+  SELECT 'accepted_values(o_orderstatus)',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+          WHERE o_orderstatus IS NOT NULL
+            AND o_orderstatus NOT IN ('O', 'F', 'P'))
+  UNION ALL
+  SELECT 'in_range(o_totalprice)',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+          WHERE o_totalprice IS NOT NULL
+            AND o_totalprice NOT BETWEEN 0.0 AND 1000000.0)
+)
+SELECT expectation, t.n AS n_rows, violations, (violations = 0) AS passed
+FROM r CROSS JOIN t
+"""
+
+
 def cdc_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally maintained JOIN materialized view end-to-end:
     orders ⟕ customer replayed as four interleaved CDC batches (half
@@ -4253,6 +4310,7 @@ CATALOG: dict[str, QueryDef] = {
     "cdc_scd2_history": QueryDef(cdc_scd2_history, SCD2_SQL),
     "cdc_scd2_incremental": QueryDef(cdc_scd2_incremental, SCD2_SQL),
     "cdc_join_view": QueryDef(cdc_join_view, JOIN_VIEW_SQL),
+    "dq_orders_report": QueryDef(dq_orders_report, DQ_REPORT_SQL),
     "cdc_change_feed": QueryDef(cdc_change_feed, CHANGE_FEED_SQL),
     # sketches
     "sketch_distinct_customers": QueryDef(

@@ -1,0 +1,69 @@
+"""Declarative expectations engine (`schema/expectations.py`): counts,
+set-level rules, and the valid/quarantine split."""
+
+from __future__ import annotations
+
+from etl_stream_spark.schema import expectations as ex
+
+ROWS = [
+    (1, 10, "O", 5.0),
+    (2, 10, "O", -1.0),   # range violation
+    (2, 20, "X", 7.0),    # duplicate id + bad status
+    (None, 30, "F", 2.0), # null id
+    (4, 99, "P", 3.0),    # fk violation (99 not in ref)
+]
+SCHEMA = "id long, cust long, status string, price double"
+
+
+def _exps(spark):
+    ref = spark.createDataFrame([(10,), (20,), (30,)], "ck long")
+    return [
+        ex.not_null("id"),
+        ex.unique("id"),
+        ex.foreign_key(["cust"], ref, ["ck"]),
+        ex.accepted_values("status", ["O", "F", "P"]),
+        ex.in_range("price", 0.0, 100.0),
+    ]
+
+
+def test_check_counts_every_rule(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    got = {
+        r["expectation"]: (r["violations"], r["passed"])
+        for r in ex.check(df, _exps(spark)).collect()
+    }
+    assert got == {
+        "not_null(id)": (1, False),
+        "unique(id)": (1, False),           # 4 non-null ids, 3 distinct
+        "foreign_key(cust)": (1, False),    # cust=99
+        "accepted_values(status)": (1, False),
+        "in_range(price)": (1, False),
+    }
+    # n_rows rides along on every row
+    assert all(
+        r["n_rows"] == 5 for r in ex.check(df, _exps(spark)).collect()
+    )
+
+
+def test_check_all_green(spark):
+    df = spark.createDataFrame([(1, 10, "O", 5.0)], SCHEMA)
+    rep = ex.check(df, _exps(spark)).collect()
+    assert all(r["passed"] and r["violations"] == 0 for r in rep)
+
+
+def test_split_quarantines_row_level_violations(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    valid, quarantined = ex.split(df, _exps(spark))
+    # row-level rules only (not_null, accepted_values, in_range):
+    # (1,...) and (4,...) are clean; both id=2 rows and the null-id row
+    # each violate one row-level rule
+    assert {r["id"] for r in valid.collect()} == {1, 4}
+    got = sorted(
+        (str(r["id"]), tuple(sorted(r["_violations"])))
+        for r in quarantined.collect()
+    )
+    assert got == [
+        ("2", ("accepted_values(status)",)),
+        ("2", ("in_range(price)",)),
+        ("None", ("not_null(id)",)),
+    ]
