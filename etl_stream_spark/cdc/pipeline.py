@@ -56,6 +56,12 @@ def apply_with_truncate_barrier(table: ParquetMergeTable, events: DataFrame) -> 
 class CdcTableConfig:
     keys: list[str]
     num_buckets: int = 32
+    #: optional data-quality gate (schema/expectations.py): rows
+    #: violating a row-level expectation are parked in the table's
+    #: quarantine instead of merged — the reference's value-validation
+    #: reject behavior (P10, bigquery/validation.rs), with the rejects
+    #: kept repairable instead of dropped
+    expectations: list | None = None
 
 
 class CdcBatchApplier:
@@ -108,6 +114,23 @@ class CdcBatchApplier:
 
         def run(name: str) -> None:
             per_table = events.filter(F.col(self.table_col) == name).drop(self.table_col)
+            exps = self._configs[name].expectations
+            if exps:
+                from etl_stream_spark.schema.expectations import split
+
+                data = per_table.filter(F.col(OPERATION_COL) != OP_TRUNCATE)
+                trunc = per_table.filter(F.col(OPERATION_COL) == OP_TRUNCATE)
+                valid, quarantined = split(data, exps)
+                # park rejects BEFORE the merge so a crash cannot lose
+                # them; append-only, replayable after repair
+                quarantined.write.mode("append").parquet(
+                    f"{self.base_path}/_quarantine/{name}"
+                )
+                if self.metrics is not None:
+                    self.metrics.inc(
+                        "cdc_rows_quarantined_total", labels={"table": name}
+                    )
+                per_table = valid.unionByName(trunc, allowMissingColumns=True)
             rollup = self.rollups.get(name)
             touched: list[tuple] = []
             has_trunc = False

@@ -67,3 +67,38 @@ def test_split_quarantines_row_level_violations(spark):
         ("2", ("in_range(price)",)),
         ("None", ("not_null(id)",)),
     ]
+
+
+def test_pipeline_quarantine_gate(spark, tmp_path):
+    """CdcBatchApplier with per-table expectations: violating rows are
+    parked under _quarantine/<table> and never reach the merge target;
+    clean rows merge normally."""
+    from pyspark.sql import functions as F
+
+    from etl_stream_spark.cdc import OP_INSERT
+    from etl_stream_spark.cdc.pipeline import CdcBatchApplier, CdcTableConfig
+
+    applier = CdcBatchApplier(
+        spark,
+        str(tmp_path / "silver"),
+        {
+            "t": CdcTableConfig(
+                keys=["id"],
+                num_buckets=4,
+                expectations=[ex.not_null("v"), ex.in_range("v", 0, 100)],
+            )
+        },
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, 5, OP_INSERT, "00000000000000000001", "t"),
+            (2, None, OP_INSERT, "00000000000000000002", "t"),   # null v
+            (3, 999, OP_INSERT, "00000000000000000003", "t"),    # range
+        ],
+        "id long, v long, operation string, sequence string, table string",
+    )
+    applier.apply_batch(batch)
+    assert {r["id"] for r in applier.target("t").read().collect()} == {1}
+    q = spark.read.parquet(str(tmp_path / "silver" / "_quarantine" / "t"))
+    got = {r["id"]: list(r["_violations"]) for r in q.collect()}
+    assert got == {2: ["not_null(v)"], 3: ["in_range(v)"]}
