@@ -4454,7 +4454,8 @@ _DRIVER_PRIORITY = [
     # token_stats/quality/repetition represent the family)
     "text_token_stats",
     "text_quality",
-    "text_repetition",
+    # data quality gate (expectations engine)
+    "dq_orders_report",
     # dedup (exact, semantic, LSH candidates, components, SimHash)
     "dedup_exact",
     "semantic_dedup",
