@@ -31,13 +31,20 @@ from pyspark.sql import functions as F
 
 @dataclass(frozen=True)
 class Expectation:
-    """One named rule. ``violation`` (row-level) yields a boolean
-    violation predicate given the frame; set-level rules instead carry
-    a ``count_violations`` job."""
+    """One named rule.
+
+    * ``kind="row"`` — ``violation`` yields a boolean violation
+      predicate; fused into the shared aggregation pass.
+    * ``kind="unique"`` — ``cols`` holds the key; ALSO fused into the
+      shared pass (COUNT − COUNT DISTINCT needs no extra job).
+    * ``kind="job"`` — ``count_violations`` runs its own bounded job
+      (foreign keys: an anti-join probe).
+    """
 
     name: str
     violation: Callable[[DataFrame], Column] | None = None
-    count_violations: Callable[[DataFrame], "Column | int"] | None = None
+    count_violations: Callable[[DataFrame], int] | None = None
+    cols: tuple[str, ...] = ()
     kind: str = field(default="row")
 
 
@@ -81,14 +88,10 @@ def custom(name: str, violation: Callable[[DataFrame], Column]) -> Expectation:
 
 
 def unique(*cols: str) -> Expectation:
-    """Set-level: duplicate rows over non-null keys
-    (= COUNT(keys) − COUNT(DISTINCT keys))."""
-
-    def count(df: DataFrame) -> Column:
-        nn = df.na.drop(subset=list(cols)).select(*cols)
-        return (nn.count(), nn.distinct().count())
-
-    return Expectation(f"unique({', '.join(cols)})", count_violations=count, kind="set")
+    """Duplicate rows over fully-non-null keys
+    (= COUNT(keys) − COUNT(DISTINCT keys)); computed inside the shared
+    aggregation pass — no extra scan."""
+    return Expectation(f"unique({', '.join(cols)})", cols=tuple(cols), kind="unique")
 
 
 def foreign_key(
@@ -97,14 +100,14 @@ def foreign_key(
     """Set-level: rows whose (non-null) key has no match in ``ref`` —
     an anti-join probe; broadcast-able when the ref key set is a dim."""
 
-    def count(df: DataFrame):
+    def count(df: DataFrame) -> int:
         keys = ref.select(*ref_cols).distinct()
         cond = [df[c].eqNullSafe(keys[r]) for c, r in zip(cols, ref_cols)]
         probe = df.na.drop(subset=cols)
         return probe.join(keys, cond, "left_anti").count()
 
     return Expectation(
-        f"foreign_key({', '.join(cols)})", count_violations=count, kind="set"
+        f"foreign_key({', '.join(cols)})", count_violations=count, kind="job"
     )
 
 
@@ -119,24 +122,29 @@ def check(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
     """
     spark = df.sparkSession
     row_rules = [e for e in expectations if e.kind == "row"]
-    set_rules = [e for e in expectations if e.kind == "set"]
+    uniq_rules = [e for e in expectations if e.kind == "unique"]
+    job_rules = [e for e in expectations if e.kind == "job"]
 
     aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
     for e in row_rules:
         aggs.append(
             F.sum(F.when(e.violation(df), 1).otherwise(0)).cast("long").alias(e.name)
         )
+    for i, e in enumerate(uniq_rules):
+        nn = None
+        for c in e.cols:
+            p = F.col(c).isNotNull()
+            nn = p if nn is None else (nn & p)
+        aggs.append(F.sum(F.when(nn, 1).otherwise(0)).cast("long").alias(f"_u{i}n"))
+        aggs.append(F.countDistinct(*e.cols).cast("long").alias(f"_u{i}d"))
     row = df.agg(*aggs).collect()[0]
     n_rows = int(row["_n"])
     results = [(e.name, n_rows, int(row[e.name])) for e in row_rules]
+    for i, e in enumerate(uniq_rules):
+        results.append((e.name, n_rows, int(row[f"_u{i}n"]) - int(row[f"_u{i}d"])))
 
-    for e in set_rules:
-        out = e.count_violations(df)
-        if isinstance(out, tuple):  # (count, distinct) pair from unique()
-            viol = int(out[0]) - int(out[1])
-        else:
-            viol = int(out)
-        results.append((e.name, n_rows, viol))
+    for e in job_rules:
+        results.append((e.name, n_rows, int(e.count_violations(df))))
 
     results.sort(key=lambda r: r[0])
     return spark.createDataFrame(
