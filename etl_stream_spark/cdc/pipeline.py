@@ -103,6 +103,17 @@ class CdcBatchApplier:
             )
         return self._targets[name]
 
+    def read_quarantine(self, name: str) -> DataFrame | None:
+        """Rows parked by the expectation gate for ``name`` (with their
+        ``_violations``), or None when nothing is parked. The repair
+        loop: fix the rows, drop ``_violations``, re-add the table
+        column, and resubmit through :meth:`apply_batch` — the gate
+        re-checks them, so an unrepaired row just parks again."""
+        try:
+            return self.spark.read.parquet(f"{self.base_path}/_quarantine/{name}")
+        except AnalysisException:
+            return None
+
     def apply_batch(self, events: DataFrame, epoch_id: int | None = None) -> None:
         names = [
             r[0]

@@ -102,3 +102,38 @@ def test_pipeline_quarantine_gate(spark, tmp_path):
     q = spark.read.parquet(str(tmp_path / "silver" / "_quarantine" / "t"))
     got = {r["id"]: list(r["_violations"]) for r in q.collect()}
     assert got == {2: ["not_null(v)"], 3: ["in_range(v)"]}
+
+
+def test_quarantine_repair_loop(spark, tmp_path):
+    """Park → repair → resubmit: a repaired row passes the gate on
+    replay and merges; read_quarantine exposes the parked rows."""
+    from pyspark.sql import functions as F
+
+    from etl_stream_spark.cdc import OP_INSERT
+    from etl_stream_spark.cdc.pipeline import CdcBatchApplier, CdcTableConfig
+
+    applier = CdcBatchApplier(
+        spark,
+        str(tmp_path / "silver"),
+        {"t": CdcTableConfig(keys=["id"], num_buckets=4,
+                             expectations=[ex.not_null("v")])},
+    )
+    applier.apply_batch(
+        spark.createDataFrame(
+            [(1, None, OP_INSERT, "00000000000000000001", "t")],
+            "id long, v long, operation string, sequence string, table string",
+        )
+    )
+    assert applier.target("t").read().count() == 0
+    parked = applier.read_quarantine("t")
+    assert parked is not None and parked.count() == 1
+
+    repaired = (
+        parked.drop("_violations")
+        .withColumn("v", F.lit(7))
+        .withColumn("sequence", F.lit("00000000000000000002"))
+        .withColumn("table", F.lit("t"))
+    )
+    applier.apply_batch(repaired)
+    rows = applier.target("t").read().collect()
+    assert [(r["id"], r["v"]) for r in rows] == [(1, 7)]
