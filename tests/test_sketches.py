@@ -95,3 +95,39 @@ def test_incremental_store_equals_full_sketch(spark, tmp_path):
     }
     for g, n in exact.items():
         assert abs(est[g] - n) / n < 0.4  # k=128
+
+
+def test_streaming_sketch_maintenance(spark, tmp_path):
+    """KmvSketchStore under the streaming runtime: two micro-batches via
+    foreachBatch yield the same store as the one-shot sketch."""
+    import json
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.json").write_text(
+        "\n".join(json.dumps({"g": "x", "v": i}) for i in range(300))
+    )
+    (src / "b.json").write_text(
+        "\n".join(json.dumps({"g": "x", "v": i}) for i in range(200, 500))
+    )
+    store = sk.KmvSketchStore(spark, str(tmp_path / "sk"), ["g"], "v", k=64)
+    stream = (
+        spark.readStream.schema("g string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(lambda df, _eid: store.update(df))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    full = spark.createDataFrame([("x", i) for i in range(500)], "g string, v long")
+    want = {
+        tuple(r)
+        for r in sk.kmv_sketch(full, ["g"], "v", 64).select("g", "_h", "_rn").collect()
+    }
+    got = {tuple(r) for r in store._read().select("g", "_h", "_rn").collect()}
+    assert got == want
