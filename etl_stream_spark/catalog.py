@@ -176,7 +176,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(_revenue_sum().alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -200,7 +200,9 @@ LIMIT 10
 
 
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-style: 6-way join with broadcast dims, region filter."""
+    """TPC-H Q5-style: 6-way join, region filter. nation/region are
+    bounded (25/5 rows) and broadcast-hinted; customer/supplier scale
+    with SF so AQE chooses their join strategy at runtime."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -213,7 +215,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -319,7 +321,8 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: 4-way join, filter on the fact side, top-20 by
-    revenue (deterministic tie-break on custkey). Dimensions broadcast."""
+    revenue (deterministic tie-break on custkey). Only the bounded
+    nation dim carries a broadcast hint; customer joins via AQE."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01"))
@@ -329,7 +332,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(_revenue_sum().alias("revenue"))
@@ -352,15 +355,16 @@ ORDER BY revenue DESC, c_custkey LIMIT 20
 
 
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: conditional (CASE) aggregation ratio over a
-    broadcast part join."""
+    """TPC-H Q14 shape: conditional (CASE) aggregation ratio over the
+    part join (no hint — part scales with SF; AQE broadcasts while it
+    fits)."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-03-01"))
         & (F.col("l_shipdate") < F.lit("1996-04-01"))
     )
     p = _t(spark, sf_dir, "part")
     rev = _revenue_expr()
-    joined = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    joined = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
     return joined.agg(
         F.round(
             F.lit(100.0)
@@ -397,7 +401,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     return (
         big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name",
             "c_custkey",
@@ -2573,8 +2577,10 @@ FROM events GROUP BY 1, 2
 
 def streaming_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment: the event stream joined to the customer
-    dimension (broadcast hash join — the dim is re-read per micro-batch,
-    never shuffled) and aggregated per segment × event type.
+    dimension (re-planned per micro-batch — Spark broadcasts the dim
+    while it fits and shuffle-joins once it scales past the threshold;
+    no hard hint, since customer grows with SF) and aggregated per
+    segment × event type.
 
     The result is batching-invariant (inner join + full agg), so the
     DuckDB twin is a plain join — the streaming machinery itself is what
@@ -2582,7 +2588,7 @@ def streaming_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_utc(spark)
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     stream = _events_stream(spark, sf_dir)
-    enriched = stream.join(F.broadcast(cust), stream.user_id == cust.c_custkey)
+    enriched = stream.join(cust, stream.user_id == cust.c_custkey)
     agg = enriched.groupBy("c_mktsegment", "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         _dbl(F.sum(F.col("value").cast(DEC)).cast(DECSUM)).alias("total_value"),
@@ -3329,7 +3335,7 @@ def corpus_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = F.greatest(F.coalesce(F.col("p_cond"), F.lit(1e-6)), F.lit(1e-6))
     micro_bits = F.round(-F.log2(p) * F.lit(1e6), 0).cast("long")
     return (
-        doc_bg.join(F.broadcast(lm), "bg", "left")
+        doc_bg.join(lm, "bg", "left")
         .select("doc_id", micro_bits.alias("_mb"))
         .groupBy("doc_id")
         .agg(
@@ -3412,7 +3418,7 @@ def _bigram_lm_over(docs: DataFrame) -> DataFrame:
     )
     return (
         c_ab.withColumn("head", F.substring_index("bg", " ", 1))
-        .join(F.broadcast(uni), F.col("head") == F.col("tok"))
+        .join(uni, F.col("head") == F.col("tok"))
         .select(
             "bg",
             "c_ab",
@@ -3455,8 +3461,8 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_mb = F.round(-F.log2(F.greatest(F.coalesce(F.col("p_s"), F.lit(1e-6)), F.lit(1e-6))) * 1e6, 0).cast("long")
     tgt_mb = F.round(-F.log2(F.greatest(F.coalesce(F.col("p_t"), F.lit(1e-6)), F.lit(1e-6))) * 1e6, 0).cast("long")
     return (
-        doc_bg.join(F.broadcast(target_lm), "bg", "left")
-        .join(F.broadcast(source_lm), "bg", "left")
+        doc_bg.join(target_lm, "bg", "left")
+        .join(source_lm, "bg", "left")
         .select("doc_id", (src_mb - tgt_mb).alias("_mb"))
         .groupBy("doc_id")
         .agg(
@@ -4064,7 +4070,7 @@ def segment_event_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     cells = (
-        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        ev.join(cust, ev.user_id == cust.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
         .agg(F.count(F.lit(1)).alias("observed"))
     )

@@ -56,12 +56,22 @@ def bm25_topk(
             F.sum("dl").cast("long").alias("sum_dl"),
         )
     )
-    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     qterms = (
         queries.select(
             F.col(id_col).alias("query_id"), F.explode(tokens(text_col)).alias("t")
         )
         .distinct()
+    )
+    # Document frequency is only needed for terms that appear in some
+    # query, so semi-join the postings to the bounded query-term set
+    # BEFORE aggregating: at 100 TB the full vocabulary is 10^8-10^9
+    # terms (unbroadcastable), while the surviving dfreq is bounded by
+    # |query terms| — broadcastable by construction. df values are
+    # unchanged (each surviving term still counts every corpus posting).
+    dfreq = (
+        tf.join(F.broadcast(qterms.select("t").distinct()), "t", "left_semi")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
     )
 
     idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))

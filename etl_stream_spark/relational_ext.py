@@ -136,31 +136,42 @@ GROUP BY o_orderpriority
 
 def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue flow between nation pairs (3-nation trade bloc, self-pairs
-    excluded) by ship year (Q7): the big fact joins shuffle on
-    orderkey/custkey; both nation dims broadcast."""
+    excluded) by ship year (Q7). Scale shape: the bounded nation dim is
+    filtered to the trio FIRST and joined into supplier/customer, so the
+    lineitem side is cut to the ~3/25 of rows that can contribute
+    *before* the lineitem⋈orders exchange; only the self-pair exclusion
+    remains after the joins. supplier/customer scale with SF, so they
+    carry no broadcast hint — AQE still picks broadcast when the
+    filtered side is genuinely small (sf0.1), and falls back to a
+    shuffle join at the 100 TB point where broadcast would OOM."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    supp = _t(spark, sf_dir, "supplier")
-    n1 = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
-    )
-    n2 = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
-    )
     trio = ("NATION_1", "NATION_2", "NATION_3")
-    pair_ok = (
-        F.col("supp_nation").isin(*trio)
-        & F.col("cust_nation").isin(*trio)
-        & (F.col("supp_nation") != F.col("cust_nation"))
+    n1 = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*trio))
+        .select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*trio))
+        .select(F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .select("c_custkey", "cust_nation")
     )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
-        .filter(pair_ok)
+        li.join(supp, li.l_suppkey == F.col("s_suppkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
             "supp_nation",
             "cust_nation",
@@ -198,20 +209,26 @@ GROUP BY supp_nation, cust_nation, ship_year
 
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NATION_5 suppliers' share of PROMO-part revenue per order year —
-    sum(CASE)/sum ratio from exact decimal sums, one double division."""
+    sum(CASE)/sum ratio from exact decimal sums, one double division.
+
+    Scale shape: the selective PROMO part join runs FIRST so the
+    lineitem⋈orders exchange only carries PROMO lines; part/supplier
+    scale with SF so neither carries a broadcast hint (AQE promotes them
+    at small SF, shuffle-joins at 100 TB); nation is bounded (25 rows)
+    and stays hinted."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
-    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
-    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = _t(spark, sf_dir, "nation")
     rev = _rev()
     nation_rev = F.sum(F.when(F.col("n_name") == "NATION_5", rev).otherwise(F.lit(0).cast(DEC)))
     total_rev = F.sum(rev)
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
         .agg(
             F.round(nation_rev.cast("double") / total_rev.cast("double"), 6).alias(
@@ -259,8 +276,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     amount = _rev() - cost
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -442,7 +459,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
         revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .select("s_suppkey", "s_name", _dbl(F.col("total_revenue")).alias("total_revenue"))
     )
 
@@ -477,8 +494,8 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
     pairs = li.select("l_partkey", "l_suppkey").distinct()
     return (
-        pairs.join(F.broadcast(bad_supp), pairs.l_suppkey == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        pairs.join(bad_supp, pairs.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(part, pairs.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -512,7 +529,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(qty).alias("sum_qty"), F.count(F.lit(1)).cast("decimal(9,0)").alias("cnt")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(per_part, li.l_partkey == F.col("agg_partkey"))
         .filter(qty * 5 * F.col("cnt") < F.col("sum_qty"))
         .agg(
@@ -556,7 +573,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & qty.between(20, 30))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(_dbl(_rev_sum()).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
     )
@@ -774,7 +791,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sole_late.groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_name", "numwait")
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
