@@ -2885,6 +2885,144 @@ FROM (
 """
 
 
+def cdc_quarantine_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full reject→repair→resubmit loop through the real CDC engine
+    (SURVEY §2.3 P1/P10; the reference logs-and-skips bad rows —
+    ``etl-snowflake-py/etl_snowflake/ddl.py:290-321`` tolerates them via
+    nullable landings — this engine keeps both reject classes
+    repairable):
+
+    1. events are encoded as Debezium-style JSON with two deterministic
+       corruption classes injected: ``event_id % 11 == 0`` rows get an
+       unparseable prefix (→ dead-letter queue at decode), remaining
+       ``event_id % 13 == 0`` rows get a mangled ``event_type`` payload
+       field (→ expectation-gate quarantine at merge);
+    2. the clean decode merges through ``CdcBatchApplier`` whose gate
+       parks the mangled rows in ``_quarantine`` before the merge;
+    3. DLQ repair: strip the corruption prefix, re-decode, resubmit;
+    4. quarantine repair: fix the column, drop ``_violations``,
+       resubmit — the gate re-checks and now passes them;
+    5. the final merged state must equal a straight replay of the
+       UNCORRUPTED log (the oracle) — any row lost by either reject
+       path, or any unrepaired value, shifts a last-writer winner and
+       fails the hash. Out-of-order resubmission is safe because the
+       merge keeps winners by sequence (stale-sequence guard) and —
+       critically — keeps DELETE tombstones (``tombstone_deletes``):
+       without them, a repaired event replayed after a newer DELETE
+       finds no matching key and re-inserts it.
+    """
+    from pyspark.sql import types as T
+
+    from etl_stream_spark.cdc.pipeline import CdcBatchApplier, CdcTableConfig
+    from etl_stream_spark.schema.expectations import custom
+    from etl_stream_spark.sources.envelope_decode import decode_cdc_json_with_dlq
+
+    _ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    op_code = (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+    )
+    # corruption class B: mangled payload field (decodes fine, fails the
+    # expectation gate). Class A (%11) wins where both apply, so every
+    # class-B row really reaches the gate.
+    mangle_b = (F.col("event_id") % 13 == 0) & ~(F.col("event_id") % 11 == 0)
+    payload_type = F.when(
+        mangle_b, F.concat(F.lit("corrupt_"), F.col("event_type"))
+    ).otherwise(F.col("event_type"))
+    payload = F.struct(
+        F.col("event_id"),
+        F.col("user_id"),
+        payload_type.alias("event_type"),
+        F.col("value"),
+    )
+    body = F.to_json(
+        F.struct(
+            op_code.alias("op"),
+            F.unix_millis(F.col("ts")).alias("ts_ms"),
+            F.when(op_code == "d", payload).alias("before"),
+            F.when(op_code != "d", payload).alias("after"),
+            F.struct(
+                F.col("event_id").alias("lsn"),
+                F.lit("events_state").alias("table"),
+                F.lit("public").alias("schema"),
+            ).alias("source"),
+        )
+    )
+    # corruption class A: byte-level garbage → unparseable JSON → DLQ
+    raw = ev.select(
+        F.when(F.col("event_id") % 11 == 0, F.concat(F.lit("garbage|"), body))
+        .otherwise(body)
+        .alias("value")
+    )
+    payload_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    decoded, dlq = decode_cdc_json_with_dlq(raw, payload_schema)
+
+    root = tempfile.mkdtemp(prefix="cdc_repair_")
+    # park the dead letters first (append-only audit) — repair reads the
+    # parked copy, exactly as an operator would after the stream moved on
+    dlq_path = os.path.join(root, "dlq")
+    dlq.write.mode("overwrite").parquet(dlq_path)
+
+    gate = custom(
+        "event_type_not_corrupt",
+        lambda df: F.col("event_type").startswith("corrupt_"),
+    )
+    applier = CdcBatchApplier(
+        spark,
+        os.path.join(root, "silver"),
+        {
+            "events_state": CdcTableConfig(
+                keys=["user_id"],
+                num_buckets=8,
+                expectations=[gate],
+                tombstone_deletes=True,
+            )
+        },
+    )
+    applier.apply_batch(decoded)
+
+    # repair the DLQ: undo the byte corruption, re-decode, resubmit
+    parked_dlq = spark.read.parquet(dlq_path)
+    repaired_raw = parked_dlq.filter(
+        F.col("reason") == "unparseable_json"
+    ).select(F.regexp_replace("raw_value", r"^garbage\|", "").alias("value"))
+    redecoded, still_bad = decode_cdc_json_with_dlq(repaired_raw, payload_schema)
+    applier.apply_batch(redecoded)
+    if not still_bad.isEmpty():  # repair must converge, not re-park
+        raise AssertionError("DLQ repair left unparseable rows behind")
+
+    # repair the quarantine: fix the field, drop the violation marks,
+    # resubmit through the same gate (which re-checks and passes them)
+    parked_q = applier.read_quarantine("events_state")
+    fixed = (
+        parked_q.drop("_violations")
+        .withColumn("event_type", F.regexp_replace("event_type", "^corrupt_", ""))
+        .withColumn("table", F.lit("events_state"))
+    )
+    applier.apply_batch(fixed)
+
+    state = applier.target("events_state").read()
+    return state.select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        _dbl(F.col("value").cast(DEC)).alias("last_value"),
+    )
+
+
+#: the repaired pipeline must converge to the same state as a straight
+#: replay of the uncorrupted log — the oracle is corruption-blind
+CDC_REPAIR_SQL = CDC_STREAM_SQL
+
+
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality over documents (top-bigram /
     top-trigram mass, longest identical-token run, keep flag)."""
@@ -4412,6 +4550,7 @@ CATALOG: dict[str, QueryDef] = {
     "streaming_stream_join": QueryDef(streaming_stream_join, SSJOIN_SQL),
     "streaming_vector_search": QueryDef(streaming_vector_search, KNN_SQL),
     "cdc_streaming_merge": QueryDef(cdc_streaming_merge, CDC_STREAM_SQL),
+    "cdc_quarantine_repair": QueryDef(cdc_quarantine_repair, CDC_REPAIR_SQL),
 }
 
 # Extended relational shapes (TPC-H Q2..Q22 adaptations, rollup, window

@@ -38,7 +38,7 @@ from etl_stream_spark.cdc.envelope import (
     SEQUENCE_COL,
     TIMESTAMP_COL,
 )
-from etl_stream_spark.cdc.merge import SEQ_STATE_COL
+from etl_stream_spark.cdc.merge import DELETED_COL, SEQ_STATE_COL
 
 #: Public Maven coordinate for spark-submit --packages.
 DELTA_PACKAGE = "io.delta:delta-spark_2.13"
@@ -74,6 +74,17 @@ def column_assignments(data_cols: Sequence[str]) -> dict[str, str]:
     return out
 
 
+def tombstone_assignments(data_cols: Sequence[str]) -> dict[str, str]:
+    """SET map for tombstone mode: deletes become ``_deleted = true``
+    updates/inserts instead of physical removals, so the key keeps its
+    sequence state and stale replays (quarantine repair, DLQ
+    resubmission) cannot re-insert it — parity with
+    ``ParquetMergeTable(tombstone_deletes=True)``."""
+    out = column_assignments(data_cols)
+    out[DELETED_COL] = f"b.{OPERATION_COL} = '{OP_DELETE}'"
+    return out
+
+
 class DeltaMergeTable:
     """Drop-in Delta twin of :class:`ParquetMergeTable` (K2/K3)."""
 
@@ -84,6 +95,7 @@ class DeltaMergeTable:
         keys: Sequence[str],
         num_buckets: int = 32,  # accepted for constructor parity; Delta
         # file-skipping replaces manual bucketing
+        tombstone_deletes: bool = False,
     ) -> None:
         try:
             from delta.tables import DeltaTable  # noqa: F401
@@ -99,6 +111,7 @@ class DeltaMergeTable:
         self.path = path.rstrip("/")
         self.keys = list(keys)
         self.num_buckets = num_buckets
+        self.tombstone_deletes = tombstone_deletes
 
     def exists(self) -> bool:
         from delta.tables import DeltaTable
@@ -106,9 +119,16 @@ class DeltaMergeTable:
         return DeltaTable.isDeltaTable(self.spark, self.path)
 
     def read(self) -> DataFrame:
+        from pyspark.sql import functions as F
+
         if not self.exists():
             return self.spark.createDataFrame([], "struct<>")
-        return self.spark.read.format("delta").load(self.path).drop(SEQ_STATE_COL)
+        df = self.spark.read.format("delta").load(self.path).drop(SEQ_STATE_COL)
+        if DELETED_COL in df.columns:
+            df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(
+                DELETED_COL
+            )
+        return df
 
     def truncate(self) -> None:
         if self.exists():
@@ -125,12 +145,32 @@ class DeltaMergeTable:
             c for c in deduped.columns if c not in (OPERATION_COL, SEQUENCE_COL)
         ]
         if not self.exists():
-            initial = (
-                deduped.filter(F.col(OPERATION_COL) != OP_DELETE)
-                .withColumnRenamed(SEQUENCE_COL, SEQ_STATE_COL)
-                .drop(OPERATION_COL)
+            initial = deduped
+            if self.tombstone_deletes:
+                initial = initial.withColumn(
+                    DELETED_COL, F.col(OPERATION_COL) == OP_DELETE
+                )
+            else:
+                initial = initial.filter(F.col(OPERATION_COL) != OP_DELETE)
+            initial = initial.withColumnRenamed(SEQUENCE_COL, SEQ_STATE_COL).drop(
+                OPERATION_COL
             )
             initial.write.format("delta").save(self.path)
+            return
+        if self.tombstone_deletes:
+            # deletes are `_deleted = true` updates/inserts — the key and
+            # its sequence state survive so stale replays lose
+            (
+                DeltaTable.forPath(self.spark, self.path)
+                .alias("t")
+                .merge(deduped.alias("b"), merge_condition(self.keys))
+                .whenMatchedUpdate(
+                    condition=newer_sequence_condition(),
+                    set=tombstone_assignments(data_cols),
+                )
+                .whenNotMatchedInsert(values=tombstone_assignments(data_cols))
+                .execute()
+            )
             return
         (
             DeltaTable.forPath(self.spark, self.path)

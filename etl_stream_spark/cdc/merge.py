@@ -50,8 +50,16 @@ from etl_stream_spark.cdc.envelope import (
 
 BUCKET_COL = "_bucket"
 SEQ_STATE_COL = "_seq"
+DELETED_COL = "_deleted"
 
-_META_COLS = (OPERATION_COL, SEQUENCE_COL, TIMESTAMP_COL, BUCKET_COL, SEQ_STATE_COL)
+_META_COLS = (
+    OPERATION_COL,
+    SEQUENCE_COL,
+    TIMESTAMP_COL,
+    BUCKET_COL,
+    SEQ_STATE_COL,
+    DELETED_COL,
+)
 
 
 def bucket_expr_for(cols: Sequence[str], num_buckets: int):
@@ -87,13 +95,28 @@ class ParquetMergeTable:
         path: str,
         keys: Sequence[str],
         num_buckets: int = 32,
+        tombstone_deletes: bool = False,
     ) -> None:
+        """``tombstone_deletes``: keep a ``_deleted`` marker row (with
+        the delete's sequence) instead of physically removing the key.
+
+        The default (off) matches the reference and Delta MERGE: a
+        winning DELETE removes the row AND its sequence state, which is
+        correct while batches arrive in WAL order. Any pipeline that
+        can REPLAY OLD EVENTS AFTER NEWER ONES — quarantine repair,
+        DLQ resubmission, landing re-reads after a crash — needs
+        tombstones: without the marker, a stale event for a deleted key
+        finds no match and re-inserts. Tombstones are purged by
+        :meth:`compact_tombstones` once the out-of-order window (the
+        landing/DLQ retention) has passed — the Kafka-compaction
+        ``delete.retention`` design."""
         if not keys:
             raise ValueError("ParquetMergeTable requires at least one key column")
         self.spark = spark
         self.path = path.rstrip("/")
         self.keys = list(keys)
         self.num_buckets = num_buckets
+        self.tombstone_deletes = tombstone_deletes
 
     # -- storage helpers ---------------------------------------------------
 
@@ -119,10 +142,17 @@ class ParquetMergeTable:
         return df
 
     def read(self) -> DataFrame:
-        """Current merged state (user-facing columns only)."""
+        """Current merged state (user-facing columns only). Tombstone
+        rows are filtered whatever this instance's flag says — files
+        written by a tombstoning writer stay correct under any reader
+        (pre-tombstone files surface ``_deleted`` as NULL → kept)."""
         state = self._read_state()
         if state is None:
             return self.spark.createDataFrame([], "struct<>")
+        if DELETED_COL in state.columns:
+            state = state.filter(
+                ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+            ).drop(DELETED_COL)
         return state.drop(BUCKET_COL, SEQ_STATE_COL)
 
     def truncate(self) -> None:
@@ -147,10 +177,17 @@ class ParquetMergeTable:
 
         target = self._read_state(buckets=touched)
         if target is None:
-            result = (
-                deduped.filter(F.col(OPERATION_COL) != OP_DELETE)
-                .withColumnRenamed(SEQUENCE_COL, SEQ_STATE_COL)
-                .drop(OPERATION_COL)
+            first = deduped
+            if self.tombstone_deletes:
+                # even a never-matched DELETE leaves a marker: an insert
+                # for the key replayed later (out of order) must lose
+                first = first.withColumn(
+                    DELETED_COL, F.col(OPERATION_COL) == OP_DELETE
+                )
+            else:
+                first = first.filter(F.col(OPERATION_COL) != OP_DELETE)
+            result = first.withColumnRenamed(SEQUENCE_COL, SEQ_STATE_COL).drop(
+                OPERATION_COL
             )
             self._write(result, full_overwrite=False)
             return
@@ -172,10 +209,21 @@ class ParquetMergeTable:
             ~matched | (F.col(f"b.{SEQUENCE_COL}") > F.col(f"t.{SEQ_STATE_COL}"))
         )
         is_delete = F.col(f"b.{OPERATION_COL}") == OP_DELETE
+        t_deleted = (
+            F.coalesce(F.col(f"t.{DELETED_COL}"), F.lit(False))
+            if DELETED_COL in target.columns
+            else F.lit(False)
+        )
 
-        # WHEN MATCHED/NOT MATCHED + DELETE with a winning (newer) source
-        # sequence → row disappears; stale source or no source → keep target.
-        keep = ~(src_wins & is_delete) & (matched | (src_wins & ~is_delete))
+        if self.tombstone_deletes:
+            # every key survives physically; deletion is a state bit the
+            # stale guard protects like any other column
+            keep = F.lit(True)
+        else:
+            # WHEN MATCHED/NOT MATCHED + DELETE with a winning (newer)
+            # source sequence → row disappears; stale source or no
+            # source → keep target.
+            keep = ~(src_wins & is_delete) & (matched | (src_wins & ~is_delete))
 
         def pick(col: str) -> F.Column:
             # a column absent from the batch SCHEMA keeps the target's
@@ -201,10 +249,39 @@ class ParquetMergeTable:
             .alias(BUCKET_COL)
         )
 
+        extra = []
+        if self.tombstone_deletes or DELETED_COL in target.columns:
+            extra.append(
+                F.when(src_wins, is_delete).otherwise(t_deleted).alias(DELETED_COL)
+            )
         result = joined.filter(keep).select(
-            *key_exprs, *[pick(c) for c in non_key_data], seq_expr, bucket_expr
+            *key_exprs, *[pick(c) for c in non_key_data], seq_expr, bucket_expr, *extra
         )
         self._write(result, full_overwrite=False, touched=touched)
+
+    def compact_tombstones(self, upto_seq: str) -> None:
+        """Purge tombstone rows whose sequence is ``<= upto_seq``.
+
+        ``upto_seq`` must be a replay watermark: no event at or below it
+        can ever be (re)submitted again — e.g. the landing purge
+        watermark once the quarantine/DLQ for that range is empty.
+        Purging earlier re-opens the out-of-order insert hole the
+        tombstone closed. Bucket-pruned like a merge: only buckets that
+        hold doomed tombstones are rewritten."""
+        state = self._read_state()
+        if state is None or DELETED_COL not in state.columns:
+            return
+        doomed = F.coalesce(F.col(DELETED_COL), F.lit(False)) & (
+            F.col(SEQ_STATE_COL) <= upto_seq
+        )
+        touched = [
+            r[0]
+            for r in state.filter(doomed).select(BUCKET_COL).distinct().collect()
+        ]
+        if not touched:
+            return
+        kept = state.filter(F.col(BUCKET_COL).isin(touched)).filter(~doomed)
+        self._write(kept, full_overwrite=False, touched=touched)
 
     def _write(
         self,

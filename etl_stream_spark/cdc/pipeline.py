@@ -62,6 +62,10 @@ class CdcTableConfig:
     #: reject behavior (P10, bigquery/validation.rs), with the rejects
     #: kept repairable instead of dropped
     expectations: list | None = None
+    #: keep delete tombstones so out-of-order resubmission (quarantine
+    #: repair, DLQ replay) cannot re-insert a deleted key — see
+    #: ParquetMergeTable.tombstone_deletes
+    tombstone_deletes: bool = False
 
 
 class CdcBatchApplier:
@@ -99,7 +103,11 @@ class CdcBatchApplier:
             validate_identifier(name, "table name")
             cfg = self._configs[name]
             self._targets[name] = ParquetMergeTable(
-                self.spark, f"{self.base_path}/{name}", cfg.keys, cfg.num_buckets
+                self.spark,
+                f"{self.base_path}/{name}",
+                cfg.keys,
+                cfg.num_buckets,
+                tombstone_deletes=cfg.tombstone_deletes,
             )
         return self._targets[name]
 

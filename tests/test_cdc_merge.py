@@ -161,6 +161,99 @@ class TestMergeScenarios:
         assert rows[1]["new_col"] is None  # old rows null-filled
 
 
+class TestTombstones:
+    """tombstone_deletes=True: out-of-order replay safety. Without a
+    tombstone, an event resubmitted AFTER a newer DELETE (quarantine
+    repair, DLQ replay) finds no matching key and re-inserts it."""
+
+    @pytest.fixture()
+    def ttarget(self, spark, tmp_path):
+        return ParquetMergeTable(
+            spark,
+            str(tmp_path / "ttarget"),
+            keys=["id"],
+            num_buckets=4,
+            tombstone_deletes=True,
+        )
+
+    def test_stale_replay_after_delete_loses(self, spark, ttarget):
+        ttarget.merge(make_batch(spark, [ev(1, "a", 1, OP_INSERT, 0)]))
+        ttarget.merge(make_batch(spark, [ev(1, None, None, OP_DELETE, 5)]))
+        assert state_dict(ttarget) == {}
+        # the repaired original insert comes back late — must stay dead
+        ttarget.merge(make_batch(spark, [ev(1, "a", 1, OP_INSERT, 0)]))
+        assert state_dict(ttarget) == {}
+
+    def test_delete_before_insert_first_batch(self, spark, ttarget):
+        # delete arrives first (its batch decoded fine, the insert was
+        # quarantined) — even a never-matched DELETE leaves a marker
+        ttarget.merge(make_batch(spark, [ev(1, None, None, OP_DELETE, 5)]))
+        assert state_dict(ttarget) == {}
+        ttarget.merge(make_batch(spark, [ev(1, "a", 1, OP_INSERT, 0)]))
+        assert state_dict(ttarget) == {}
+
+    def test_newer_insert_resurrects(self, spark, ttarget):
+        ttarget.merge(make_batch(spark, [ev(1, "a", 1, OP_INSERT, 0)]))
+        ttarget.merge(make_batch(spark, [ev(1, None, None, OP_DELETE, 5)]))
+        ttarget.merge(make_batch(spark, [ev(1, "back", 9, OP_INSERT, 8)]))
+        assert state_dict(ttarget) == {1: ("back", 9)}
+
+    def test_stale_delete_still_loses(self, spark, ttarget):
+        ttarget.merge(make_batch(spark, [ev(1, "new", 2, OP_UPDATE, 10)]))
+        ttarget.merge(make_batch(spark, [ev(1, None, None, OP_DELETE, 7)]))
+        assert state_dict(ttarget) == {1: ("new", 2)}
+
+    def test_compaction_purges_only_watermarked(self, spark, ttarget):
+        ttarget.merge(
+            make_batch(
+                spark,
+                [
+                    ev(1, "a", 1, OP_INSERT, 0),
+                    ev(2, "b", 2, OP_INSERT, 1),
+                    ev(3, "c", 3, OP_INSERT, 2),
+                ],
+            )
+        )
+        ttarget.merge(
+            make_batch(
+                spark,
+                [ev(1, None, None, OP_DELETE, 5), ev(2, None, None, OP_DELETE, 9)],
+            )
+        )
+        from etl_stream_spark.cdc.merge import DELETED_COL
+
+        raw = ttarget._read_state()
+        assert raw.filter(F.col(DELETED_COL)).count() == 2
+        # watermark between the two deletes: only the older purges
+        ttarget.compact_tombstones(make_sequence(1_700_000_000_000_000, 7))
+        raw = ttarget._read_state()
+        assert raw.filter(F.col(DELETED_COL)).count() == 1
+        assert state_dict(ttarget) == {3: ("c", 3)}
+        # post-compaction the purged key has no marker: a replay below
+        # the watermark must never happen again (caller's contract)
+        ttarget.merge(make_batch(spark, [ev(2, "late", 2, OP_INSERT, 12)]))
+        assert state_dict(ttarget) == {2: ("late", 2), 3: ("c", 3)}
+
+    def test_reader_without_flag_sees_filtered_state(self, spark, ttarget):
+        ttarget.merge(make_batch(spark, [ev(1, "a", 1, OP_INSERT, 0)]))
+        ttarget.merge(make_batch(spark, [ev(1, None, None, OP_DELETE, 5)]))
+        plain = ParquetMergeTable(
+            spark, ttarget.path, keys=["id"], num_buckets=4
+        )
+        assert state_dict(plain) == {}
+
+    def test_delta_tombstone_clauses(self):
+        from etl_stream_spark.cdc import delta_merge as dm
+
+        assign = dm.tombstone_assignments(["id", "v"])
+        assert assign == {
+            "id": "b.id",
+            "v": "b.v",
+            "_seq": "b.sequence",
+            "_deleted": "b.operation = 'DELETE'",
+        }
+
+
 class TestTruncateBarrier:
     def test_s6_truncate_interleaved(self, spark, target):
         events = make_batch(
