@@ -4565,71 +4565,78 @@ CATALOG.update({name: QueryDef(fn, sql) for name, fn, sql in _EXTRA})
 #: flagship CDC path plus at least one representative of every operator
 #: family inside that window; redundant TPC-H variants trail.
 _DRIVER_PRIORITY = [
-    # CDC core (flagship G3/G4 + S1/P2/P7 + streaming merge + the
-    # round-2 time-travel surface)
+    # ROUND-3 ROTATION: every round-1 hash-fail was driver-proven green
+    # in CORRECTNESS_r02, so (per the window-composition rule) redundant
+    # proven siblings rotate out and 18 never-driver-checked entries
+    # rotate in; ≥1 proven representative per family stays as the
+    # regression canary.
+    #
+    # CDC core (flagship G3/G4 + S1/P2 + streaming merge) — proven reps
     "cdc_final_state",
     "cdc_latest_event",
     "cdc_envelope_decode",
     "cdc_metadata_projection",
-    "cdc_json_props",
     "cdc_streaming_merge",
     "cdc_gold_rollup",
     "cdc_schema_evolution",
     "cdc_change_feed",
     "cdc_scd2_incremental",
-    # relational / TPC-H basics (agg, joins, windows, semi/anti) —
-    # includes every round-1 hash-fail so the fix is driver-proven
+    # CDC time-travel + view-maintenance + repair loop (first driver check)
+    "cdc_point_in_time",
+    "cdc_scd2_history",
+    "cdc_join_view",
+    "cdc_quarantine_repair",
+    # relational / TPC-H (q1/q3/q5/q18 are the proven family reps;
+    # q7/q21 are the round-3 de-broadcast + semi-join-pushdown shapes)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q14_promo_revenue",
     "q18_large_orders",
-    "order_priority_stats",
+    "q7_nation_trade",
+    "q21_waiting_suppliers",
     "top3_parts_per_brand",
     "customers_without_orders",
-    "active_suppliers",
-    "setops_customer_segments",
-    # event-stream aggregations (user_event_pivot: round-1 hash-fail)
-    "hourly_event_rollup",
+    # event-stream aggregation + window family reps
     "user_session_stats",
-    "user_event_pivot",
-    # text analysis (langid/redact variants trail past the window —
-    # token_stats/quality/repetition represent the family)
+    "events_conversion_funnel",
+    # text analysis rep
     "text_token_stats",
-    "text_quality",
     # data quality gate (expectations engine)
     "dq_orders_report",
-    # dedup (exact, semantic, LSH candidates, components, SimHash)
+    # dedup (exact + components proven; LSH-verified + raw MinHash
+    # signatures first-time)
     "dedup_exact",
-    "semantic_dedup",
-    "dedup_lsh_pairs",
     "dedup_clusters",
-    "dedup_simhash",
+    "dedup_lsh_verified",
+    "dedup_minhash_signatures",
     # domain reweighting (DSIR)
     "corpus_dsir_weights",
-    # similarity / ANN (kmeans + neardup covered via semantic_dedup's
-    # train+prune path; recall audit exercises ann+knn jointly)
+    # similarity / ANN (proven: LSH + recall audit; first-time: exact
+    # kNN baseline + k-means assignment)
     "ann_lsh_topk",
     "ann_recall_audit",
-    "ivf_topk",
-    "pq_topk",
+    "knn_bruteforce",
+    "kmeans_assignment",
     "hybrid_search_rrf",
-    # multimodal
+    # multimodal (features proven; resize + frame fan-out first-time)
     "multimodal_features",
-    # sketches
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    # sketches (distinct proven; set-algebra overlap first-time)
     "sketch_distinct_customers",
+    "sketch_customer_overlap",
     # structured streaming
     "streaming_hourly_rollup",
     "streaming_sustained_alerts",
     "streaming_stream_join",
-    "streaming_vector_search",
     # temporal joins
     "asof_latest_purchase",
-    "user_value_resampled",
-    # corpus / training-data pipeline
+    # corpus / training-data pipeline (funnel proven; contamination +
+    # sequence packing + BPE first-time)
     "corpus_curation_funnel",
+    "corpus_contamination",
+    "corpus_pack_sequences",
+    "bpe_pair_counts",
     # relational extensions (grouping sets, window frames)
     "cube_order_revenue",
     "customer_order_history",

@@ -79,6 +79,94 @@ spark.stop()
 """
 
 
+_DEDUP_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from etl_stream_spark.session import get_spark
+from etl_stream_spark.operators.dedup import minhash_lsh_pairs, duplicate_clusters
+from etl_stream_spark.operators.similarity import ann_lsh_topk
+
+spark = get_spark(app_name="scaling_probe_dedup")
+root = {root!r}
+out = {{}}
+
+docs = spark.read.parquet(root + "/docs")
+emb = spark.read.parquet(root + "/emb")
+docs.count(); emb.count()  # warm: footers + JIT
+
+# LSH candidate generation: the pair space must be bounded by bucket
+# collisions (near-linear in docs), never all-pairs
+t = time.time()
+pairs = minhash_lsh_pairs(docs, num_hashes=8, band_size=2)
+pairs.write.mode("overwrite").parquet(root + "/pairs")
+n_pairs = spark.read.parquet(root + "/pairs").count()
+out["dedup_lsh_pairs"] = round(time.time() - t, 3)
+
+# connected components over the candidate graph: O(log d) fixpoint
+# rounds; singletons (the vast majority) bypass the loop
+t = time.time()
+duplicate_clusters(docs, spark.read.parquet(root + "/pairs")).count()
+out["duplicate_clusters"] = round(time.time() - t, 3)
+
+# ANN over the same-size vector corpus, bounded query set
+t = time.time()
+ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 50), k=5, dims=64, num_bits=8).count()
+out["ann_lsh_topk"] = round(time.time() - t, 3)
+
+out["n_pairs"] = n_pairs
+print("PROBE_RESULT " + json.dumps(out))
+spark.stop()
+"""
+
+
+def _materialize_corpus(n_docs: int, root: str) -> None:
+    """Synthesize a deterministic n-doc corpus + embeddings engine-side.
+
+    Amplifying real sf0.1 docs by replication would be pathological for
+    LSH — every replica set lands in one bucket and the candidate space
+    goes quadratic BY CONSTRUCTION. Instead ~12% of synthetic docs form
+    near-dup PAIRS (ids with id%17 in (0,1) share a 120-token body,
+    the second perturbed at one position), the rest are unique: bucket
+    sizes stay O(1), so the probe measures the engine, not a degenerate
+    input."""
+    code = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from etl_stream_spark.session import get_spark
+spark = get_spark(app_name="synth_corpus")
+n = {n_docs}
+base = F.when((F.col("id") % 17) < 2, F.col("id") - (F.col("id") % 17)).otherwise(F.col("id"))
+perturbed = (F.col("id") % 17) == 1
+
+def tok(p):
+    return F.conv((F.abs(F.xxhash64(base, F.lit(7), p)) % 8000).cast("string"), 10, 36)
+
+def uniq_tok(p):
+    return F.conv((F.abs(F.xxhash64(F.col("id"), F.lit(13), p)) % 8000).cast("string"), 10, 36)
+
+text = F.concat_ws(
+    " ",
+    F.transform(
+        F.sequence(F.lit(0), F.lit(119)),
+        lambda p: F.when(perturbed & (p == F.col("id") % 97), uniq_tok(p)).otherwise(tok(p)),
+    ),
+)
+(spark.range(n).select(F.col("id").alias("doc_id"), text.alias("text"))
+ .repartition(128).write.mode("overwrite").parquet({root!r} + "/docs"))
+vec = F.transform(
+    F.sequence(F.lit(0), F.lit(63)),
+    lambda i: ((F.xxhash64(F.col("id") % 100000, i) % 2000) / 1000.0),
+)
+(spark.range(n).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+ .repartition(128).write.mode("overwrite").parquet({root!r} + "/emb"))
+print("SYNTH", spark.read.parquet({root!r} + "/docs").count())
+spark.stop()
+""".format(repo=REPO, n_docs=n_docs, root=root)
+    subprocess.run([sys.executable, "-c", code], check=True)
+
+
 def _materialize_amplified(sf_dir: str, factor: int, dest: str) -> None:
     code = r"""
 import sys
@@ -109,7 +197,36 @@ def main() -> None:
         "(sf0.1 alone is too small for parallelism to pay — per-task "
         "overhead dominates under ~1 GB)",
     )
+    ap.add_argument(
+        "--dedup-docs",
+        type=int,
+        default=0,
+        help="synthesize an N-doc corpus (+N embeddings) to /tmp and probe "
+        "the dedup/ANN stack on it: LSH candidate pairs, connected "
+        "components, banded-ANN top-k",
+    )
     args = ap.parse_args()
+
+    if args.dedup_docs:
+        root = f"/tmp/scaling_corpus_{args.dedup_docs}"
+        if not os.path.exists(root + "/docs"):
+            _materialize_corpus(args.dedup_docs, root)
+        for n in [int(c) for c in args.cpus.split(",")]:
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(n))
+            code = _DEDUP_CHILD.format(repo=REPO, root=root)
+            proc = subprocess.run(
+                [sys.executable, "-c", code], env=env, capture_output=True, text=True
+            )
+            line = next(
+                (l for l in proc.stdout.splitlines() if l.startswith("PROBE_RESULT ")),
+                None,
+            )
+            if line is None:
+                print(json.dumps({"cpus": n, "error": proc.stderr[-500:]}))
+                continue
+            times = json.loads(line[len("PROBE_RESULT "):])
+            print(json.dumps({"cpus": n, "docs": args.dedup_docs, **times}))
+        return
 
     if args.amplify:
         dest = f"/tmp/scaling_lineitem_x{args.amplify}"
