@@ -67,6 +67,14 @@ BENCH_QUERIES = [
     "pq_topk",
     "embedding_centroids",
     "multimodal_features",
+    # round-3 additions: hybrid retrieval, sketches, components,
+    # temporal join, frame fan-out, and the repair loop end-to-end
+    "hybrid_search_rrf",
+    "sketch_distinct_customers",
+    "dedup_clusters",
+    "asof_latest_purchase",
+    "multimodal_frame_sample",
+    "cdc_quarantine_repair",
 ]
 
 
@@ -150,6 +158,113 @@ def main() -> None:
     except Exception as exc:  # keep the headline metric intact
         print(f"# cdc_throughput: FAILED {exc}", file=sys.stderr)
 
+    # Streaming path, per-stage: a 10-micro-batch run of the real CDC
+    # stream (file source, 1 file per trigger) with decode / dedup /
+    # merge each timed inside foreachBatch — so a regression in any one
+    # streaming stage is visible round-over-round, not just the
+    # aggregate rows/s. Stage times overlap deliberately (merge performs
+    # its own dedup): each number tracks its stage's cost, they are not
+    # addends of total_sec.
+    streaming_block = None
+    try:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import types as T
+
+        from etl_stream_spark.cdc import ParquetMergeTable, last_writer_wins
+        from etl_stream_spark.sources.envelope_decode import decode_cdc_json
+
+        from pyspark.sql import functions as F
+
+        from etl_stream_spark.session import load_table
+
+        ev = load_table(spark, sf_dir, "events")
+        op_code = (
+            F.when(F.col("event_type") == "signup", "c")
+            .when(F.col("event_type") == "error", "d")
+            .otherwise("u")
+        )
+        payload = F.struct("event_id", "user_id", "event_type", "value")
+        raw = ev.select(
+            F.col("event_id").alias("_order"),
+            F.to_json(
+                F.struct(
+                    op_code.alias("op"),
+                    F.unix_millis(F.col("ts")).alias("ts_ms"),
+                    F.when(op_code == "d", payload).alias("before"),
+                    F.when(op_code != "d", payload).alias("after"),
+                    F.struct(
+                        F.col("event_id").alias("lsn"),
+                        F.lit("events").alias("table"),
+                        F.lit("public").alias("schema"),
+                    ).alias("source"),
+                )
+            ).alias("value"),
+        )
+        root = tempfile.mkdtemp(prefix="bench_stream_")
+        src = os.path.join(root, "in")
+        # 10 sequence-ordered files → 10 micro-batches at 1 file/trigger
+        raw.repartitionByRange(10, "_order").drop("_order").write.mode(
+            "overwrite"
+        ).parquet(src)
+        payload_schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        target = ParquetMergeTable(
+            spark, os.path.join(root, "target"), keys=["user_id"], num_buckets=32
+        )
+        stage = {"decode_sec": 0.0, "dedup_sec": 0.0, "merge_sec": 0.0}
+        counters = {"rows": 0, "batches": 0}
+
+        def per_batch(batch, _eid):
+            t0 = time.time()
+            decoded = decode_cdc_json(batch, payload_schema).persist()
+            counters["rows"] += decoded.count()
+            t1 = time.time()
+            last_writer_wins(decoded, ["user_id"], "sequence").count()
+            t2 = time.time()
+            target.merge(decoded)
+            t3 = time.time()
+            decoded.unpersist()
+            stage["decode_sec"] += t1 - t0
+            stage["dedup_sec"] += t2 - t1
+            stage["merge_sec"] += t3 - t2
+            counters["batches"] += 1
+
+        t0 = time.time()
+        q = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(per_batch)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("streaming bench did not finish")
+        total_sec = time.time() - t0
+        streaming_block = {
+            "n_batches": counters["batches"],
+            "rows": counters["rows"],
+            "decode_sec": round(stage["decode_sec"], 3),
+            "dedup_sec": round(stage["dedup_sec"], 3),
+            "merge_sec": round(stage["merge_sec"], 3),
+            "total_sec": round(total_sec, 3),
+            "rows_per_sec": round(counters["rows"] / total_sec, 1),
+        }
+        print(f"# streaming: {streaming_block}", file=sys.stderr)
+        shutil.rmtree(root, ignore_errors=True)
+    except Exception as exc:
+        print(f"# streaming: FAILED {exc}", file=sys.stderr)
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     out = {
         "metric": "headline_queries_total_sec",
@@ -161,6 +276,8 @@ def main() -> None:
     }
     if cdc_rows_per_sec is not None:
         out["cdc_rows_per_sec"] = cdc_rows_per_sec
+    if streaming_block is not None:
+        out["streaming"] = streaming_block
     print(json.dumps(out))
     spark.stop()
 
