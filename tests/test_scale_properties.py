@@ -197,6 +197,107 @@ def test_no_cartesian_product_in_any_batch_plan(spark):
     assert not offenders, offenders
 
 
+#: Entries whose broadcast HINT sits over a frame derived from an
+#: SF-scaling table but is bounded by construction — each audited:
+#:   single-row global aggregate .................. q11, q15, q22,
+#:       cdc_change_feed / cdc_point_in_time (sequence cutoffs),
+#:       corpus_tfidf (n_docs), corpus_length_histogram (bin edges)
+#:   literal-bounded query/probe set .............. ann_lsh_topk,
+#:       ann_recall_audit, knn_bruteforce, pq_topk, ivf_topk,
+#:       hybrid_search_rrf (query docs + dfreq semi-joined to their
+#:       terms), user_profile_similarity (user_id <= 5)
+#:   k-bounded model artifact (centroids / LUT) ... kmeans_assignment,
+#:       semantic_dedup, ivf_topk, pq_topk
+#:   dims-bounded (one row per vector position) ... embedding_quantize_int8
+_BOUNDED_HINT_ALLOWLIST = {
+    "ann_lsh_topk",
+    "ann_recall_audit",
+    "cdc_change_feed",
+    "cdc_point_in_time",
+    "corpus_length_histogram",
+    "corpus_tfidf",
+    "embedding_quantize_int8",
+    "hybrid_search_rrf",
+    "ivf_topk",
+    "kmeans_assignment",
+    "knn_bruteforce",
+    "pq_topk",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q22_idle_rich_customers",
+    "semantic_dedup",
+    "user_profile_similarity",
+}
+
+
+def test_no_broadcast_hints_on_sf_scaling_tables(spark):
+    """Round-3 regression tripwire: a hard ``F.broadcast`` hint whose
+    subtree scans an SF-scaling base table overrides Spark's size check
+    and OOMs at the 100 TB design point (round-2 verdict finding #1 —
+    13 queries force-broadcast customer/supplier/part). AQE already
+    broadcasts small sides WITHOUT the hint, so the only hints allowed
+    over scaling-table-derived frames are the audited bounded shapes in
+    ``_BOUNDED_HINT_ALLOWLIST``; anything new must be audited in (or,
+    usually, the hint just dropped)."""
+    import re
+
+    from etl_stream_spark.catalog import CATALOG
+
+    sentinels = {
+        "customer": "c_custkey",
+        "supplier": "s_suppkey",
+        "part": "p_partkey",
+        "orders": "o_orderkey",
+        "lineitem": "l_orderkey",
+        "events": "event_id",
+        "documents": "doc_id",
+        "embeddings": "vec_id",
+    }
+    skip = {
+        "streaming_hourly_rollup",
+        "streaming_session_windows",
+        "streaming_sustained_alerts",
+        "streaming_enrichment",
+        "streaming_stream_join",
+        "streaming_dedup",
+        "streaming_vector_search",
+        "cdc_streaming_merge",
+        "cdc_gold_rollup",
+        "cdc_schema_evolution",
+        "cdc_quarantine_repair",
+        "wal_size_monitor",
+    }
+
+    def name_start(line: str) -> int:
+        m = re.search(r"[A-Za-z]", line)
+        return m.start() if m else 0
+
+    offenders = {}
+    for name, qd in CATALOG.items():
+        if name in skip:
+            continue
+        df = qd.fn(spark, "/root/testdata/sf0.001")
+        lines = df._jdf.queryExecution().analyzed().treeString().splitlines()
+        tabs = set()
+        for i, ln in enumerate(lines):
+            if "ResolvedHint" not in ln:
+                continue
+            depth = name_start(ln)
+            for nxt in lines[i + 1 :]:
+                if name_start(nxt) <= depth:
+                    break
+                if "Relation" in nxt:
+                    for tab, col in sentinels.items():
+                        if col in nxt:
+                            tabs.add(tab)
+        if tabs and name not in _BOUNDED_HINT_ALLOWLIST:
+            offenders[name] = sorted(tabs)
+    assert not offenders, (
+        f"broadcast hints over SF-scaling tables (audit + allowlist or "
+        f"drop the hint): {offenders}"
+    )
+
+
 def test_round2_session_ops_partitioning_invariant(spark):
     """Sketches, hybrid retrieval, and the CDC time-travel queries obey
     the same reproducibility contract: identical results no matter how
