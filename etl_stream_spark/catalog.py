@@ -1767,6 +1767,55 @@ FROM c
 """
 
 
+def dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-grade survivor selection: within each duplicate cluster
+    keep the highest-QUALITY document, not the lowest id — the policy a
+    real training-set build wants (the duplicate that survives should
+    be the cleanest copy). Rank inside the cluster by quality_keep,
+    then token count, then doc_id (every level deterministic); the
+    survivor is rank 1. Composition of the dedup stack (LSH →
+    components) with the quality stack — one extra window over the
+    cluster table, no rescan of the pair graph."""
+    clusters = dedup_clusters(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    q = ta.with_quality_score(docs).select(
+        "doc_id", "n_tokens", "quality_keep"
+    )
+    joined = clusters.join(q, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_keep").desc(), F.col("n_tokens").desc(), F.col("doc_id")
+    )
+    return joined.select(
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "quality_keep",
+        (F.row_number().over(w) == 1).alias("is_survivor"),
+    )
+
+
+def _survivors_quality_sql() -> str:
+    return f"""
+WITH c AS ({_clusters_sql()}),
+toks AS ({TOKS_CTE}), q AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         ROUND(CASE WHEN length(text) > 0
+               THEN CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+                    / length(text)
+               ELSE 0.0 END, 6) AS punct_ratio
+  FROM toks
+)
+SELECT c.doc_id, CAST(c.cluster_id AS BIGINT) AS cluster_id,
+       CAST(q.n_tokens AS BIGINT) AS n_tokens,
+       (q.n_tokens >= 5 AND q.punct_ratio < 0.3) AS quality_keep,
+       ROW_NUMBER() OVER (
+         PARTITION BY c.cluster_id
+         ORDER BY (q.n_tokens >= 5 AND q.punct_ratio < 0.3) DESC,
+                  q.n_tokens DESC, c.doc_id) = 1 AS is_survivor
+FROM c JOIN q ON c.doc_id = q.doc_id
+"""
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), block_col="source", threshold=0.1
@@ -4197,6 +4246,39 @@ FROM (
 """
 
 
+def events_salted_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient enrichment through ``plans.partitioning.salted_join``:
+    the events fact keyed by user_id is maximally skewed relative to the
+    user dimension (every key is hot — events/users ≈ 67:1 and the ratio
+    grows with SF), the canonical case where one key can exceed a single
+    task's sort budget before AQE can split it. The salt spreads each
+    key across 16 shuffle partitions; the small side replicates ×16.
+    Correctness contract: the salt must be invisible in the result —
+    the oracle is the PLAIN join + aggregation."""
+    from etl_stream_spark.plans.partitioning import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, on=["user_id"], salt_buckets=16)
+    return joined.groupBy(
+        F.col("c_mktsegment").alias("segment"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dbl(F.sum(F.col("value").cast(DEC)).cast(DECSUM)).alias("total_value"),
+    )
+
+
+SALTED_ENRICH_SQL = """
+SELECT c_mktsegment AS segment, event_type,
+       COUNT(*) AS n_events,
+       CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)), 2) AS DOUBLE) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
+
 def segment_event_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Independence audit between customer segment and event type: the
     χ² contribution per (segment, event_type) cell — the drift/bias
@@ -4497,6 +4579,9 @@ CATALOG: dict[str, QueryDef] = {
     "user_value_rolling_window": QueryDef(user_value_rolling_window, ROLLING_SQL),
     "user_value_zscores": QueryDef(user_value_zscores, ZSCORE_SQL),
     "segment_event_chisq": QueryDef(segment_event_chisq, CHISQ_SQL),
+    "events_salted_enrichment": QueryDef(
+        events_salted_enrichment, SALTED_ENRICH_SQL
+    ),
     "cdc_gold_rollup": QueryDef(cdc_gold_rollup, GOLD_ROLLUP_SQL),
     "cdc_schema_evolution": QueryDef(cdc_schema_evolution, SCHEMA_EVOLUTION_SQL),
     "dedup_lsh_verified": QueryDef(dedup_lsh_verified, _lsh_verified_sql()),
@@ -4521,6 +4606,9 @@ CATALOG: dict[str, QueryDef] = {
     "dedup_lsh_pairs": QueryDef(dedup_lsh_pairs, _lsh_pairs_sql()),
     "dedup_clusters": QueryDef(dedup_clusters, _clusters_sql()),
     "dedup_survivors": QueryDef(dedup_survivors, _survivors_sql()),
+    "dedup_survivors_quality": QueryDef(
+        dedup_survivors_quality, _survivors_quality_sql()
+    ),
     "dedup_ngram_jaccard": QueryDef(dedup_ngram_jaccard, NGRAM_SQL),
     "dedup_simhash": QueryDef(dedup_simhash, SIMHASH_SQL),
     # similarity
