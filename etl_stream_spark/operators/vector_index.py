@@ -1,4 +1,5 @@
-"""Persisted IVF index: build once, partition-pruned search many times.
+"""Persisted IVF index: build once, partition-pruned search many times,
+maintained incrementally under inserts/updates/deletes.
 
 :func:`~etl_stream_spark.operators.similarity.ivf_topk` and
 ``ivf_trained_topk`` train/probe per call — right for a one-shot query,
@@ -14,6 +15,25 @@ would:
   ``nprobe/nlist`` of the corpus, and re-building is the only full
   scan.
 
+Incremental maintenance (the segment + tombstone + compaction design
+every production vector store uses — new vectors must be searchable
+without a full rebuild):
+
+* every write carries a **generation number**; ``upsert`` appends the
+  batch's rows to their assigned cells and, when an id MOVED cells,
+  appends a tombstone to its old cell — so a probe of either cell
+  resolves the id correctly by last-writer-wins on generation (live
+  beats tombstone at equal generation);
+* the id → (cell, generation) map rides on the bucket-pruned
+  :class:`~etl_stream_spark.cdc.merge.ParquetMergeTable`, so an upsert
+  batch reads only the map buckets its ids hash to — O(batch), not
+  O(corpus);
+* ``remove`` tombstones the ids' current cells; ``compact`` rewrites
+  cells to their LWW winners and drops tombstones; ``rebuild_corpus``
+  re-assigns a full corpus against the STORED centroids (the parity
+  anchor: an index maintained by upserts must search identically to
+  one rebuilt from the same logical corpus).
+
 Determinism carries over from the similarity module: integer-quantized
 vectors, exact integer-L2 training, cosine as one double division.
 """
@@ -25,6 +45,13 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_stream_spark.cdc.envelope import (
+    OP_DELETE,
+    OP_UPDATE,
+    OPERATION_COL,
+    SEQUENCE_COL,
+)
+from etl_stream_spark.cdc.merge import ParquetMergeTable, bucket_expr_for
 from etl_stream_spark.operators.similarity import (
     QUANT_SCALE,
     _assign_to,
@@ -36,6 +63,10 @@ from etl_stream_spark.operators.similarity import (
 )
 
 CELL_COL = "_cell"
+GEN_COL = "_gen"
+TOMB_COL = "_tomb"
+
+_MAP_BUCKETS = 32
 
 
 class IvfIndex:
@@ -61,6 +92,44 @@ class IvfIndex:
     def _corpus_path(self) -> str:
         return os.path.join(self.path, "corpus")
 
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, "meta.parquet")
+
+    def _id_map(self, id_col: str) -> ParquetMergeTable:
+        """id → (cell, generation), bucket-pruned lookups by id."""
+        return ParquetMergeTable(
+            self.spark,
+            os.path.join(self.path, "ids"),
+            keys=[id_col],
+            num_buckets=_MAP_BUCKETS,
+        )
+
+    def _gen(self) -> int:
+        try:
+            return int(self.spark.read.parquet(self._meta_path).first()["gen"])
+        except Exception:
+            return 0
+
+    def _set_gen(self, g: int) -> None:
+        self.spark.createDataFrame([(g,)], "gen long").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(self._meta_path)
+
+    @staticmethod
+    def _seq(g: int) -> F.Column:
+        return F.lpad(F.lit(g).cast("string"), 20, "0")
+
+    def _write_map(self, assigned: DataFrame, id_col: str, g: int, op: str) -> None:
+        self._id_map(id_col).merge(
+            assigned.select(
+                F.col(id_col),
+                F.col("cluster_id").cast("long").alias("cell"),
+                F.lit(op).alias(OPERATION_COL),
+                self._seq(g).alias(SEQUENCE_COL),
+            )
+        )
+
     def build(
         self,
         corpus: DataFrame,
@@ -78,13 +147,139 @@ class IvfIndex:
             cents_py, "cluster_id long, _cent array<long>"
         )
         cents.coalesce(1).write.mode("overwrite").parquet(self._cent_path)
+        self._write_corpus(corpus, assigned, id_col, vec_col, g=0)
+        self._write_map(assigned, id_col, 0, OP_UPDATE)
+        self._set_gen(0)
+
+    def rebuild_corpus(
+        self, corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    ) -> None:
+        """Re-assign a full logical corpus against the STORED centroids
+        and overwrite the cell layout — the compaction-to-clean-slate
+        path, and the parity anchor for incremental maintenance."""
+        cents = self.spark.read.parquet(self._cent_path)
+        vecs = corpus.select(F.col(id_col), quantize(vec_col, self.scale).alias("_v"))
+        assigned = _assign_to(vecs, cents, id_col)
+        self._write_corpus(corpus, assigned, id_col, vec_col, g=0)
+        self._id_map(id_col).truncate()
+        self._write_map(assigned, id_col, 0, OP_UPDATE)
+        self._set_gen(0)
+
+    def _write_corpus(
+        self, corpus: DataFrame, assigned: DataFrame, id_col: str, vec_col: str, g: int
+    ) -> None:
         vecs = corpus.select(F.col(id_col), quantize(vec_col, self.scale).alias("_v"))
         (
             vecs.join(assigned.select(id_col, "cluster_id"), id_col)
             .withColumnRenamed("cluster_id", CELL_COL)
+            .withColumn(GEN_COL, F.lit(g).cast("long"))
+            .withColumn(TOMB_COL, F.lit(False))
             .write.mode("overwrite")
             .partitionBy(CELL_COL)
             .parquet(self._corpus_path)
+        )
+
+    def _old_cells(self, ids: DataFrame, id_col: str) -> DataFrame:
+        """Current (id, cell) for the given ids — reads ONLY the map
+        buckets the ids hash to (O(batch), not O(corpus))."""
+        m = self._id_map(id_col)
+        with_b = ids.select(
+            F.col(id_col), bucket_expr_for([id_col], _MAP_BUCKETS).alias("_b")
+        )
+        buckets = [r[0] for r in with_b.select("_b").distinct().collect()]
+        state = m._read_state(buckets=buckets)
+        if state is None:
+            return ids.select(F.col(id_col), F.lit(None).cast("long").alias("cell")).limit(0)
+        return state.join(ids.select(id_col), id_col, "left_semi").select(
+            F.col(id_col), F.col("cell")
+        )
+
+    def upsert(
+        self, batch: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    ) -> None:
+        """Make a batch of new or changed vectors searchable without
+        touching the existing layout: assign against the stored
+        centroids, append to the target cells at the next generation,
+        and tombstone the OLD cell of every id that moved (same-cell
+        updates need none — the higher generation supersedes in place).
+        """
+        g = self._gen() + 1
+        cents = self.spark.read.parquet(self._cent_path)
+        vecs = batch.select(F.col(id_col), quantize(vec_col, self.scale).alias("_v"))
+        assigned = _assign_to(vecs, cents, id_col).select(id_col, "cluster_id")
+        new_rows = (
+            vecs.join(assigned, id_col)
+            .withColumnRenamed("cluster_id", CELL_COL)
+            .withColumn(GEN_COL, F.lit(g).cast("long"))
+            .withColumn(TOMB_COL, F.lit(False))
+        )
+        old = self._old_cells(batch.select(id_col), id_col)
+        moved = (
+            old.join(assigned, id_col)
+            .filter(F.col("cell") != F.col("cluster_id"))
+            .select(
+                F.col(id_col),
+                F.lit(None).cast("array<long>").alias("_v"),
+                F.col("cell").alias(CELL_COL),
+                F.lit(g).cast("long").alias(GEN_COL),
+                F.lit(True).alias(TOMB_COL),
+            )
+        )
+        new_rows.unionByName(moved).write.mode("append").partitionBy(CELL_COL).parquet(
+            self._corpus_path
+        )
+        self._write_map(assigned, id_col, g, OP_UPDATE)
+        self._set_gen(g)
+
+    def remove(self, ids: DataFrame, id_col: str = "vec_id") -> None:
+        """Delete ids from the index: tombstone their current cells and
+        drop them from the map. Unknown ids are ignored."""
+        g = self._gen() + 1
+        old = self._old_cells(ids.select(id_col), id_col)
+        tombs = old.select(
+            F.col(id_col),
+            F.lit(None).cast("array<long>").alias("_v"),
+            F.col("cell").alias(CELL_COL),
+            F.lit(g).cast("long").alias(GEN_COL),
+            F.lit(True).alias(TOMB_COL),
+        )
+        tombs.write.mode("append").partitionBy(CELL_COL).parquet(self._corpus_path)
+        self._id_map(id_col).merge(
+            old.select(
+                F.col(id_col),
+                F.col("cell"),
+                F.lit(OP_DELETE).alias(OPERATION_COL),
+                self._seq(g).alias(SEQUENCE_COL),
+            )
+        )
+        self._set_gen(g)
+
+    def compact(self, id_col: str = "vec_id") -> None:
+        """Rewrite every cell to its live last-writer-wins rows (drop
+        superseded generations and tombstones) — run on a maintenance
+        cadence once the append tail dominates scan cost."""
+        corpus = self.spark.read.parquet(self._corpus_path)
+        survivors = self._lww(corpus, id_col).filter(~F.col(TOMB_COL))
+        (
+            survivors.write.mode("overwrite")
+            .partitionBy(CELL_COL)
+            .parquet(self._corpus_path)
+        )
+
+    @staticmethod
+    def _lww(rows: DataFrame, id_col: str) -> DataFrame:
+        """Last-writer-wins per id over whatever cell subset ``rows``
+        covers: highest generation wins; a live row beats a tombstone at
+        the same generation (the moved-cell upsert writes both)."""
+        if GEN_COL not in rows.columns:
+            return rows  # pre-incremental layout: every row is current
+        w = Window.partitionBy(id_col).orderBy(
+            F.col(GEN_COL).desc(), F.col(TOMB_COL).asc(), F.col(CELL_COL)
+        )
+        return (
+            rows.withColumn("_lww_rn", F.row_number().over(w))
+            .filter(F.col("_lww_rn") == 1)
+            .drop("_lww_rn")
         )
 
     def exists(self) -> bool:
@@ -131,6 +326,12 @@ class IvfIndex:
         corpus = self.spark.read.parquet(self._corpus_path).filter(
             F.col(CELL_COL).isin(cells)
         )
+        # resolve the append tail: LWW per id over the probed subset,
+        # tombstones out (a moved id's old cell holds its tombstone, so
+        # either cell alone resolves correctly)
+        corpus = self._lww(corpus, id_col)
+        if TOMB_COL in corpus.columns:
+            corpus = corpus.filter(~F.col(TOMB_COL))
         cand = corpus.join(F.broadcast(probed), CELL_COL).filter(
             F.col(id_col) != F.col("query_id")
         )

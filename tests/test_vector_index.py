@@ -60,3 +60,95 @@ def test_reload_without_rebuild(spark, tmp_path):
     assert reopened.exists()
     out = reopened.search(corpus.filter("vec_id < 2"), k=3, nprobe=2)
     assert out.count() == 6
+
+
+def _results(idx, queries, k=5, nprobe=8):
+    return {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in idx.search(queries, k=k, nprobe=nprobe).collect()
+    }
+
+
+def test_upsert_parity_with_rebuild(spark, tmp_path):
+    """An index maintained by upserts must search identically to one
+    whose corpus was rebuilt from the same logical state against the
+    SAME centroids — inserts, vector changes (possibly moving cells),
+    and removals all resolved by the generation/tombstone protocol."""
+    from pyspark.sql import functions as F
+
+    from etl_stream_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.select("vec_id", "embedding")
+    base = corpus.filter("vec_id < 80")
+    idx = IvfIndex(spark, str(tmp_path / "inc"), nlist=4)
+    idx.build(base, rounds=2)
+
+    # batch 1: brand-new ids
+    add = corpus.filter("vec_id >= 80 AND vec_id < 95")
+    idx.upsert(add)
+    # batch 2: change existing vectors (negate → almost surely a new
+    # cell: tombstone in the old cell + live row in the new one)
+    changed = corpus.filter("vec_id >= 10 AND vec_id < 20").select(
+        "vec_id",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    idx.upsert(changed)
+    # batch 3: remove some of the originals and one just-added id
+    idx.remove(spark.range(5).select(F.col("id").alias("vec_id")))
+    idx.remove(spark.createDataFrame([(80,)], "vec_id long"))
+
+    # the equivalent logical corpus, rebuilt against the SAME centroids
+    current = (
+        base.filter("vec_id >= 5 AND (vec_id < 10 OR vec_id >= 20)")
+        .unionByName(add.filter("vec_id > 80"))
+        .unionByName(changed)
+    )
+    ref = IvfIndex(spark, str(tmp_path / "ref"), nlist=4)
+    ref.build(base, rounds=2)  # same training input → same centroids
+    ref.rebuild_corpus(current)
+
+    queries = corpus.filter("vec_id >= 95 AND vec_id < 100")
+    got, want = _results(idx, queries), _results(ref, queries)
+    assert got == want and len(got) == 25
+    # removed / superseded ids must never surface
+    neighbors = {n for n, _ in got.values()}
+    assert not neighbors & {0, 1, 2, 3, 4, 80}
+
+    # compaction must not change any result
+    idx.compact()
+    assert _results(idx, queries) == want
+    # and physically drops the superseded generations + tombstones
+    raw = spark.read.parquet(str(tmp_path / "inc") + "/corpus")
+    assert raw.filter("_tomb").count() == 0
+    assert raw.count() == current.count()
+
+
+def test_upsert_map_lookup_is_bucket_pruned(spark, tmp_path):
+    """The id→cell map read during an upsert must touch only the map
+    buckets the batch ids hash to, not the whole map."""
+    from pyspark.sql import functions as F
+
+    from etl_stream_spark.cdc.merge import bucket_expr_for
+    from etl_stream_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.select("vec_id", "embedding")
+    idx = IvfIndex(spark, str(tmp_path / "inc"), nlist=4)
+    idx.build(corpus, rounds=1)
+
+    one = corpus.filter("vec_id = 7")
+    expected_bucket = (
+        one.select(bucket_expr_for(["vec_id"], 32).alias("b")).first()["b"]
+    )
+    looked = idx._old_cells(one.select("vec_id"), "vec_id")
+    plan = looked._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(
+        r"PartitionFilters: \[[^\]]*_bucket#\d+\)?\s*(?:=\s*(\d+)|IN \(([\d,]+)\))",
+        plan,
+    )
+    assert m, plan[:2000]
+    got = m.group(1) or m.group(2)
+    assert got == str(expected_bucket), (got, expected_bucket)
