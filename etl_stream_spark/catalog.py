@@ -1893,6 +1893,58 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 """
 
 
+def ivf_incremental_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted IVF index's incremental lifecycle through the
+    correctness gate: build on 80% of the corpus, upsert the remaining
+    20%, upsert CHANGED vectors for every 7th id (reversed — reversal
+    commutes with per-element quantization, so the oracle can express
+    it; a changed vector usually lands in a new cell, exercising the
+    old-cell tombstone), remove every 13th id, then search with
+    ``nprobe == nlist``. Exhaustive probing makes the approximate index
+    exact over the CURRENT logical corpus, so the oracle is plain
+    brute-force cosine over (all ∪ changed) ∖ removed — any row the
+    maintenance protocol loses, resurrects, or serves stale fails the
+    hash."""
+    import tempfile
+
+    from etl_stream_spark.operators.vector_index import IvfIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding")
+    idx = IvfIndex(
+        spark, os.path.join(tempfile.mkdtemp(prefix="ivf_inc_"), "idx"), nlist=8
+    )
+    idx.build(corpus.filter(F.col("vec_id") % 10 < 8), rounds=2)
+    idx.upsert(corpus.filter(F.col("vec_id") % 10 >= 8))
+    idx.upsert(
+        corpus.filter(F.col("vec_id") % 7 == 0).select(
+            "vec_id", F.reverse("embedding").alias("embedding")
+        )
+    )
+    idx.remove(corpus.filter(F.col("vec_id") % 13 == 0).select("vec_id"))
+    queries = corpus.filter(F.col("vec_id") < 5)
+    return idx.search(queries, k=5, nprobe=8).select(
+        "query_id", "neighbor_id", "cos_sim", "rank"
+    )
+
+
+IVF_INC_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, {QVEC} AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id,
+             CASE WHEN vec_id % 7 = 0 THEN list_reverse({QVEC}) ELSE {QVEC} END AS cv
+      FROM embeddings WHERE vec_id % 13 <> 0),
+p AS (
+  SELECT query_id, neighbor_id, {_COS} AS cos_sim
+  FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM p
+) WHERE rank <= 5
+"""
+
+
 def _bucket_sql(vec: str, band: int, num_bits: int) -> str:
     bits = []
     for p in range(band * num_bits, (band + 1) * num_bits):
@@ -4623,6 +4675,7 @@ CATALOG: dict[str, QueryDef] = {
     "kmeans_assignment": QueryDef(kmeans_assignment, KMEANS_SQL),
     "semantic_dedup": QueryDef(semantic_dedup_q, SEMDEDUP_SQL),
     "ivf_topk": QueryDef(ivf_topk_q, _ivf_sql()),
+    "ivf_incremental_search": QueryDef(ivf_incremental_search, IVF_INC_SQL),
     "pq_topk": QueryDef(pq_topk_q, _pq_sql()),
     # multimodal
     "multimodal_features": QueryDef(multimodal_features, MULTIMODAL_SQL),
