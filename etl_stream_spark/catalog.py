@@ -174,9 +174,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
+    # the segment filter keeps ~1/5 of customers: joining orders to the
+    # filtered dim FIRST shrinks the orders side before the big
+    # lineitem⋈orders exchange (no broadcast hint — customer scales
+    # with SF; AQE promotes it while it fits)
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(_revenue_sum().alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
