@@ -1612,20 +1612,30 @@ SHINGLES_CTE = (
 )
 
 _NUM_HASHES = 8
-#: Universal-hash min-aggregates mirroring dedup.minhash_signatures:
-#: one md5 per shingle, k integer perturbations mod 2^31-1.
-_SIG_AGGS = ", ".join(
-    "min((hv * {a} + {b}) % {p}) AS mh_{j}".format(
+#: Per-hash list-min expressions mirroring dedup.minhash_signatures:
+#: k integer perturbations of the rolling shingle hash, mod 2^31-1.
+_SIG_MINS = ", ".join(
+    "list_min(list_transform(hv, h -> (h * {a} + {b}) % {p})) AS mh_{j}".format(
         a=dd.minhash_params(j)[0], b=dd.minhash_params(j)[1], p=dd.MINHASH_PRIME, j=j
     )
     for j in range(_NUM_HASHES)
 )
+#: Rolling shingle hashes mirroring dedup.shingle_hashes: per-token
+#: md5-prefix hashes combined positionally; short docs hash their full
+#: joined text. `shingled` (string shingles) stays for the EXACT
+#: Jaccard stage of the verified pipeline.
+_ROLL_CTE = (
+    "SELECT doc_id, CASE WHEN len(h) >= 3 THEN "
+    "list_transform(range(1, len(h) - 1), "
+    f"i -> (h[i] * {dd.W_A} + h[i+1] * {dd.W_B} + h[i+2]) % {dd.MINHASH_PRIME}) "
+    "ELSE [('0x' || substr(md5(array_to_string(t, ' ')), 1, 7))::BIGINT] END AS hv "
+    "FROM (SELECT doc_id, t, "
+    "list_transform(t, x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS h FROM toks)"
+)
 SIG_CTES = (
     f"toks AS ({TOKS_CTE}), shingled AS ({SHINGLES_CTE}), "
-    "exploded AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled), "
-    "hashed AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS hv "
-    "FROM exploded), "
-    f"sig AS (SELECT doc_id, {_SIG_AGGS} FROM hashed GROUP BY doc_id)"
+    f"rolled AS ({_ROLL_CTE}), "
+    f"sig AS (SELECT doc_id, {_SIG_MINS} FROM rolled)"
 )
 
 
