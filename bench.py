@@ -68,13 +68,15 @@ BENCH_QUERIES = [
     "embedding_centroids",
     "multimodal_features",
     # round-3 additions: hybrid retrieval, sketches, components,
-    # temporal join, frame fan-out, and the repair loop end-to-end
+    # temporal join, frame fan-out. (cdc_quarantine_repair is NOT here:
+    # its ~40 s is fixed micro-job overhead of three engine passes, not
+    # a throughput signal — the streaming block + cdc_rows_per_sec
+    # carry CDC throughput, and the correctness gate covers the loop.)
     "hybrid_search_rrf",
     "sketch_distinct_customers",
     "dedup_clusters",
     "asof_latest_purchase",
     "multimodal_frame_sample",
-    "cdc_quarantine_repair",
 ]
 
 

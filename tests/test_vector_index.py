@@ -152,3 +152,48 @@ def test_upsert_map_lookup_is_bucket_pruned(spark, tmp_path):
     assert m, plan[:2000]
     got = m.group(1) or m.group(2)
     assert got == str(expected_bucket), (got, expected_bucket)
+
+
+def test_streaming_upsert_serves_fresh_vectors(spark, tmp_path):
+    """The index is a valid sink for a vector stream: each micro-batch
+    upserted via foreachBatch becomes searchable, and the end state
+    matches a rebuild from the same logical corpus — the 'new documents
+    flow into the serving index continuously' production shape."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_stream_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.select("vec_id", "embedding")
+    base = corpus.filter("vec_id < 60")
+    idx = IvfIndex(spark, str(tmp_path / "stream_idx"), nlist=4)
+    idx.build(base, rounds=1)
+
+    src = str(tmp_path / "incoming")
+    fresh = corpus.filter("vec_id >= 60 AND vec_id < 90")
+    # 3 files → 3 micro-batches at 1 file/trigger
+    fresh.withColumn("_g", F.col("vec_id") % 3).repartition(3, "_g").drop(
+        "_g"
+    ).write.parquet(src)
+    q = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(lambda b, _eid: idx.upsert(b))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    ref = IvfIndex(spark, str(tmp_path / "ref_idx"), nlist=4)
+    ref.build(base, rounds=1)  # same training input → same centroids
+    ref.rebuild_corpus(corpus.filter("vec_id < 90"))
+
+    queries = corpus.filter("vec_id >= 95 AND vec_id < 100")
+    got = _results(idx, queries, k=5, nprobe=4)
+    assert got == _results(ref, queries, k=5, nprobe=4) and len(got) == 25
+    # streamed ids must actually be reachable
+    assert any(n >= 60 for n, _ in got.values())
