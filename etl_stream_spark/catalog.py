@@ -2068,6 +2068,83 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lexical_incremental_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted lexical (BM25) index's incremental lifecycle
+    through the correctness gate — the text twin of
+    ``ivf_incremental_search``: build on 80% of the corpus, upsert the
+    remaining 20%, RE-INDEX every 7th document with doubled text (its
+    term frequencies and length genuinely change, so stale postings
+    must be invalidated by the forward generation, not just
+    deduplicated), remove every 13th, then search. The oracle scores
+    plain BM25 over the equivalent current corpus — a stale posting, a
+    resurrected removal, or a drifted corpus statistic (n_docs, sum_dl,
+    df are liveness-dependent) all fail the hash."""
+    import tempfile
+
+    from etl_stream_spark.operators.retrieval import PostingsIndex
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = PostingsIndex(
+        spark,
+        os.path.join(tempfile.mkdtemp(prefix="lex_inc_"), "idx"),
+        num_term_buckets=32,
+    )
+    idx.build(docs.filter(F.col("doc_id") % 10 < 8))
+    idx.upsert(docs.filter(F.col("doc_id") % 10 >= 8))
+    idx.upsert(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            "doc_id", F.concat("text", F.lit(" "), "text").alias("text")
+        )
+    )
+    idx.remove(docs.filter(F.col("doc_id") % 13 == 0).select("doc_id"))
+    return idx.search(docs.filter(F.col("doc_id") < 3), k=5)
+
+
+LEXICAL_INC_SQL = f"""
+WITH cur AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text ELSE text END AS text
+  FROM documents WHERE doc_id % 13 <> 0
+),
+ctoks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS t
+  FROM cur
+),
+tok AS (SELECT doc_id, unnest(t) AS tok FROM ctoks),
+tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+qtoks AS (SELECT doc_id, unnest(list_filter(
+            regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+          FROM documents WHERE doc_id < 3),
+qterms AS (SELECT DISTINCT doc_id AS query_id, tok FROM qtoks),
+contrib AS (
+  SELECT q.query_id, f.doc_id,
+         CAST(ROUND(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+              * (f.tf * (1.2 + 1))
+              / (f.tf + 1.2 * (1 - 0.75 + 0.75 * (CAST(l.dl AS DOUBLE) * s.n_docs / s.sum_dl))), 8)
+              AS DECIMAL(28,8)) AS c
+  FROM qterms q
+  JOIN tf f ON q.tok = f.tok AND f.doc_id <> q.query_id
+  JOIN dl l ON f.doc_id = l.doc_id
+  JOIN dfreq d ON d.tok = f.tok
+  CROSS JOIN stats s
+),
+bm25 AS (
+  SELECT query_id, doc_id,
+         CAST(ROUND(CAST(SUM(c) AS DECIMAL(38,8)), 6) AS DOUBLE) AS bm25_score
+  FROM contrib GROUP BY 1, 2
+)
+SELECT query_id, doc_id, bm25_score, bm25_rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY bm25_score DESC, doc_id) AS bm25_rank
+  FROM bm25) WHERE bm25_rank <= 5
+"""
+
+
 def _hybrid_sql() -> str:
     return f"""
 WITH tok AS (SELECT doc_id, unnest(t) AS tok FROM ({TOKS_CTE})),
@@ -4683,6 +4760,9 @@ CATALOG: dict[str, QueryDef] = {
     "ann_lsh_topk": QueryDef(ann_lsh, _ann_sql()),
     "ann_recall_audit": QueryDef(ann_recall_audit, _ann_recall_sql()),
     "hybrid_search_rrf": QueryDef(hybrid_search_rrf, _hybrid_sql()),
+    "lexical_incremental_search": QueryDef(
+        lexical_incremental_search, LEXICAL_INC_SQL
+    ),
     "embedding_neardup": QueryDef(embedding_neardup, _neardup_sql()),
     "embedding_centroids": QueryDef(embedding_centroids, CENTROIDS_SQL),
     "embedding_quantize_int8": QueryDef(embedding_quantize_int8, QUANT8_SQL),

@@ -31,22 +31,28 @@ B = 0.75
 RRF_C = 60
 
 
-def bm25_topk(
-    docs: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Top-k corpus documents per query document by Okapi BM25.
+def query_terms(queries: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Distinct (query_id, t) pairs — the bounded broadcast side of
+    every lexical retrieval path."""
+    return queries.select(
+        F.col(id_col).alias("query_id"), F.explode(tokens(text_col)).alias("t")
+    ).distinct()
 
-    ``queries`` must be bounded (its distinct terms are broadcast into
-    the postings join). Self-matches are excluded. Returns
-    (query_id, doc_id, bm25_score, bm25_rank).
-    """
-    toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
-    tf = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+
+def _bm25_rank(
+    qterms: DataFrame,
+    tf: DataFrame,
+    dl: DataFrame,
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """Shared BM25 scoring over prepared postings: ``tf`` (id, t, tf)
+    and ``dl`` (id, dl) describe the CURRENT corpus; ``qterms`` is the
+    bounded (query_id, t) set. Everything downstream — exact-integer
+    corpus stats, query-pruned document frequencies, decimal-quantized
+    term contributions, deterministic ranks — is identical whether the
+    postings came from a raw-text scan (:func:`bm25_topk`) or the
+    persisted incremental index (:class:`PostingsIndex`)."""
     # exact-integer corpus stats (no float aggregation — the repo's
     # determinism rule): the average length enters the formula as
     # dl * n_docs / sum_dl, evaluated per-row in doubles
@@ -55,12 +61,6 @@ def bm25_topk(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("dl").cast("long").alias("sum_dl"),
         )
-    )
-    qterms = (
-        queries.select(
-            F.col(id_col).alias("query_id"), F.explode(tokens(text_col)).alias("t")
-        )
-        .distinct()
     )
     # Document frequency is only needed for terms that appear in some
     # query, so semi-join the postings to the bounded query-term set
@@ -103,6 +103,217 @@ def bm25_topk(
         .filter(F.col("bm25_rank") <= k)
         .select("query_id", id_col, "bm25_score", "bm25_rank")
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k corpus documents per query document by Okapi BM25.
+
+    ``queries`` must be bounded (its distinct terms are broadcast into
+    the postings join). Self-matches are excluded. Returns
+    (query_id, doc_id, bm25_score, bm25_rank).
+    """
+    toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
+    tf = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    return _bm25_rank(query_terms(queries, id_col, text_col), tf, dl, k, id_col)
+
+
+TERM_BUCKET_COL = "_tb"
+GEN_COL = "_gen"
+
+
+class PostingsIndex:
+    """Persisted, incrementally-maintained lexical (BM25) index — the
+    text twin of :class:`~etl_stream_spark.operators.vector_index.IvfIndex`.
+
+    Layout under ``path``:
+
+    * ``postings/`` — (doc_id, t, tf, generation) rows partitioned by a
+      TERM hash bucket (``_tb=NN``): a search lists only the buckets its
+      query terms hash to — partition pruning before IO, so per-batch
+      read cost is bounded by |query terms|, never the corpus;
+    * ``fwd/`` — the forward index (doc_id → dl, doc_gen) on the
+      bucket-pruned :class:`~etl_stream_spark.cdc.merge.ParquetMergeTable`
+      with delete tombstones. It is the source of truth for liveness:
+      a posting row counts only when its generation EQUALS the doc's
+      current generation, so re-upserted documents shed the terms they
+      no longer contain and removed documents vanish — without ever
+      locating their old posting rows (compaction reclaims the space
+      later). The fwd side is narrow (three 8-byte columns), which is
+      what makes the per-search liveness join affordable at scale.
+
+    Search scoring is byte-identical to :func:`bm25_topk` (shared
+    ``_bm25_rank``): an index maintained by upserts/removals must rank
+    exactly like a fresh scan of the current logical corpus — the
+    parity contract the tests pin.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        num_term_buckets: int = 64,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> None:
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.num_term_buckets = num_term_buckets
+        self.id_col = id_col
+        self.text_col = text_col
+
+    @property
+    def _post_path(self) -> str:
+        return self.path + "/postings"
+
+    @property
+    def _meta_path(self) -> str:
+        return self.path + "/meta.parquet"
+
+    def _fwd(self) -> "ParquetMergeTable":
+        from etl_stream_spark.cdc.merge import ParquetMergeTable
+
+        return ParquetMergeTable(
+            self.spark,
+            self.path + "/fwd",
+            keys=[self.id_col],
+            num_buckets=32,
+            tombstone_deletes=True,
+        )
+
+    def _gen(self) -> int:
+        try:
+            return int(self.spark.read.parquet(self._meta_path).first()["gen"])
+        except Exception:
+            return 0
+
+    def _set_gen(self, g: int) -> None:
+        self.spark.createDataFrame([(g,)], "gen long").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(self._meta_path)
+
+    def _term_bucket(self):
+        return F.pmod(F.xxhash64("t"), F.lit(self.num_term_buckets)).cast("int")
+
+    def _rows(self, docs: DataFrame, g: int) -> tuple[DataFrame, DataFrame]:
+        toks = docs.select(
+            F.col(self.id_col), F.explode(tokens(self.text_col)).alias("t")
+        )
+        tf = (
+            toks.groupBy(self.id_col, "t")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn(GEN_COL, F.lit(g).cast("long"))
+            .withColumn(TERM_BUCKET_COL, self._term_bucket())
+        )
+        dl = toks.groupBy(self.id_col).agg(F.count(F.lit(1)).alias("dl"))
+        return tf, dl
+
+    def _merge_fwd(self, dl: DataFrame, g: int, op: str) -> None:
+        from etl_stream_spark.cdc.envelope import OPERATION_COL, SEQUENCE_COL
+
+        self._fwd().merge(
+            dl.select(
+                F.col(self.id_col),
+                F.col("dl"),
+                F.lit(g).cast("long").alias("doc_gen"),
+                F.lit(op).alias(OPERATION_COL),
+                F.lpad(F.lit(g).cast("string"), 20, "0").alias(SEQUENCE_COL),
+            )
+        )
+
+    def build(self, docs: DataFrame) -> None:
+        from etl_stream_spark.cdc.envelope import OP_UPDATE
+
+        tf, dl = self._rows(docs, 0)
+        tf.write.mode("overwrite").partitionBy(TERM_BUCKET_COL).parquet(
+            self._post_path
+        )
+        self._merge_fwd(dl, 0, OP_UPDATE)
+        self._set_gen(0)
+
+    def upsert(self, docs: DataFrame) -> None:
+        """Add new documents or re-index changed ones: postings append
+        at the next generation; the forward index advances the docs'
+        current generation, instantly invalidating their old postings."""
+        from etl_stream_spark.cdc.envelope import OP_UPDATE
+
+        g = self._gen() + 1
+        tf, dl = self._rows(docs, g)
+        tf.write.mode("append").partitionBy(TERM_BUCKET_COL).parquet(self._post_path)
+        self._merge_fwd(dl, g, OP_UPDATE)
+        self._set_gen(g)
+
+    def remove(self, ids: DataFrame) -> None:
+        """Delete documents: a fwd tombstone is enough — their postings
+        fail the liveness join and compaction reclaims them later."""
+        from etl_stream_spark.cdc.envelope import OP_DELETE, SEQUENCE_COL, OPERATION_COL
+
+        g = self._gen() + 1
+        self._fwd().merge(
+            ids.select(
+                F.col(self.id_col),
+                F.lit(None).cast("long").alias("dl"),
+                F.lit(None).cast("long").alias("doc_gen"),
+                F.lit(OP_DELETE).alias(OPERATION_COL),
+                F.lpad(F.lit(g).cast("string"), 20, "0").alias(SEQUENCE_COL),
+            )
+        )
+        self._set_gen(g)
+
+    def _live(self, postings: DataFrame) -> DataFrame:
+        """Join postings to the forward index and keep rows whose
+        generation matches the doc's current one (live docs only)."""
+        fwd = self._fwd().read().select(self.id_col, "dl", "doc_gen")
+        return (
+            postings.join(fwd, self.id_col)
+            .filter(F.col(GEN_COL) == F.col("doc_gen"))
+            .drop(GEN_COL, "doc_gen")
+        )
+
+    def search(self, queries: DataFrame, k: int = 10) -> DataFrame:
+        """BM25 top-k per query over the CURRENT corpus: postings pruned
+        to the query terms' buckets, liveness-joined, then scored by the
+        same code path as :func:`bm25_topk`."""
+        qterms = query_terms(queries, self.id_col, self.text_col)
+        buckets = [
+            r[0]
+            for r in qterms.select(self._term_bucket().alias("_b")).distinct().collect()
+        ]
+        post = (
+            self.spark.read.parquet(self._post_path)
+            .filter(F.col(TERM_BUCKET_COL).isin(buckets))
+            .join(F.broadcast(qterms.select("t").distinct()), "t", "left_semi")
+        )
+        live = self._live(post)
+        tf = live.select(self.id_col, "t", "tf")
+        dl = self._fwd().read().select(self.id_col, "dl")
+        return _bm25_rank(qterms, tf, dl, k, self.id_col)
+
+    def compact(self) -> None:
+        """Rewrite postings to live current-generation rows only."""
+        live = self._live(self.spark.read.parquet(self._post_path))
+        current_gen = F.col("_cur_gen")
+        fwd = self._fwd().read().select(
+            F.col(self.id_col), F.col("doc_gen").alias("_cur_gen")
+        )
+        survivors = (
+            live.drop("dl")
+            .join(fwd, self.id_col)
+            .withColumn(GEN_COL, current_gen)
+            .drop("_cur_gen")
+            # materialize BEFORE overwriting the directory being read —
+            # lazy evaluation would scan files the overwrite just deleted
+            .localCheckpoint(eager=True)
+        )
+        survivors.write.mode("overwrite").partitionBy(TERM_BUCKET_COL).parquet(
+            self._post_path
+        )
 
 
 def rrf_fuse(

@@ -259,7 +259,13 @@ class IvfIndex:
         superseded generations and tombstones) — run on a maintenance
         cadence once the append tail dominates scan cost."""
         corpus = self.spark.read.parquet(self._corpus_path)
-        survivors = self._lww(corpus, id_col).filter(~F.col(TOMB_COL))
+        # materialize BEFORE overwriting the directory being read — lazy
+        # evaluation would scan files the overwrite just deleted
+        survivors = (
+            self._lww(corpus, id_col)
+            .filter(~F.col(TOMB_COL))
+            .localCheckpoint(eager=True)
+        )
         (
             survivors.write.mode("overwrite")
             .partitionBy(CELL_COL)

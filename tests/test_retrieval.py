@@ -45,3 +45,87 @@ def test_rrf_fusion_combines_and_breaks_ties(spark):
     assert out[10]["fused_rank"] == 2 and out[12]["fused_rank"] == 3
     # single-list docs carry NULL for the other rank
     assert out[10]["r2"] is None and out[12]["r1"] is None
+
+
+def _ranks(df):
+    return {
+        (r["query_id"], r["bm25_rank"]): (r["doc_id"], r["bm25_score"])
+        for r in df.collect()
+    }
+
+
+def test_postings_index_parity_with_scan(spark, tmp_path):
+    """A freshly-built index must rank exactly like bm25_topk's direct
+    scan of the same corpus — shared scoring, shared results."""
+    from etl_stream_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    queries = docs.filter(F.col("doc_id") < 3)
+    idx = rtr.PostingsIndex(spark, str(tmp_path / "lex"), num_term_buckets=16)
+    idx.build(docs)
+    got = _ranks(idx.search(queries, k=5))
+    want = _ranks(rtr.bm25_topk(docs, queries, k=5))
+    assert got == want and len(got) > 0
+
+
+def test_postings_index_incremental_parity(spark, tmp_path):
+    """Upserts (new + changed docs) and removals must leave the index
+    ranking exactly like a direct scan of the CURRENT logical corpus:
+    stale postings of re-indexed docs are invalidated by the forward
+    generation, removed docs by the tombstone."""
+    from etl_stream_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    idx = rtr.PostingsIndex(spark, str(tmp_path / "lex"), num_term_buckets=16)
+    idx.build(docs.filter("doc_id % 10 < 8"))
+    idx.upsert(docs.filter("doc_id % 10 >= 8"))
+    changed = docs.filter("doc_id % 7 = 0").select(
+        "doc_id", F.concat("text", F.lit(" "), "text").alias("text")
+    )
+    idx.upsert(changed)
+    idx.remove(docs.filter("doc_id % 13 = 0").select("doc_id"))
+
+    current = (
+        docs.filter("doc_id % 7 <> 0")
+        .unionByName(changed)
+        .filter("doc_id % 13 <> 0")
+    )
+    queries = docs.filter(F.col("doc_id") < 3)
+    got = _ranks(idx.search(queries, k=5))
+    want = _ranks(rtr.bm25_topk(current, queries, k=5))
+    assert got == want and len(got) > 0
+    # removed docs never surface
+    assert all(d % 13 != 0 for d, _s in got.values())
+
+    # compaction changes nothing and reclaims superseded rows
+    idx.compact()
+    assert _ranks(idx.search(queries, k=5)) == want
+    raw = spark.read.parquet(str(tmp_path / "lex") + "/postings")
+    live_docs = current.count()
+    assert raw.select("doc_id").distinct().count() == live_docs
+
+
+def test_postings_search_prunes_term_buckets(spark, tmp_path):
+    """The postings scan must list only the buckets the query terms
+    hash to — partition pruning before IO."""
+    import re
+
+    from etl_stream_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    idx = rtr.PostingsIndex(spark, str(tmp_path / "lex"), num_term_buckets=64)
+    idx.build(docs)
+    one = spark.createDataFrame([(999999, "spark merge")], "doc_id long, text string")
+    out = idx.search(one, k=3)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*_tb#\d+\)?\s*(?:=\s*(\d+)|IN \(([\d,]+)\))", plan)
+    assert m, plan[:3000]
+    got = m.group(1) or m.group(2)
+    assert 0 < len(got.split(",")) <= 2, got
