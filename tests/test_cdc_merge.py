@@ -356,3 +356,36 @@ class TestDeltaMergeTwin:
         else:
             t = DeltaMergeTable(spark, str(tmp_path / "d"), keys=["id"])
             assert not t.exists()
+
+
+class TestTombstonePermutationInvariance:
+    def test_any_batch_order_converges_to_same_state(self, spark, tmp_path):
+        """With tombstones, the merged state is a pure function of the
+        event SET — any replay/resubmission order of whole batches
+        converges to the same table. (This is exactly what the
+        quarantine/DLQ repair loop needs, and exactly what physical
+        deletes break: a delete that loses its row also loses the
+        sequence state that stale replays must compare against.)"""
+        import itertools
+
+        batches = [
+            [ev(1, "a1", 1, OP_INSERT, 0), ev(2, "b1", 1, OP_INSERT, 1)],
+            [ev(1, None, None, OP_DELETE, 5), ev(3, "c1", 1, OP_INSERT, 6)],
+            [ev(1, "a2", 2, OP_UPDATE, 3), ev(2, None, None, OP_DELETE, 9)],
+            [ev(3, "c2", 7, OP_UPDATE, 8), ev(4, "d1", 4, OP_INSERT, 2)],
+        ]
+        # global winners: 1→DELETE(5)>UPDATE(3); 2→DELETE(9);
+        # 3→UPDATE(8); 4→INSERT(2)
+        expected = {3: ("c2", 7), 4: ("d1", 4)}
+        orders = list(itertools.permutations(range(4)))[::5]  # 5 of 24
+        for i, order in enumerate(orders):
+            t = ParquetMergeTable(
+                spark,
+                str(tmp_path / f"perm{i}"),
+                keys=["id"],
+                num_buckets=4,
+                tombstone_deletes=True,
+            )
+            for bi in order:
+                t.merge(make_batch(spark, batches[bi]))
+            assert state_dict(t) == expected, order

@@ -129,3 +129,48 @@ def test_postings_search_prunes_term_buckets(spark, tmp_path):
     assert m, plan[:3000]
     got = m.group(1) or m.group(2)
     assert 0 < len(got.split(",")) <= 2, got
+
+
+def test_hybrid_serving_over_incremental_indexes(spark, tmp_path):
+    """The full incremental serving stack: lexical PostingsIndex +
+    vector IvfIndex, RRF-fused — must fuse identically to the scan-path
+    hybrid (bm25_topk + brute-force kNN with exhaustive probing)."""
+    from etl_stream_spark.operators.similarity import brute_force_topk
+    from etl_stream_spark.operators.vector_index import IvfIndex
+    from etl_stream_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    lex = rtr.PostingsIndex(spark, str(tmp_path / "lex"), num_term_buckets=16)
+    lex.build(docs.filter("doc_id % 2 = 0"))
+    lex.upsert(docs.filter("doc_id % 2 = 1"))
+    ivf = IvfIndex(spark, str(tmp_path / "ivf"), nlist=4)
+    ivf.build(emb.filter("vec_id % 2 = 0"), rounds=1)
+    ivf.upsert(emb.filter("vec_id % 2 = 1"))
+
+    qd = docs.filter(F.col("doc_id") < 3)
+    qv = emb.filter(F.col("vec_id") < 3)
+    bm = lex.search(qd, k=10).select("query_id", "doc_id", "bm25_rank")
+    vec = ivf.search(qv, k=10, nprobe=4).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("vec_rank")
+    )
+    got = {
+        (r["query_id"], r["fused_rank"]): r["doc_id"]
+        for r in rtr.rrf_fuse([bm, vec], ["bm25_rank", "vec_rank"], k=5).collect()
+    }
+
+    bm_ref = rtr.bm25_topk(docs, qd, k=10).select("query_id", "doc_id", "bm25_rank")
+    vec_ref = brute_force_topk(emb, qv, k=10).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("vec_rank")
+    )
+    want = {
+        (r["query_id"], r["fused_rank"]): r["doc_id"]
+        for r in rtr.rrf_fuse(
+            [bm_ref, vec_ref], ["bm25_rank", "vec_rank"], k=5
+        ).collect()
+    }
+    assert got == want and len(got) == 15
