@@ -374,11 +374,18 @@ def duplicate_clusters(
       and never enter the loop; they are unioned back at the end with
       ``cluster_id = id``;
     * labels are ``localCheckpoint``-ed each round so plan/lineage stay
-      flat across iterations;
+      flat across iterations; checkpoints are *lazy*, so the fixpoint
+      aggregate is the action that materializes them — one Spark job
+      per round, not two;
     * the fixpoint test is the label sum (labels only ever decrease, so
       an unchanged sum ⇔ fixpoint) — a single-table aggregate, no join;
       summed as DECIMAL(38,0) so arbitrary id magnitudes cannot
-      overflow. The only driver-side values are these per-round sums.
+      overflow. The only driver-side values are these per-round sums
+      (the in-loop shuffles shrink with the active graph via AQE
+      partition coalescing — the pair graph is usually orders of
+      magnitude smaller than the corpus, and coalescing keeps the
+      per-round task count proportional to it, not to the session's
+      corpus-sized shuffle width).
     """
     e = pairs.select(F.col(pair_a).alias("src"), F.col(pair_b).alias("dst"))
     edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -387,7 +394,7 @@ def duplicate_clusters(
 
     all_ids = vertices.select(F.col(id_col).alias("id"))
     labels = all_ids.join(endpoints, "id", "leftsemi").withColumn("comp", F.col("id"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=False)
     singletons = all_ids.join(endpoints, "id", "leftanti").withColumn("comp", F.col("id"))
 
     prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
@@ -406,7 +413,7 @@ def duplicate_clusters(
         jumped = (
             stepped.join(parent, stepped.comp == parent.pid, "left")
             .select("id", F.least(F.col("comp"), F.col("pcomp")).alias("comp"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         labels = jumped
         new_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
