@@ -218,7 +218,9 @@ _BOUNDED_HINT_ALLOWLIST = {
     "corpus_tfidf",
     "embedding_quantize_int8",
     "hybrid_search_rrf",
+    "ivf_incremental_search",  # broadcasts: k centroids + |queries|*nprobe probe rows
     "ivf_topk",
+    "lexical_incremental_search",  # broadcasts: distinct terms of the bounded query set
     "kmeans_assignment",
     "knn_bruteforce",
     "pq_topk",
