@@ -4807,10 +4807,13 @@ _DRIVER_PRIORITY = [
     # regression canary.
     #
     # CDC core (flagship G3/G4 + S1/P2 + streaming merge) — proven reps
+    # (cdc_latest_event / cdc_metadata_projection rotated out late in
+    # round 3: both driver-proven in r02 and redundant with the
+    # cdc_final_state / cdc_envelope_decode family reps — making room
+    # for the persisted-index lifecycle entries added after the main
+    # rotation.)
     "cdc_final_state",
-    "cdc_latest_event",
     "cdc_envelope_decode",
-    "cdc_metadata_projection",
     "cdc_streaming_merge",
     "cdc_gold_rollup",
     "cdc_schema_evolution",
@@ -4853,6 +4856,10 @@ _DRIVER_PRIORITY = [
     "knn_bruteforce",
     "kmeans_assignment",
     "hybrid_search_rrf",
+    # persisted incremental index lifecycles (build→upsert→re-index→
+    # remove→search, exhaustive-probe exact ⇒ oracle-checkable)
+    "ivf_incremental_search",
+    "lexical_incremental_search",
     # multimodal (features proven; resize + frame fan-out first-time)
     "multimodal_features",
     "multimodal_resize",
