@@ -1483,6 +1483,30 @@ FROM ex GROUP BY token
 """
 
 
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-dominating tokens via bounded-memory Misra-Gries
+    summaries + an exact verification pass: every token holding ≥ 1% of
+    all token occurrences, with exact counts — without ever shuffling
+    the full vocabulary. The hot-key diagnosis a pipeline runs before
+    deciding to salt a join."""
+    from etl_stream_spark.operators.frequency import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(ta.tokens("text")).alias("token"))
+    return heavy_hitters(toks, "token", phi=0.01)
+
+
+HEAVY_SQL = f"""
+WITH toks AS ({TOKS_CTE}), ex AS (SELECT unnest(t) AS item FROM toks),
+tot AS (SELECT COUNT(*) AS n FROM ex)
+SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(tot.n), 6) AS share
+FROM ex, tot
+GROUP BY item
+HAVING COUNT(*) >= CEIL(0.01 * MAX(tot.n))
+"""
+
+
 def corpus_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF per (document, token): exact integer counts, one ln."""
     docs = _t(spark, sf_dir, "documents")
@@ -4739,6 +4763,7 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_normalize": QueryDef(corpus_normalize, NORMALIZE_SQL),
     "corpus_duplicated_passages": QueryDef(corpus_duplicated_passages, PASSAGES_SQL),
     "corpus_vocabulary": QueryDef(corpus_vocabulary, VOCAB_SQL),
+    "text_heavy_hitters": QueryDef(text_heavy_hitters, HEAVY_SQL),
     "corpus_tfidf": QueryDef(corpus_tfidf, TFIDF_SQL),
     "corpus_length_histogram": QueryDef(corpus_length_histogram, HISTOGRAM_SQL),
     "corpus_prep_pipeline": QueryDef(corpus_prep_pipeline, PREP_SQL),

@@ -1,0 +1,118 @@
+"""Bounded-memory frequent-item detection (heavy hitters).
+
+The hot-key question — which tokens dominate a corpus, which customers
+dominate an order stream, which join keys will skew a shuffle — is the
+one exact ``GROUP BY`` answers at a cost proportional to the number of
+*distinct* keys. At 100 TB that shuffle is the bottleneck the question
+was trying to diagnose. The classic answer is a Misra–Gries summary
+(Misra & Gries, "Finding repeated elements", Sci. Comput. Program.
+1982): a fixed budget of ``capacity`` counters per partition, with the
+guarantee that any item whose partition frequency exceeds
+``n_p / capacity`` survives the summary.
+
+This operator runs the standard two-pass distributed form:
+
+1. **summarize** — an Arrow-batched ``mapInPandas`` keeps a Misra–Gries
+   dict per partition (memory = ``capacity`` counters, independent of
+   data size) and emits only the surviving candidate items;
+2. **verify** — candidates (≤ ``partitions × capacity`` rows, shuffled
+   as a ``distinct`` then joined back) get *exact* counts in one
+   semi-joined aggregation pass, and only items with true count
+   ``≥ ceil(phi · n)`` are returned.
+
+With ``capacity ≥ 2 / phi`` the candidate union provably contains every
+global phi-heavy hitter regardless of how rows are partitioned: if an
+item's count in every partition p were ≤ ``n_p / capacity``, its total
+would be ≤ ``n / capacity ≤ phi·n / 2 < phi·n``. The verification pass
+then makes the final answer *exact and partitioning-invariant* — the
+output is precisely ``{item : count(item) ≥ ceil(phi·n)}`` with true
+counts, which is why a plain ``GROUP BY … HAVING`` oracle can check it
+bit-for-bit while the engine never shuffles the full key space.
+
+No reference analog: the reference engine has no frequency-sketch
+surface; this is part of the training-data-pipeline extension layer
+(skew diagnosis before a join is exactly how ``salted_join`` picks its
+hot keys at scale).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.partitioning import ensure_parallelism
+
+
+def _mg_update(counters: dict, item, capacity: int) -> None:
+    """One Misra–Gries step: count if tracked, admit if room, else
+    decrement-all (amortized O(1) per arrival: each decrement sweep is
+    paid for by ``capacity + 1`` prior arrivals)."""
+    if item in counters:
+        counters[item] += 1
+    elif len(counters) < capacity:
+        counters[item] = 1
+    else:
+        dead = []
+        for k in counters:
+            counters[k] -= 1
+            if counters[k] == 0:
+                dead.append(k)
+        for k in dead:
+            del counters[k]
+
+
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    phi: float = 0.01,
+    capacity: int | None = None,
+) -> DataFrame:
+    """Items whose exact frequency is ``≥ ceil(phi · n)``, with exact
+    counts and corpus share. Deterministic for any ``capacity ≥ 2/phi``
+    (the default); smaller capacities void the completeness guarantee
+    and are rejected.
+
+    Returns ``(item, cnt BIGINT, share DOUBLE)``.
+    """
+    if capacity is None:
+        capacity = math.ceil(2.0 / phi)
+    if capacity < math.ceil(2.0 / phi):
+        raise ValueError(
+            f"capacity={capacity} < 2/phi={math.ceil(2.0 / phi)}: the "
+            "Misra-Gries candidate union would not be guaranteed to "
+            "contain every phi-heavy hitter"
+        )
+    items = df.select(F.col(item_col).alias("item")).filter(F.col("item").isNotNull())
+    item_type = items.schema["item"].dataType.simpleString()
+
+    def _summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            for item in pdf["item"]:
+                _mg_update(counters, item, capacity)
+        yield pd.DataFrame({"item": list(counters.keys())})
+
+    candidates = (
+        ensure_parallelism(items)
+        .mapInPandas(_summarize, schema=f"item {item_type}")
+        .distinct()
+    )
+    # exact verification: aggregate only rows carrying a candidate item
+    # (AQE broadcasts the bounded candidate side on its own — no hint).
+    counts = items.join(candidates, "item", "left_semi").groupBy("item").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = items.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.ceil(F.lit(float(phi)) * F.col("_n")))
+        .select(
+            "item",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round(F.col("cnt").cast("double") / F.col("_n"), 6).alias("share"),
+        )
+    )

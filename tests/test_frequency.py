@@ -1,0 +1,106 @@
+"""Heavy-hitters operator: the Misra-Gries completeness guarantee under
+adversarial skew, partitioning invariance, and the capacity guard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_stream_spark.operators.frequency import _mg_update, heavy_hitters
+
+
+def _skewed_rows() -> list[tuple[str]]:
+    """A stream with planted heavy hitters drowning in a long tail:
+    3 hot keys (1200/800/500 of n=4000) + 1500 singleton-ish tail keys,
+    interleaved so every partition sees tail pressure around the hot
+    keys (the decrement path runs constantly at capacity << vocab)."""
+    rows: list[tuple[str]] = []
+    hot = [("hot_a", 1200), ("hot_b", 800), ("hot_c", 500)]
+    tails = [f"tail_{i}" for i in range(1500)]
+    ti = 0
+    for name, cnt in hot:
+        for _ in range(cnt):
+            rows.append((name,))
+            rows.append((tails[ti % len(tails)],))
+            ti += 1
+    # n = 2*2500 = 5000: hot shares 24% / 16% / 10%, tail ≤ 2/5000
+    return rows
+
+
+def _exact(df, phi):
+    n = df.count()
+    import math
+
+    thr = math.ceil(phi * n)
+    return {
+        (r["item"], r["cnt"])
+        for r in df.groupBy(F.col("v").alias("item"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= thr)
+        .collect()
+    }
+
+
+class TestHeavyHitters:
+    @pytest.fixture(scope="class")
+    def skewed(self, spark):
+        return spark.createDataFrame(_skewed_rows(), "v string")
+
+    def test_matches_exact_groupby_under_decrement_pressure(self, spark, skewed):
+        # capacity defaults to 2/phi = 40 << 1503 distinct values: the
+        # summaries decrement constantly, yet the verified output must
+        # equal the exact GROUP BY ... HAVING answer.
+        out = heavy_hitters(skewed, "v", phi=0.05)
+        got = {(r.item, r.cnt) for r in out.collect()}
+        assert got == _exact(skewed, 0.05)
+        assert got == {("hot_a", 1200), ("hot_b", 800), ("hot_c", 500)}
+
+    def test_partitioning_invariance(self, spark, skewed):
+        base = {
+            (r.item, r.cnt, r.share)
+            for r in heavy_hitters(skewed.coalesce(1), "v", phi=0.05).collect()
+        }
+        for parts in (3, 17):
+            got = {
+                (r.item, r.cnt, r.share)
+                for r in heavy_hitters(
+                    skewed.repartition(parts), "v", phi=0.05
+                ).collect()
+            }
+            assert got == base
+
+    def test_threshold_is_exact_not_estimated(self, spark):
+        # 100 of one key in n=1000 is exactly the 10% boundary:
+        # ceil(.1*1000)=100 ⇒ included; at phi just above it drops out.
+        rows = [("edge",)] * 100 + [(f"t{i}",) for i in range(900)]
+        df = spark.createDataFrame(rows, "v string")
+        assert {r.item for r in heavy_hitters(df, "v", phi=0.1).collect()} == {"edge"}
+        assert heavy_hitters(df, "v", phi=0.11).count() == 0
+
+    def test_nulls_ignored_and_share(self, spark):
+        df = spark.createDataFrame(
+            [("a",)] * 6 + [(None,)] * 4 + [("b",)] * 2, "v string"
+        )
+        rows = {r.item: r for r in heavy_hitters(df, "v", phi=0.5).collect()}
+        # n excludes nulls: n=8, threshold=4 ⇒ only 'a'
+        assert set(rows) == {"a"}
+        assert rows["a"].cnt == 6
+        assert rows["a"].share == 0.75
+
+    def test_capacity_guard(self, spark, skewed):
+        with pytest.raises(ValueError, match="capacity"):
+            heavy_hitters(skewed, "v", phi=0.05, capacity=10)
+
+    def test_mg_update_classic_bound(self):
+        # textbook property: after any stream, undercount ≤ n/capacity
+        import collections
+
+        stream = (["x"] * 300) + [f"y{i}" for i in range(600)] + (["x"] * 100)
+        counters: dict = {}
+        for it in stream:
+            _mg_update(counters, it, 50)
+        exact = collections.Counter(stream)
+        for k, c in counters.items():
+            assert c <= exact[k]
+            assert exact[k] - c <= len(stream) // 50
+        assert "x" in counters  # 400/1000 >> n/capacity = 20
