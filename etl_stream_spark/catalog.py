@@ -837,6 +837,41 @@ FROM r CROSS JOIN t
 """
 
 
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style table profile: per-column row/null/exact-distinct
+    counts + numeric min/max, one column-pruned aggregation pass per
+    column (`schema/profiling.py`) — the stats table expectation
+    authoring and CBO sizing start from."""
+    from etl_stream_spark.schema.profiling import profile_table
+
+    return profile_table(_t(spark, sf_dir, "orders"))
+
+
+def _profile_col_sql(name: str, dtype: str, numeric: bool) -> str:
+    mn = f"CAST(MIN({name}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+    mx = f"CAST(MAX({name}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+    return (
+        f"SELECT '{name}' AS col_name, '{dtype}' AS dtype,"
+        f" CAST(COUNT(*) AS BIGINT) AS n_rows,"
+        f" CAST(COUNT(*) - COUNT({name}) AS BIGINT) AS n_nulls,"
+        f" CAST(COUNT(DISTINCT {name}) AS BIGINT) AS n_distinct,"
+        f" {mn} AS min_value, {mx} AS max_value FROM orders"
+    )
+
+
+PROFILE_SQL = "\nUNION ALL\n".join(
+    _profile_col_sql(n, d, num)
+    for n, d, num in [
+        ("o_orderkey", "bigint", True),
+        ("o_custkey", "bigint", True),
+        ("o_orderstatus", "string", False),
+        ("o_totalprice", "double", True),
+        ("o_orderdate", "timestamp", False),
+        ("o_orderpriority", "string", False),
+    ]
+)
+
+
 def cdc_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally maintained JOIN materialized view end-to-end:
     orders ⟕ customer replayed as four interleaved CDC batches (half
@@ -4704,6 +4739,7 @@ CATALOG: dict[str, QueryDef] = {
     "cdc_scd2_incremental": QueryDef(cdc_scd2_incremental, SCD2_SQL),
     "cdc_join_view": QueryDef(cdc_join_view, JOIN_VIEW_SQL),
     "dq_orders_report": QueryDef(dq_orders_report, DQ_REPORT_SQL),
+    "profile_orders": QueryDef(profile_orders, PROFILE_SQL),
     "cdc_change_feed": QueryDef(cdc_change_feed, CHANGE_FEED_SQL),
     # sketches
     "sketch_distinct_customers": QueryDef(
