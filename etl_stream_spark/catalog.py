@@ -4481,6 +4481,30 @@ GROUP BY 1, 2
 """
 
 
+def events_skew_aware_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The self-tuning variant of ``events_salted_enrichment``:
+    ``plans.partitioning.skew_aware_join`` first detects hot user_ids
+    with the bounded-memory Misra-Gries pass (phi = 0.1% of fact rows)
+    and salts ONLY those — the small side replicates |hot|×16 rows, not
+    |dim|×16. At sf0.01 every user crosses the threshold (all-hot
+    regime ≡ full salting); at sf0.1 none does (detection degenerates
+    to the plain join, no replication) — both regimes must produce the
+    bit-identical plain-join aggregate the oracle computes."""
+    from etl_stream_spark.plans.partitioning import skew_aware_join
+
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = skew_aware_join(ev, cust, on="user_id", phi=0.001, salt_buckets=16)
+    return joined.groupBy(
+        F.col("c_mktsegment").alias("segment"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dbl(F.sum(F.col("value").cast(DEC)).cast(DECSUM)).alias("total_value"),
+    )
+
+
 def segment_event_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Independence audit between customer segment and event type: the
     χ² contribution per (segment, event_type) cell — the drift/bias
@@ -4784,6 +4808,11 @@ CATALOG: dict[str, QueryDef] = {
     "segment_event_chisq": QueryDef(segment_event_chisq, CHISQ_SQL),
     "events_salted_enrichment": QueryDef(
         events_salted_enrichment, SALTED_ENRICH_SQL
+    ),
+    # same oracle as the salted variant by design: one logical result,
+    # two physical strategies (full salting vs detected-hot-key salting)
+    "events_skew_aware_enrichment": QueryDef(
+        events_skew_aware_enrichment, SALTED_ENRICH_SQL
     ),
     "cdc_gold_rollup": QueryDef(cdc_gold_rollup, GOLD_ROLLUP_SQL),
     "cdc_schema_evolution": QueryDef(cdc_schema_evolution, SCHEMA_EVOLUTION_SQL),

@@ -115,6 +115,72 @@ def salted_join(
     return big_s.join(small_s, [*on, SALT_COL], how).drop(SALT_COL)
 
 
+def skew_aware_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    phi: float = 0.001,
+    salt_buckets: int = 16,
+    how: str = "inner",
+    hot_keys: DataFrame | None = None,
+) -> DataFrame:
+    """Equi-join that detects its own hot keys and salts *only* those.
+
+    :func:`salted_join` replicates the whole small side ``salt_buckets``
+    times — fine when most keys are hot, wasteful when (as usual) a
+    handful are. This variant first runs the bounded-memory
+    Misra-Gries detector (:func:`~etl_stream_spark.operators.frequency.
+    heavy_hitters`) over the big side's key column to find keys holding
+    ≥ ``phi`` of all rows, then:
+
+    * big side: hot rows get a pseudo-random salt in
+      ``[0, salt_buckets)``, everything else salt 0;
+    * small side: hot keys explode into all salts, everything else one
+      row with salt 0 — replication volume is ``|hot| × salt_buckets``
+      rows, not ``|small| × salt_buckets``.
+
+    The hot-key set is ≤ ``1/phi`` rows by construction, broadcast to
+    both sides. The join result is identical to the unsalted join (salt
+    only moves rows between shuffle partitions), so correctness is
+    oracle-checkable against plain SQL. Detection costs one extra pass
+    over the big side's key column — worth it exactly when a straggler
+    task would otherwise dominate the stage; with a known hot-key list,
+    pass it via ``hot_keys`` and skip the pass.
+    """
+    from ..operators.frequency import heavy_hitters
+
+    if hot_keys is None:
+        hot_keys = heavy_hitters(big, on, phi=phi).select(F.col("item").alias(on))
+    hot = F.broadcast(hot_keys.select(on).distinct())
+    is_hot = F.col("_hotmark").isNotNull()
+    marker = hot.withColumn("_hotmark", F.lit(True))
+
+    big_s = (
+        big.join(marker, on, "left")
+        .withColumn(
+            SALT_COL,
+            F.when(
+                is_hot,
+                F.pmod(
+                    F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)
+                ),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .drop("_hotmark")
+    )
+    all_salts = F.array(*[F.lit(i).cast("long") for i in range(salt_buckets)])
+    small_s = (
+        small.join(marker, on, "left")
+        .withColumn(
+            "_salts",
+            F.when(is_hot, all_salts).otherwise(F.array(F.lit(0).cast("long"))),
+        )
+        .withColumn(SALT_COL, F.explode("_salts"))
+        .drop("_hotmark", "_salts")
+    )
+    return big_s.join(small_s, [on, SALT_COL], how).drop(SALT_COL)
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

@@ -88,6 +88,56 @@ class TestSaltedJoin:
         assert salted == plain and len(salted) == 300
 
 
+class TestSkewAwareJoin:
+    def _frames(self, spark):
+        # planted skew: key 7 holds 60% of the big side; 50 cold keys
+        rows = [(7, i) for i in range(600)] + [(k % 50, i) for i, k in enumerate(range(400))]
+        big = spark.createDataFrame(rows, "k long, v long")
+        small = spark.createDataFrame([(k, f"t{k}") for k in range(50)], "k long, tag string")
+        return big, small
+
+    def test_matches_plain_join(self, spark):
+        from etl_stream_spark.plans.partitioning import skew_aware_join
+
+        big, small = self._frames(spark)
+        plain = {(r["k"], r["v"], r["tag"]) for r in big.join(small, ["k"]).collect()}
+        for how in ("inner", "left"):
+            got = {
+                (r["k"], r["v"], r["tag"])
+                for r in skew_aware_join(
+                    big, small, "k", phi=0.1, salt_buckets=8, how=how
+                ).collect()
+            }
+            want = (
+                plain
+                if how == "inner"
+                else {
+                    (r["k"], r["v"], r["tag"])
+                    for r in big.join(small, ["k"], "left").collect()
+                }
+            )
+            assert got == want
+
+    def test_small_side_replicates_only_hot_keys(self, spark):
+        from etl_stream_spark.operators.frequency import heavy_hitters
+        from etl_stream_spark.plans.partitioning import skew_aware_join
+
+        big, small = self._frames(spark)
+        hot = heavy_hitters(big, "k", phi=0.1)
+        assert [r.item for r in hot.collect()] == [7]
+        # explicit hot list short-circuits detection and must agree
+        got = {
+            (r["k"], r["v"], r["tag"])
+            for r in skew_aware_join(
+                big, small, "k", salt_buckets=8,
+                hot_keys=hot.select(F.col("item").alias("k")),
+            ).collect()
+        }
+        assert got == {
+            (r["k"], r["v"], r["tag"]) for r in big.join(small, ["k"]).collect()
+        }
+
+
 class TestApplierMetrics:
     def test_batches_counted_per_table(self, spark, tmp_path):
         from etl_stream_spark.cdc.pipeline import CdcBatchApplier, CdcTableConfig
