@@ -77,6 +77,11 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "asof_latest_purchase",
     "multimodal_frame_sample",
+    # late round-3: bounded-memory hot-key detection, ANALYZE-style
+    # profiling, and the skew-aware (detect-then-salt) join
+    "text_heavy_hitters",
+    "profile_orders",
+    "events_skew_aware_enrichment",
 ]
 
 

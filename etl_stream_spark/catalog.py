@@ -4914,26 +4914,31 @@ _DRIVER_PRIORITY = [
     "cdc_scd2_history",
     "cdc_join_view",
     "cdc_quarantine_repair",
-    # relational / TPC-H (q1/q3/q5/q18 are the proven family reps;
-    # q7/q21 are the round-3 de-broadcast + semi-join-pushdown shapes)
+    # relational / TPC-H (q1 is the stable proven canary; q3/q5 were
+    # re-planned this round — de-broadcast + dim-prefilter — so they
+    # stay for re-proof; q7/q21 are the round-3 de-broadcast +
+    # semi-join-pushdown shapes. q18 [proven, plan unchanged] rotated
+    # out late round 3 for profile_orders.)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
-    "q18_large_orders",
     "q7_nation_trade",
     "q21_waiting_suppliers",
     "top3_parts_per_brand",
     "customers_without_orders",
-    # event-stream aggregation + window family reps
-    "user_session_stats",
+    # event-stream aggregation + window family (customer_order_history
+    # below keeps the proven window-frame canary; user_session_stats
+    # [proven] rotated out for the skew-aware join composition)
+    "events_skew_aware_enrichment",
     "events_conversion_funnel",
-    # text analysis rep
+    # text analysis rep + hot-token detection (Misra-Gries)
     "text_token_stats",
-    # data quality gate (expectations engine)
+    "text_heavy_hitters",
+    # data quality gate (expectations engine) + ANALYZE-style profile
     "dq_orders_report",
-    # dedup (exact + components proven; LSH-verified + raw MinHash
-    # signatures first-time)
-    "dedup_exact",
+    "profile_orders",
+    # dedup (clusters stays as the proven canary; dedup_exact [proven]
+    # rotated out; LSH-verified + raw MinHash signatures first-time)
     "dedup_clusters",
     "dedup_lsh_verified",
     "dedup_minhash_signatures",

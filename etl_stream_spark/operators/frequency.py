@@ -47,22 +47,34 @@ from pyspark.sql import functions as F
 from ..plans.partitioning import ensure_parallelism
 
 
-def _mg_update(counters: dict, item, capacity: int) -> None:
-    """One Misra–Gries step: count if tracked, admit if room, else
-    decrement-all (amortized O(1) per arrival: each decrement sweep is
-    paid for by ``capacity + 1`` prior arrivals)."""
+def _mg_update(counters: dict, item, capacity: int, w: int = 1) -> None:
+    """One weighted Misra–Gries step (Berinde et al., "Space-optimal
+    heavy hitters with strong error bounds", PODS 2009 — the weighted
+    generalization of the classic decrement-all): count if tracked,
+    admit if room, else decrement every counter by
+    ``d = min(w, min_counter)`` and admit the remainder.
+
+    Guarantee: each decrement event discards ``d × (capacity + 1)``
+    total weight (``d`` from every tracked counter plus ``d`` of the
+    arriving item), so the sum of decrements — the undercount of ANY
+    item — is ≤ ``n / (capacity + 1)``, the same bound the unit-weight
+    form gives. Weighted steps let the summarize pass feed per-batch
+    ``value_counts`` instead of per-row updates."""
     if item in counters:
-        counters[item] += 1
+        counters[item] += w
     elif len(counters) < capacity:
-        counters[item] = 1
+        counters[item] = w
     else:
+        d = min(w, min(counters.values()))
         dead = []
         for k in counters:
-            counters[k] -= 1
+            counters[k] -= d
             if counters[k] == 0:
                 dead.append(k)
         for k in dead:
             del counters[k]
+        if w > d:
+            counters[item] = w - d
 
 
 def heavy_hitters(
@@ -92,8 +104,10 @@ def heavy_hitters(
     def _summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
         for pdf in batches:
-            for item in pdf["item"]:
-                _mg_update(counters, item, capacity)
+            # vectorized pre-aggregation: one weighted MG step per
+            # DISTINCT item in the Arrow batch, not one per row
+            for item, w in pdf["item"].value_counts().items():
+                _mg_update(counters, item, capacity, int(w))
         yield pd.DataFrame({"item": list(counters.keys())})
 
     candidates = (

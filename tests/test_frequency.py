@@ -104,3 +104,23 @@ class TestHeavyHitters:
             assert c <= exact[k]
             assert exact[k] - c <= len(stream) // 50
         assert "x" in counters  # 400/1000 >> n/capacity = 20
+
+    def test_mg_update_weighted_bound(self):
+        # batched weighted updates must honor the same undercount bound
+        import collections
+
+        weighted = [("x", 40), ("y", 25)] + [(f"z{i}", 3) for i in range(200)] + [
+            ("x", 60),
+            ("y", 15),
+        ]
+        counters: dict = {}
+        for it, w in weighted:
+            _mg_update(counters, it, 30, w)
+        exact = collections.Counter()
+        for it, w in weighted:
+            exact[it] += w
+        n = sum(exact.values())
+        for k, c in counters.items():
+            assert c <= exact[k]
+            assert exact[k] - c <= n // (30 + 1)
+        assert "x" in counters and counters["x"] >= 100 - n // 31
