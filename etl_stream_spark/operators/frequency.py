@@ -103,24 +103,33 @@ def heavy_hitters(
 
     def _summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
+        n = 0
         for pdf in batches:
+            n += len(pdf)
             # vectorized pre-aggregation: one weighted MG step per
             # DISTINCT item in the Arrow batch, not one per row
             for item, w in pdf["item"].value_counts().items():
                 _mg_update(counters, item, capacity, int(w))
-        yield pd.DataFrame({"item": list(counters.keys())})
+        # candidates plus one null-item row carrying the partition's row
+        # count: the total rides along in the same pass instead of
+        # costing a second full scan
+        keys = list(counters.keys())
+        yield pd.DataFrame(
+            {"item": keys + [None], "n": [None] * len(keys) + [n]}
+        )
 
-    candidates = (
+    summary = (
         ensure_parallelism(items)
-        .mapInPandas(_summarize, schema=f"item {item_type}")
-        .distinct()
+        .mapInPandas(_summarize, schema=f"item {item_type}, n long")
+        .localCheckpoint()  # ≤ partitions × (capacity + 1) rows
     )
+    candidates = summary.filter(F.col("item").isNotNull()).select("item").distinct()
     # exact verification: aggregate only rows carrying a candidate item
     # (AQE broadcasts the bounded candidate side on its own — no hint).
     counts = items.join(candidates, "item", "left_semi").groupBy("item").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    total = items.agg(F.count(F.lit(1)).alias("_n"))
+    total = summary.filter(F.col("item").isNull()).agg(F.sum("n").alias("_n"))
     return (
         counts.crossJoin(F.broadcast(total))
         .filter(F.col("cnt") >= F.ceil(F.lit(float(phi)) * F.col("_n")))

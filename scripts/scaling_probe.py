@@ -74,6 +74,19 @@ t = time.time()
 last_writer_wins_agg(ev, ["k"]).count()
 out["lww_replay"] = round(time.time() - t, 3)
 
+# heavy hitters with planted skew: 3 hot keys holding ~30% of rows over
+# a ~200k-key tail — the MG summaries must keep memory bounded and the
+# verification pass must shuffle only candidates
+from etl_stream_spark.operators.frequency import heavy_hitters
+skewed = li.select(
+    F.when(F.col("l_orderkey") % 10 < 3, F.col("l_orderkey") % 3)
+     .otherwise(F.col("l_orderkey") % 200000 + 100).alias("k")
+)
+t = time.time()
+n_hot = heavy_hitters(skewed, "k", phi=0.05).count()
+out["heavy_hitters"] = round(time.time() - t, 3)
+out["n_hot"] = n_hot
+
 print("PROBE_RESULT " + json.dumps(out))
 spark.stop()
 """
