@@ -3,10 +3,46 @@ adversarial skew, partitioning invariance, and the capacity guard."""
 
 from __future__ import annotations
 
+import collections
+import math
+
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from etl_stream_spark.operators.frequency import _mg_update, heavy_hitters
+
+weighted_stream_st = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=30), st.integers(1, 50)),
+    min_size=1,
+    max_size=200,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(stream=weighted_stream_st, capacity=st.integers(min_value=1, max_value=12))
+def test_mg_invariants_hold_on_random_weighted_streams(stream, capacity):
+    """Driver-side property sweep (no Spark): for ANY weighted stream
+    and capacity, the summary (1) never overcounts, (2) undercounts by
+    at most n/(capacity+1), and (3) therefore keeps every item whose
+    true weight exceeds n/(capacity+1) — the bound heavy_hitters'
+    candidate-completeness argument rests on."""
+    counters: dict = {}
+    for item, w in stream:
+        _mg_update(counters, item, capacity, w)
+    assert len(counters) <= capacity
+    exact = collections.Counter()
+    for item, w in stream:
+        exact[item] += w
+    n = sum(exact.values())
+    bound = n // (capacity + 1)
+    for k, c in counters.items():
+        assert 0 < c <= exact[k]
+        assert exact[k] - c <= bound
+    for k, cnt in exact.items():
+        if cnt > bound:
+            assert k in counters, (k, cnt, bound, dict(counters))
 
 
 def _skewed_rows() -> list[tuple[str]]:
