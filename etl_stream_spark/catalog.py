@@ -837,6 +837,65 @@ FROM r CROSS JOIN t
 """
 
 
+def order_price_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-summary twin of ``order_price_quantiles``: per-
+    priority p50/p90 read off a fixed-domain 256-bin histogram
+    (`operators/quantiles.py`) instead of a per-group sort. Estimates
+    carry a ≤ (max−min)/512 error by construction and every bin edge is
+    closed-form double arithmetic, so the oracle reproduces them
+    bit-for-bit — the deterministic stand-in for t-digest/KLL at
+    100 TB, where per-partition histograms merge by adding counts."""
+    from etl_stream_spark.operators.quantiles import binned_quantiles
+
+    orders = _t(spark, sf_dir, "orders")
+    return binned_quantiles(
+        orders, "o_totalprice", [0.5, 0.9], num_bins=256,
+        group_cols=["o_orderpriority"],
+    )
+
+
+QUANTILE_SKETCH_SQL = """
+WITH dom AS (
+  SELECT MIN(CAST(o_totalprice AS DOUBLE)) AS dom_min,
+         MAX(CAST(o_totalprice AS DOUBLE)) AS dom_max
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+b AS (
+  SELECT o_orderpriority,
+         CASE WHEN dom_max = dom_min THEN 0
+              ELSE LEAST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - dom_min)
+                                    / ((dom_max - dom_min) / 256.0)) AS BIGINT),
+                         255) END AS bin,
+         dom_min, dom_max
+  FROM orders, dom WHERE o_totalprice IS NOT NULL
+),
+h AS (
+  SELECT o_orderpriority, bin, dom_min, dom_max,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM b GROUP BY 1, 2, 3, 4
+),
+c AS (
+  SELECT *,
+         SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY o_orderpriority) AS n
+  FROM h
+),
+p AS (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS prob),
+sel AS (
+  SELECT o_orderpriority, prob, MIN(bin) AS bin,
+         MAX(dom_min) AS dom_min, MAX(dom_max) AS dom_max
+  FROM c CROSS JOIN p
+  WHERE cum >= CEIL(prob * n)
+  GROUP BY 1, 2
+)
+SELECT o_orderpriority, prob,
+       ROUND(CASE WHEN dom_max = dom_min THEN dom_min
+                  ELSE dom_min + (CAST(bin AS DOUBLE) + 0.5)
+                       * ((dom_max - dom_min) / 256.0) END, 6) AS q_est
+FROM sel
+"""
+
+
 def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style table profile: per-column row/null/exact-distinct
     counts + numeric min/max, one column-pruned aggregation pass per
@@ -4764,6 +4823,9 @@ CATALOG: dict[str, QueryDef] = {
     "cdc_join_view": QueryDef(cdc_join_view, JOIN_VIEW_SQL),
     "dq_orders_report": QueryDef(dq_orders_report, DQ_REPORT_SQL),
     "profile_orders": QueryDef(profile_orders, PROFILE_SQL),
+    "order_price_quantiles_sketch": QueryDef(
+        order_price_quantiles_sketch, QUANTILE_SKETCH_SQL
+    ),
     "cdc_change_feed": QueryDef(cdc_change_feed, CHANGE_FEED_SQL),
     # sketches
     "sketch_distinct_customers": QueryDef(
