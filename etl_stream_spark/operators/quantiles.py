@@ -81,6 +81,87 @@ def binned_histogram(
     )
 
 
+class HistogramStore:
+    """Persisted per-group binned histograms maintained incrementally —
+    the quantile twin of ``operators.sketches.KmvSketchStore``.
+
+    The domain is pinned at construction (bin edges must agree across
+    batches for counts to add), each ``update`` histograms the batch
+    and merges by summing per-(group, bin) counts, and ``quantiles``
+    reads estimates off the stored cumulative counts. Update cost is
+    O(batch + groups×bins) regardless of absorbed history; the store
+    never re-reads data. Use from a streaming ``foreachBatch`` or a
+    scheduled batch job.
+
+    Exactness of the merge (not just approximation) is testable: a
+    store built from ANY batch split holds bin counts equal to the
+    one-shot histogram of the full data.
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        group_cols: list[str],
+        value_col: str,
+        domain: tuple[float, float],
+        num_bins: int = 1024,
+    ) -> None:
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.group_cols = list(group_cols)
+        self.value_col = value_col
+        self.domain = (float(domain[0]), float(domain[1]))
+        self.num_bins = num_bins
+
+    def _read(self) -> DataFrame | None:
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        try:
+            return self.spark.read.parquet(self.path)
+        except AnalysisException:
+            return None
+
+    def update(self, batch: DataFrame) -> None:
+        """Histogram the batch and count-merge it into the store."""
+        fresh = binned_histogram(
+            batch, self.value_col, self.num_bins, self.group_cols, self.domain
+        ).select(*self.group_cols, "bin", "cnt")
+        stored = self._read()
+        merged = (
+            fresh
+            if stored is None
+            else stored.unionByName(fresh)
+            .groupBy(*self.group_cols, "bin")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+        # localCheckpoint, not persist: the write overwrites its own
+        # input path (see KmvSketchStore.update for the rationale)
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(self.path)
+
+    def histogram(self) -> DataFrame:
+        """The stored per-(group, bin) counts with domain columns
+        attached — same schema :func:`binned_histogram` emits."""
+        stored = self._read()
+        if stored is None:
+            return self.spark.createDataFrame(
+                [], "bin long, cnt long, dom_min double, dom_max double"
+            )
+        return stored.withColumns(
+            {
+                "dom_min": F.lit(self.domain[0]),
+                "dom_max": F.lit(self.domain[1]),
+            }
+        )
+
+    def quantiles(self, probs: list[float]) -> DataFrame:
+        """Per-group quantile estimates from the stored histogram —
+        same contract as :func:`binned_quantiles`."""
+        return _quantiles_from_histogram(
+            self.histogram(), probs, self.num_bins, self.group_cols
+        )
+
+
 def binned_quantiles(
     df: DataFrame,
     value_col: str,
@@ -96,6 +177,12 @@ def binned_quantiles(
     """
     groups = group_cols or []
     hist = binned_histogram(df, value_col, num_bins, groups)
+    return _quantiles_from_histogram(hist, probs, num_bins, groups)
+
+
+def _quantiles_from_histogram(
+    hist: DataFrame, probs: list[float], num_bins: int, groups: list[str]
+) -> DataFrame:
     w_cum = (
         Window.partitionBy(*groups)
         .orderBy("bin")

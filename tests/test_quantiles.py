@@ -79,6 +79,43 @@ class TestBinnedQuantiles:
             ("b", 0.5, 42.0),
         }
 
+    def test_histogram_store_split_invariance(self, spark, tmp_path):
+        from etl_stream_spark.operators.quantiles import HistogramStore
+
+        rows = [("a", float(i % 97)) for i in range(600)] + [
+            ("b", float((i * 11) % 97)) for i in range(400)
+        ]
+        df = _vals(spark, rows)
+        dom = (0.0, 96.0)
+        store = HistogramStore(
+            spark, str(tmp_path / "h"), ["g"], "v", domain=dom, num_bins=32
+        )
+        # three uneven batches; counts must equal the one-shot histogram
+        for lo, hi in ((0, 100), (100, 350), (350, len(rows))):
+            store.update(_vals(spark, rows[lo:hi]))
+        got = {
+            (r.g, r.bin): r.cnt for r in store.histogram().collect()
+        }
+        want = {
+            (r.g, r.bin): r.cnt
+            for r in binned_histogram(df, "v", 32, ["g"], domain=dom).collect()
+        }
+        assert got == want
+        # quantile read-off equals the one-shot sketch, across a restart
+        reopened = HistogramStore(
+            spark, str(tmp_path / "h"), ["g"], "v", domain=dom, num_bins=32
+        )
+        got_q = {
+            (r.g, r.prob): r.q_est for r in reopened.quantiles([0.5, 0.9]).collect()
+        }
+        want_q = {
+            (r.g, r.prob): r.q_est
+            for r in binned_quantiles(df, "v", [0.5, 0.9], 32, ["g"]).collect()
+        }
+        # note: binned_quantiles derives its domain from the data, which
+        # here coincides with the pinned [0, 96]
+        assert got_q == want_q
+
     def test_global_ungrouped(self, spark):
         df = _vals(spark, [("x", float(i)) for i in range(1, 101)])
         rows = binned_quantiles(df, "v", [0.5], 1000).collect()
