@@ -4787,6 +4787,48 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def streaming_trending_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-item detection as a stateful stream (`streaming/
+    trending.py`): document tokens hash-sharded into 4 keyed MG
+    summaries updated per micro-batch — state is shards×capacity
+    counters however long the stream runs. At this capacity (64 ≥ the
+    corpus vocabulary) every summary is exact, so the snapshot the
+    availableNow run emits hash-matches a plain batch count per
+    (shard, token) — the streaming machinery (keyed state, Arrow chunk
+    iteration, append emission) is what's under test."""
+    from etl_stream_spark.streaming.trending import trending_items
+
+    _ensure_utc(spark)
+    stream = (
+        spark.readStream.schema(_raw_schema(spark, sf_dir, "documents"))
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    toks = stream.select(F.explode(ta.tokens("text")).alias("token"))
+    trending = trending_items(toks, "token", capacity=64, num_shards=4)
+    name = "trend_" + uuid.uuid4().hex[:8]
+    q = (
+        trending.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_raise(q, 300)
+    return spark.table(name)
+
+
+STREAM_TRENDING_SQL = f"""
+WITH toks AS ({TOKS_CTE}),
+ex AS (SELECT unnest(t) AS item FROM toks),
+sh AS (SELECT item, ('0x' || substr(md5(item), 1, 13))::BIGINT % 4 AS shard FROM ex),
+c AS (SELECT shard, item, CAST(COUNT(*) AS BIGINT) AS est FROM sh GROUP BY 1, 2)
+SELECT shard, item, est,
+       CAST(SUM(est) OVER (PARTITION BY shard) AS BIGINT) AS shard_rows
+FROM c
+"""
+
+
 STREAM_DEDUP_SQL = f"""
 WITH toks AS ({TOKS_CTE})
 SELECT md5(array_to_string(t, ' ')) AS fp, COUNT(*) AS n_docs,
@@ -4864,6 +4906,9 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_contamination": QueryDef(corpus_contamination, CONTAMINATION_SQL),
     "corpus_quality_model": QueryDef(corpus_quality_model, QUALITY_MODEL_SQL),
     "streaming_dedup": QueryDef(streaming_dedup, STREAM_DEDUP_SQL),
+    "streaming_trending_tokens": QueryDef(
+        streaming_trending_tokens, STREAM_TRENDING_SQL
+    ),
     "events_sliding_window": QueryDef(events_sliding_window, SLIDING_SQL),
     "user_value_rolling_window": QueryDef(user_value_rolling_window, ROLLING_SQL),
     "user_value_zscores": QueryDef(user_value_zscores, ZSCORE_SQL),
