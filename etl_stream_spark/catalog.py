@@ -1406,6 +1406,79 @@ FROM grid g ASOF LEFT JOIN obs o
 """
 
 
+def user_value_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with LINEAR INTERPOLATION — the numeric
+    twin of ``user_value_resampled``'s forward-fill: each hourly grid
+    point takes the value interpolated between its bracketing
+    observations (endpoints clamp). One union + one ordered window per
+    direction, exact-µs arithmetic (`operators/temporal.py::
+    interpolate_at`)."""
+    from etl_stream_spark.operators.temporal import interpolate_at
+
+    ev = _t(spark, sf_dir, "events")
+    obs = ev.groupBy("user_id", F.col("ts").alias("o_ts")).agg(
+        F.expr("max_by(value, event_id)").alias("value")
+    ).select("user_id", "o_ts", _dbl(F.col("value").cast(DEC)).alias("value"))
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"), F.max("ts").alias("t1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("t0"), F.col("t1"), F.expr("interval 1 hour"))
+        ).alias("grid_ts"),
+    )
+    return interpolate_at(
+        grid, obs, on="user_id", grid_ts="grid_ts", obs_ts="o_ts",
+        value_col="value",
+    )
+
+
+INTERPOLATE_SQL = """
+WITH obs AS (
+  SELECT user_id, ts AS o_ts,
+         CAST(ROUND(CAST(max_by(value, event_id) AS DECIMAL(18,2)), 2) AS DOUBLE) AS value
+  FROM events GROUP BY user_id, ts
+),
+bounds AS (
+  SELECT user_id, date_trunc('hour', MIN(ts)) AS t0, MAX(ts) AS t1
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS grid_ts
+  FROM bounds
+),
+u AS (
+  SELECT user_id AS k, epoch_us(grid_ts) AS t, grid_ts,
+         1 AS is_grid, CAST(NULL AS DOUBLE) AS v
+  FROM grid
+  UNION ALL
+  SELECT user_id, epoch_us(o_ts), NULL, 0, value FROM obs
+),
+br AS (
+  SELECT *,
+    LAST_VALUE(v IGNORE NULLS) OVER w_back AS pv,
+    LAST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER w_back AS pt,
+    FIRST_VALUE(v IGNORE NULLS) OVER w_fwd AS nv,
+    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER w_fwd AS nt
+  FROM u
+  WINDOW
+    w_back AS (PARTITION BY k ORDER BY t, is_grid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_fwd AS (PARTITION BY k ORDER BY t, is_grid
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT k AS user_id, grid_ts,
+       ROUND(CASE WHEN pv IS NULL THEN nv
+                  WHEN nv IS NULL THEN pv
+                  WHEN nt = pt THEN pv
+                  ELSE pv + (nv - pv)
+                       * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+             END, 6) AS value
+FROM br WHERE is_grid = 1
+"""
+
+
 def signup_window_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-containment join: events of the same user inside the
     6 hours after each signup event (equi-key hash join + range filter —
@@ -4929,6 +5002,9 @@ CATALOG: dict[str, QueryDef] = {
     "asof_next_purchase": QueryDef(asof_next_purchase, ASOF_FWD_SQL),
     "signup_window_activity": QueryDef(signup_window_activity, INTERVAL_SQL),
     "user_value_resampled": QueryDef(user_value_resampled, RESAMPLE_SQL),
+    "user_value_interpolated": QueryDef(
+        user_value_interpolated, INTERPOLATE_SQL
+    ),
     # corpus / training-data pipeline
     "corpus_stratified_sample": QueryDef(corpus_stratified_sample, SAMPLE_SQL),
     "corpus_train_test_split": QueryDef(corpus_train_test_split, SPLIT_SQL),

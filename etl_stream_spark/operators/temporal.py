@@ -186,3 +186,80 @@ def asof_join_forward(
             for c in right_cols
         ],
     )
+
+
+def interpolate_at(
+    grid: DataFrame,
+    obs: DataFrame,
+    on: str,
+    grid_ts: str,
+    obs_ts: str,
+    value_col: str,
+    out_col: str = "value",
+    decimals: int = 6,
+) -> DataFrame:
+    """Linear interpolation of ``obs[value_col]`` at each grid
+    timestamp: the value at a grid point is interpolated between the
+    nearest observation at-or-before and the nearest strictly-after
+    one; outside the observed range the nearest endpoint clamps
+    (forward-fill past the last observation, back-fill before the
+    first). A grid point that coincides with an observation returns the
+    observed value exactly.
+
+    Same shuffle discipline as :func:`asof_join`: grid and observation
+    rows union into ONE frame, a single per-key ordered window carries
+    the bracketing (ts, value) pairs in both directions, and the
+    interpolation itself is closed-form arithmetic on exact µs epochs —
+    no range join, no per-key driver work, deterministic to the bit for
+    a DuckDB twin. Time math runs on ``unix_micros`` BIGINTs; the
+    result rounds to ``decimals``.
+    """
+    g = grid.select(
+        F.col(on).alias("_k"),
+        F.unix_micros(F.col(grid_ts)).alias("_t"),
+        F.col(grid_ts).alias("_grid_ts"),
+        F.lit(1).alias("_is_grid"),
+        F.lit(None).cast("double").alias("_v"),
+    )
+    o = obs.select(
+        F.col(on).alias("_k"),
+        F.unix_micros(F.col(obs_ts)).alias("_t"),
+        F.lit(None).cast("timestamp").alias("_grid_ts"),
+        F.lit(0).alias("_is_grid"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    u = g.unionByName(o)
+    # observations sort before grid points at equal timestamps, so the
+    # backward window sees a coincident observation as its "previous"
+    w_back = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_is_grid")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_t = F.when(F.col("_v").isNotNull(), F.col("_t"))
+    br = (
+        u.withColumn("_pv", F.last("_v", ignorenulls=True).over(w_back))
+        .withColumn("_pt", F.last(obs_t, ignorenulls=True).over(w_back))
+        .withColumn("_nv", F.first("_v", ignorenulls=True).over(w_fwd))
+        .withColumn("_nt", F.first(obs_t, ignorenulls=True).over(w_fwd))
+        .filter(F.col("_is_grid") == 1)
+    )
+    frac = (F.col("_t") - F.col("_pt")).cast("double") / (
+        F.col("_nt") - F.col("_pt")
+    ).cast("double")
+    interp = (
+        F.when(F.col("_pv").isNull(), F.col("_nv"))
+        .when(F.col("_nv").isNull(), F.col("_pv"))
+        .when(F.col("_nt") == F.col("_pt"), F.col("_pv"))
+        .otherwise(F.col("_pv") + (F.col("_nv") - F.col("_pv")) * frac)
+    )
+    return br.select(
+        F.col("_k").alias(on),
+        F.col("_grid_ts").alias(grid_ts),
+        F.round(interp, decimals).alias(out_col),
+    )

@@ -128,3 +128,50 @@ class TestAsofTolerance:
             left, right, on="k", left_ts="ts", right_ts="rts", tolerance="30 MINUTE"
         )
         assert fwd_tol_ok.collect()[0]["payload"] == 90  # inclusive bound
+
+
+class TestInterpolateAt:
+    def _run(self, spark, grid_rows, obs_rows):
+        import datetime as dt
+
+        from etl_stream_spark.operators.temporal import interpolate_at
+
+        base = dt.datetime(2026, 1, 1)
+        grid = spark.createDataFrame(
+            [("k", base + dt.timedelta(minutes=m)) for m in grid_rows],
+            "k string, gts timestamp",
+        )
+        obs = spark.createDataFrame(
+            [("k", base + dt.timedelta(minutes=m), v) for m, v in obs_rows],
+            "k string, ots timestamp, v double",
+        )
+        out = interpolate_at(
+            grid, obs, on="k", grid_ts="gts", obs_ts="ots", value_col="v"
+        )
+        return {
+            int((r.gts - base).total_seconds() // 60): r.value
+            for r in out.collect()
+        }
+
+    def test_midpoint_and_exact_hits(self, spark):
+        got = self._run(
+            spark, [0, 30, 60, 45], [(0, 10.0), (60, 20.0)]
+        )
+        assert got[0] == 10.0  # coincident observation: exact
+        assert got[60] == 20.0
+        assert got[30] == 15.0  # halfway
+        assert got[45] == 17.5  # three-quarters
+
+    def test_endpoint_clamping(self, spark):
+        got = self._run(spark, [-60, 0, 120], [(0, 5.0), (60, 9.0)])
+        assert got[-60] == 5.0  # before first obs: back-fill
+        assert got[120] == 9.0  # after last obs: forward-fill
+
+    def test_no_observations_yields_null(self, spark):
+        got = self._run(spark, [0, 30], [])
+        assert got == {0: None, 30: None}
+
+    def test_uneven_spacing(self, spark):
+        # obs at 0 (v=0) and 90 (v=9): grid 30 → 3.0, grid 60 → 6.0
+        got = self._run(spark, [30, 60], [(0, 0.0), (90, 9.0)])
+        assert got == {30: 3.0, 60: 6.0}
