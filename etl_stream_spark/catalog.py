@@ -5085,10 +5085,11 @@ _DRIVER_PRIORITY = [
     # cdc_final_state / cdc_envelope_decode family reps — making room
     # for the persisted-index lifecycle entries added after the main
     # rotation.)
+    # (cdc_gold_rollup also rotated out late round 3 — proven r02,
+    # plan unchanged, and the CDC family keeps five other canaries.)
     "cdc_final_state",
     "cdc_envelope_decode",
     "cdc_streaming_merge",
-    "cdc_gold_rollup",
     "cdc_schema_evolution",
     "cdc_change_feed",
     "cdc_scd2_incremental",
@@ -5145,12 +5146,15 @@ _DRIVER_PRIORITY = [
     # sketches (distinct proven; set-algebra overlap first-time)
     "sketch_distinct_customers",
     "sketch_customer_overlap",
-    # structured streaming
-    "streaming_hourly_rollup",
+    # structured streaming (sustained_alerts + stream_join stay as the
+    # proven canaries; hourly_rollup [proven] rotated out late round 3
+    # for the stateful trending summaries)
+    "streaming_trending_tokens",
     "streaming_sustained_alerts",
     "streaming_stream_join",
-    # temporal joins
+    # temporal joins (as-of proven; interpolation first-time)
     "asof_latest_purchase",
+    "user_value_interpolated",
     # corpus / training-data pipeline (funnel proven; contamination +
     # sequence packing + BPE first-time)
     "corpus_curation_funnel",
