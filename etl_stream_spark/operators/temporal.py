@@ -213,6 +213,11 @@ def interpolate_at(
     no range join, no per-key driver work, deterministic to the bit for
     a DuckDB twin. Time math runs on ``unix_micros`` BIGINTs; the
     result rounds to ``decimals``.
+
+    Contract: ``obs`` must be unique per ``(on, obs_ts)`` — with
+    duplicate observation timestamps the bracketing value is
+    sort-order-dependent. Pre-aggregate (e.g. ``max_by``) first, as
+    the catalog entry does.
     """
     g = grid.select(
         F.col(on).alias("_k"),
