@@ -702,6 +702,41 @@ FROM orders
 """
 
 
+def customer_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frames (the one frame family
+    `customer_order_history` doesn't cover): per-customer trailing
+    7-day revenue and order count at every order. The frame is a RANGE
+    over exact µs epochs, so same-day orders fall into each other's
+    windows symmetrically — no tie-break, per RANGE semantics — and
+    both engines see identical frames."""
+    orders = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast(DEC)
+    tus = F.unix_micros(F.col("o_orderdate"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(tus)
+        .rangeBetween(-7 * 86_400 * 1_000_000, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        _dbl(F.sum(price).over(w).cast(DECSUM)).alias("rev_7d"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_orders_7d"),
+    )
+
+
+ROLLING_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+                       AS DECIMAL(38,2)), 2) AS DOUBLE) AS rev_7d,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_orders_7d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 # --------------------------------------------------------------------------
 # Exact percentiles (interpolated) per group
 # --------------------------------------------------------------------------
@@ -971,6 +1006,7 @@ EXTRA_QUERIES: list[tuple] = [
     ("q22_idle_rich_customers", q22_idle_rich_customers, Q22_SQL),
     ("rollup_order_revenue", rollup_order_revenue, ROLLUP_SQL),
     ("customer_order_history", customer_order_history, HISTORY_SQL),
+    ("customer_rolling_revenue", customer_rolling_revenue, ROLLING_SQL),
     ("order_price_quantiles", order_price_quantiles, QUANTILES_SQL),
     ("order_value_rankings", order_value_rankings, RANKINGS_SQL),
 ]
