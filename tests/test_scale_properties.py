@@ -217,10 +217,12 @@ _BOUNDED_HINT_ALLOWLIST = {
     "corpus_length_histogram",
     "corpus_tfidf",
     "embedding_quantize_int8",
+    "events_skew_aware_enrichment",  # broadcasts: <=1/phi detected hot keys
     "hybrid_search_rrf",
     "ivf_incremental_search",  # broadcasts: k centroids + |queries|*nprobe probe rows
     "ivf_topk",
     "lexical_incremental_search",  # broadcasts: distinct terms of the bounded query set
+    "order_price_quantiles_sketch",  # broadcasts: the 1-row min/max domain
     "kmeans_assignment",
     "knn_bruteforce",
     "pq_topk",
