@@ -2021,6 +2021,30 @@ FROM c JOIN q ON c.doc_id = q.doc_id
 """
 
 
+def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-dup pair join via prefix filtering (AllPairs/PPJoin):
+    every pair at shingle-Jaccard ≥ 0.5 with provably no false
+    negatives — the recall-guaranteed complement to the probabilistic
+    `dedup_lsh_verified`. The oracle is the brute-force all-pairs
+    Jaccard, so the hash check IS the completeness proof at this SF."""
+    return dd.prefix_filter_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+PREFIX_FILTER_SQL = f"""
+WITH toks AS ({TOKS_CTE}), shingled AS ({SHINGLES_CTE}),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sa, b.sh AS sb
+  FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+             / len(list_distinct(sa || sb)), 6) AS jaccard
+FROM p
+WHERE ROUND(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+      / len(list_distinct(sa || sb)), 6) >= 0.5
+"""
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), block_col="source", threshold=0.1
@@ -4997,6 +5021,9 @@ CATALOG: dict[str, QueryDef] = {
     "cdc_gold_rollup": QueryDef(cdc_gold_rollup, GOLD_ROLLUP_SQL),
     "cdc_schema_evolution": QueryDef(cdc_schema_evolution, SCHEMA_EVOLUTION_SQL),
     "dedup_lsh_verified": QueryDef(dedup_lsh_verified, _lsh_verified_sql()),
+    "dedup_prefix_filter_pairs": QueryDef(
+        dedup_prefix_filter_pairs, PREFIX_FILTER_SQL
+    ),
     # temporal joins
     "asof_latest_purchase": QueryDef(asof_latest_purchase, ASOF_SQL),
     "asof_next_purchase": QueryDef(asof_next_purchase, ASOF_FWD_SQL),

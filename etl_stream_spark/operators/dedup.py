@@ -458,3 +458,69 @@ def lsh_verified_pairs(
         .select("id_a", "id_b", "est_jaccard", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    width: int = SHINGLE_WIDTH,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering — the
+    AllPairs/PPJoin family (Bayardo, Ma & Srikant, "Scaling up all
+    pairs similarity search", WWW 2007; Xiao et al., PPJoin): every
+    pair with shingle-set Jaccard ≥ ``threshold``, with NO false
+    negatives, without the all-pairs product.
+
+    The filter: order every set by one global total order (ascending
+    document frequency, ties by value — rare shingles first) and keep
+    each set's first ``|s| − ⌈τ·|s|⌉ + 1`` elements as its *prefix*.
+    Two sets whose Jaccard reaches τ must share at least one prefix
+    element, so the candidate space is the equi-join of prefixes — at
+    scale a join keyed on RARE shingles (frequent shingles land in few
+    prefixes), the opposite skew profile of a naive token join. An
+    exact Jaccard verification pass (O(candidates)) removes the filter
+    survivors below τ.
+
+    Complement to :func:`minhash_lsh_pairs`: LSH trades recall for
+    speed probabilistically; this join is deterministic-complete —
+    the shape to reach for when a dedup SLA says "no missed pair above
+    τ". Cost is the dfreq aggregation (one shuffle of distinct
+    shingles) plus the prefix equi-join.
+    """
+    sets_ = df.select(F.col(id_col).alias("id"), shingles(text_col, width).alias("sh"))
+    ex = sets_.select("id", F.explode("sh").alias("s"))
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        ex.join(dfreq, "s")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("ordered"))
+    )
+    size = F.size("ordered")
+    plen = (size - F.ceil(F.lit(float(threshold)) * size) + 1).cast("int")
+    prefixes = ranked.select(
+        "id",
+        F.explode(
+            F.slice(F.transform("ordered", lambda x: x["s"]), F.lit(1), plen)
+        ).alias("s"),
+    )
+    a = prefixes.select(F.col("id").alias("id_a"), "s")
+    b = prefixes.select(F.col("id").alias("id_b"), "s")
+    cand = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sets_.select(F.col("id").alias("id_a"), F.col("sh").alias("_sha"))
+    sb = sets_.select(F.col("id").alias("id_b"), F.col("sh").alias("_shb"))
+    inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
+    union = F.size(F.array_union(F.col("_sha"), F.col("_shb")))
+    jac = F.round(inter.cast("double") / union, 6)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -397,3 +397,48 @@ class TestPandasBruteForce:
             for r in sim.brute_force_topk_pandas(emb, queries, k=5).collect()
         }
         assert jvm == pnd
+
+
+class TestPrefixFilterPairs:
+    def test_matches_brute_force_at_multiple_thresholds(self, spark):
+        # planted near-dups + unrelated docs; the prefix-filter join
+        # must equal brute-force all-pairs exactly (no false negatives
+        # is the operator's contract)
+        rows = [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),  # near 1
+            (3, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup of 1
+            (4, "one two three four five six seven eight"),
+            (5, "one two three four five six seven nine"),  # near 4
+            (6, "completely different words appear in this document here"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        sets_ = {
+            r.doc_id: set(r.sh)
+            for r in docs.select(
+                "doc_id", dd.shingles("text").alias("sh")
+            ).collect()
+        }
+
+        def brute(th):
+            out = set()
+            ids = sorted(sets_)
+            for i, a in enumerate(ids):
+                for b in ids[i + 1 :]:
+                    j = len(sets_[a] & sets_[b]) / len(sets_[a] | sets_[b])
+                    if round(j, 6) >= th:
+                        out.add((a, b, round(j, 6)))
+            return out
+
+        for th in (0.3, 0.5, 0.99):
+            got = {
+                (r.id_a, r.id_b, r.jaccard)
+                for r in dd.prefix_filter_pairs(docs, threshold=th).collect()
+            }
+            assert got == brute(th), th
+        # sanity: the exact-dup pair is present with jaccard 1.0
+        got05 = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dd.prefix_filter_pairs(docs, threshold=0.5).collect()
+        }
+        assert got05[(1, 3)] == 1.0
