@@ -1674,6 +1674,32 @@ HAVING COUNT(*) >= CEIL(0.01 * MAX(tot.n))
 """
 
 
+def corpus_source_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED heavy hitters: which sources hold ≥ 5% of the corpus's
+    character budget — the additive-budget form of the Misra-Gries
+    detector (weights = n_chars, exact BIGINT sums). The corpus-mix
+    question (is one crawl dominating the training budget?) asked
+    without shuffling the full source×doc space."""
+    from etl_stream_spark.operators.frequency import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    return heavy_hitters(docs, "source", phi=0.05, weight_col="n_chars")
+
+
+SOURCE_BUDGET_SQL = """
+WITH w AS (
+  SELECT source AS item, n_chars AS wt FROM documents
+  WHERE source IS NOT NULL AND n_chars > 0
+),
+tot AS (SELECT CAST(SUM(wt) AS BIGINT) AS n FROM w)
+SELECT item, CAST(SUM(wt) AS BIGINT) AS cnt,
+       ROUND(CAST(SUM(wt) AS DOUBLE) / MAX(tot.n), 6) AS share
+FROM w, tot
+GROUP BY item
+HAVING SUM(wt) >= CEIL(0.05 * MAX(tot.n))
+"""
+
+
 def corpus_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF per (document, token): exact integer counts, one ln."""
     docs = _t(spark, sf_dir, "documents")
@@ -5039,6 +5065,7 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_duplicated_passages": QueryDef(corpus_duplicated_passages, PASSAGES_SQL),
     "corpus_vocabulary": QueryDef(corpus_vocabulary, VOCAB_SQL),
     "text_heavy_hitters": QueryDef(text_heavy_hitters, HEAVY_SQL),
+    "corpus_source_budget": QueryDef(corpus_source_budget, SOURCE_BUDGET_SQL),
     "corpus_tfidf": QueryDef(corpus_tfidf, TFIDF_SQL),
     "corpus_length_histogram": QueryDef(corpus_length_histogram, HISTOGRAM_SQL),
     "corpus_prep_pipeline": QueryDef(corpus_prep_pipeline, PREP_SQL),

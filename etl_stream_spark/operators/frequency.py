@@ -82,11 +82,22 @@ def heavy_hitters(
     item_col: str,
     phi: float = 0.01,
     capacity: int | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Items whose exact frequency is ``≥ ceil(phi · n)``, with exact
     counts and corpus share. Deterministic for any ``capacity ≥ 2/phi``
     (the default); smaller capacities void the completeness guarantee
     and are rejected.
+
+    With ``weight_col`` the same machinery answers the WEIGHTED
+    question — which keys hold ≥ phi of an additive budget (revenue per
+    customer, characters per source, bytes per table) — by feeding the
+    weighted MG steps per-batch weight sums instead of value counts;
+    ``n`` becomes the total weight and the bound/guarantee carry over
+    verbatim. Weights must be non-negative integers (quantize money to
+    cents first — integer sums keep the verification pass and the
+    oracle bit-deterministic); rows with NULL or ≤ 0 weight are
+    ignored.
 
     Returns ``(item, cnt BIGINT, share DOUBLE)``.
     """
@@ -98,21 +109,37 @@ def heavy_hitters(
             "Misra-Gries candidate union would not be guaranteed to "
             "contain every phi-heavy hitter"
         )
-    items = df.select(F.col(item_col).alias("item")).filter(F.col("item").isNotNull())
-    item_type = items.schema["item"].dataType.simpleString()
+    if weight_col is None:
+        items = df.select(
+            F.col(item_col).alias("item"), F.lit(1).cast("long").alias("w")
+        )
+    else:
+        wt = df.schema[weight_col].dataType.simpleString()
+        if wt not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"weight_col must be an integral type, got {wt}: quantize "
+                "(e.g. money to cents) before calling"
+            )
+        items = df.select(
+            F.col(item_col).alias("item"),
+            F.col(weight_col).cast("long").alias("w"),
+        ).filter(F.col("w") > 0)
+    items = items.filter(F.col("item").isNotNull())
+    item_type = df.schema[item_col].dataType.simpleString()
 
     def _summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
         n = 0
         for pdf in batches:
-            n += len(pdf)
             # vectorized pre-aggregation: one weighted MG step per
             # DISTINCT item in the Arrow batch, not one per row
-            for item, w in pdf["item"].value_counts().items():
+            sums = pdf.groupby("item", sort=False)["w"].sum()
+            n += int(sums.sum())
+            for item, w in sums.items():
                 _mg_update(counters, item, capacity, int(w))
-        # candidates plus one null-item row carrying the partition's row
-        # count: the total rides along in the same pass instead of
-        # costing a second full scan
+        # candidates plus one null-item row carrying the partition's
+        # total weight: the denominator rides along in the same pass
+        # instead of costing a second full scan
         keys = list(counters.keys())
         yield pd.DataFrame(
             {"item": keys + [None], "n": [None] * len(keys) + [n]}
@@ -127,7 +154,7 @@ def heavy_hitters(
     # exact verification: aggregate only rows carrying a candidate item
     # (AQE broadcasts the bounded candidate side on its own — no hint).
     counts = items.join(candidates, "item", "left_semi").groupBy("item").agg(
-        F.count(F.lit(1)).alias("cnt")
+        F.sum("w").alias("cnt")
     )
     total = summary.filter(F.col("item").isNull()).agg(F.sum("n").alias("_n"))
     return (

@@ -123,6 +123,35 @@ class TestHeavyHitters:
         assert rows["a"].cnt == 6
         assert rows["a"].share == 0.75
 
+    def test_weighted_matches_exact_groupby_sum(self, spark):
+        # budget question: exact SUM(w) >= ceil(phi*total_w), verified
+        # under decrement pressure (capacity 40 << 300 keys)
+        rows = [("big", 500), ("mid", 200)] + [(f"t{i}", 2) for i in range(300)]
+        df = spark.createDataFrame(rows, "k string, w long")
+        got = {
+            (r.item, r.cnt, r.share)
+            for r in heavy_hitters(df, "k", phi=0.05, weight_col="w").collect()
+        }
+        total = 500 + 200 + 600
+        thr = math.ceil(0.05 * total)
+        want = {
+            ("big", 500, round(500 / total, 6)),
+            ("mid", 200, round(200 / total, 6)),
+        }
+        assert thr > 2 and got == want
+
+    def test_weighted_rejects_float_weights(self, spark):
+        df = spark.createDataFrame([("a", 1.5)], "k string, w double")
+        with pytest.raises(ValueError, match="integral"):
+            heavy_hitters(df, "k", phi=0.5, weight_col="w")
+
+    def test_weighted_ignores_nonpositive_weights(self, spark):
+        df = spark.createDataFrame(
+            [("a", 6), ("a", 0), ("b", -3), ("b", 2)], "k string, w long"
+        )
+        rows = {r.item: r.cnt for r in heavy_hitters(df, "k", phi=0.5, weight_col="w").collect()}
+        assert rows == {"a": 6}  # total = 8, threshold 4; b has only 2
+
     def test_capacity_guard(self, spark, skewed):
         with pytest.raises(ValueError, match="capacity"):
             heavy_hitters(skewed, "v", phi=0.05, capacity=10)
