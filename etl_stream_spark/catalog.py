@@ -837,6 +837,37 @@ FROM r CROSS JOIN t
 """
 
 
+def top5_orders_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 orders per priority via two-phase partial top-k
+    (`operators/topk.py`): each scan partition pre-reduces to its own
+    per-group 5-head, so the exchange carries partitions×groups×5 rows
+    instead of every order — the shuffle-volume form of LIMIT pushdown.
+    Result must equal the plain ranking-window plan row for row, which
+    is exactly what the oracle computes."""
+    from etl_stream_spark.operators.topk import partial_topk
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        _dbl(F.col("o_totalprice").cast(DEC)).alias("total_price"),
+    )
+    return partial_topk(
+        orders, ["o_orderpriority"], "total_price", "o_orderkey", k=5
+    )
+
+
+TOP5_PARTIAL_SQL = """
+SELECT o_orderpriority, o_orderkey, total_price, rank FROM (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE) AS total_price,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE) DESC,
+                                          o_orderkey) AS BIGINT) AS rank
+  FROM orders
+) WHERE rank <= 5
+"""
+
+
 def order_price_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mergeable-summary twin of ``order_price_quantiles``: per-
     priority p50/p90 read off a fixed-domain 256-bin histogram
@@ -4991,6 +5022,7 @@ CATALOG: dict[str, QueryDef] = {
     "order_price_quantiles_sketch": QueryDef(
         order_price_quantiles_sketch, QUANTILE_SKETCH_SQL
     ),
+    "top5_orders_partial": QueryDef(top5_orders_partial, TOP5_PARTIAL_SQL),
     "cdc_change_feed": QueryDef(cdc_change_feed, CHANGE_FEED_SQL),
     # sketches
     "sketch_distinct_customers": QueryDef(

@@ -442,3 +442,39 @@ class TestPrefixFilterPairs:
             for r in dd.prefix_filter_pairs(docs, threshold=0.5).collect()
         }
         assert got05[(1, 3)] == 1.0
+
+
+class TestPartialTopk:
+    def test_equals_window_plan(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from etl_stream_spark.operators.topk import partial_topk
+
+        rows = [(f"g{i % 4}", i, float((i * 37) % 100)) for i in range(400)]
+        df = spark.createDataFrame(rows, "g string, id long, v double").repartition(13)
+        got = {
+            (r.g, r.id, r.v, r.rank)
+            for r in partial_topk(df, ["g"], "v", "id", k=7).collect()
+        }
+        w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("id").asc())
+        want = {
+            (r.g, r.id, r.v, r.rank)
+            for r in df.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 7)
+            .collect()
+        }
+        assert got == want and len(got) == 28
+
+    def test_ascending_and_small_groups(self, spark):
+        from etl_stream_spark.operators.topk import partial_topk
+
+        df = spark.createDataFrame(
+            [("a", 1, 5.0), ("a", 2, 3.0), ("b", 3, 9.0)], "g string, id long, v double"
+        ).repartition(5)
+        got = sorted(
+            (r.g, r.id, r.rank)
+            for r in partial_topk(df, ["g"], "v", "id", k=10, ascending=True).collect()
+        )
+        # k exceeds group sizes: every row survives, ranked ascending by v
+        assert got == [("a", 1, 2), ("a", 2, 1), ("b", 3, 1)]
