@@ -837,6 +837,43 @@ FROM r CROSS JOIN t
 """
 
 
+def order_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt (the inverse of `user_event_pivot`): per-priority
+    aggregate metrics melted into long format — `df.unpivot` is a pure
+    projection (Expand), no shuffle beyond the aggregation that feeds
+    it."""
+    orders = _t(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        _dbl(F.sum(F.col("o_totalprice").cast(DEC)).cast(DECSUM)).alias(
+            "total_revenue"
+        ),
+        F.count_distinct("o_custkey").cast("double").alias("n_customers"),
+    )
+    return wide.unpivot(
+        ["o_orderpriority"],
+        ["n_orders", "total_revenue", "n_customers"],
+        "metric",
+        "value",
+    )
+
+
+UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS DOUBLE) AS n_orders,
+         CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)), 2) AS DOUBLE) AS total_revenue,
+         CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS n_customers
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM wide
+UNION ALL
+SELECT o_orderpriority, 'total_revenue', total_revenue FROM wide
+UNION ALL
+SELECT o_orderpriority, 'n_customers', n_customers FROM wide
+"""
+
+
 def top5_orders_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 orders per priority via two-phase partial top-k
     (`operators/topk.py`): each scan partition pre-reduces to its own
@@ -5023,6 +5060,7 @@ CATALOG: dict[str, QueryDef] = {
         order_price_quantiles_sketch, QUANTILE_SKETCH_SQL
     ),
     "top5_orders_partial": QueryDef(top5_orders_partial, TOP5_PARTIAL_SQL),
+    "order_metrics_unpivot": QueryDef(order_metrics_unpivot, UNPIVOT_SQL),
     "cdc_change_feed": QueryDef(cdc_change_feed, CHANGE_FEED_SQL),
     # sketches
     "sketch_distinct_customers": QueryDef(
