@@ -121,3 +121,55 @@ class TestBinnedQuantiles:
         rows = binned_quantiles(df, "v", [0.5], 1000).collect()
         assert len(rows) == 1
         assert abs(rows[0].q_est - 50.0) <= (99.0 / 1000) / 2 + 1e-9
+
+
+def test_streaming_histogram_maintenance(spark, tmp_path):
+    """HistogramStore under the streaming runtime: micro-batches via
+    foreachBatch yield the same bin counts and quantiles as the
+    one-shot histogram of the full data."""
+    import json
+
+    from etl_stream_spark.operators.quantiles import HistogramStore
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.json").write_text(
+        "\n".join(json.dumps({"g": "x", "v": float(i % 97)}) for i in range(300))
+    )
+    (src / "b.json").write_text(
+        "\n".join(json.dumps({"g": "x", "v": float((i * 3) % 97)}) for i in range(200))
+    )
+    dom = (0.0, 96.0)
+    store = HistogramStore(
+        spark, str(tmp_path / "h"), ["g"], "v", domain=dom, num_bins=16
+    )
+    stream = (
+        spark.readStream.schema("g string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(lambda df, _eid: store.update(df))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    full = spark.createDataFrame(
+        [("x", float(i % 97)) for i in range(300)]
+        + [("x", float((i * 3) % 97)) for i in range(200)],
+        "g string, v double",
+    )
+    want = {
+        (r.g, r.bin): r.cnt
+        for r in binned_histogram(full, "v", 16, ["g"], domain=dom).collect()
+    }
+    got = {(r.g, r.bin): r.cnt for r in store.histogram().collect()}
+    assert got == want
+    want_q = {
+        (r.g, r.prob): r.q_est
+        for r in binned_quantiles(full, "v", [0.5], 16, ["g"]).collect()
+    }
+    got_q = {(r.g, r.prob): r.q_est for r in store.quantiles([0.5]).collect()}
+    assert got_q == want_q
