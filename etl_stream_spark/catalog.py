@@ -837,6 +837,66 @@ FROM r CROSS JOIN t
 """
 
 
+def price_time_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority Pearson correlation between order price and order
+    time — the drift statistic a feature pipeline tracks. Determinism
+    recipe: every Σ (n, Σx, Σy, Σxy, Σx², Σy²) accumulates EXACTLY
+    (integer-quantized cents / epoch-seconds, decimal(38,0) sums — no
+    float addition order anywhere); the closed-form corr then evaluates
+    in doubles from those exact scalars, identical IEEE ops on both
+    engines. Magnitudes: seconds² ≈ 6e17/row, cents·seconds ≈ 8e13/row
+    — decimal(38,0) holds the sums beyond 10¹⁵ rows."""
+    orders = _t(spark, sf_dir, "orders")
+    x = (F.unix_micros(F.col("o_orderdate")) / F.lit(1_000_000)).cast("long")
+    y = F.round(F.col("o_totalprice") * 100).cast("long")
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = orders.select(
+        "o_orderpriority", x.alias("x"), y.alias("y")
+    ).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(d(F.col("x"))).cast("double").alias("sx"),
+        F.sum(d(F.col("y"))).cast("double").alias("sy"),
+        F.sum(d(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+        F.sum(d(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+        F.sum(d(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        "o_orderpriority",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round(num / den, 6).alias("price_time_corr"),
+    )
+
+
+CORR_SQL = """
+WITH q AS (
+  SELECT o_orderpriority,
+         epoch_us(o_orderdate) // 1000000 AS x,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders
+),
+a AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+  FROM q GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, CAST(n AS BIGINT) AS n_orders,
+       ROUND((n * sxy - sx * sy)
+             / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         AS price_time_corr
+FROM a
+"""
+
+
 def order_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT/melt (the inverse of `user_event_pivot`): per-priority
     aggregate metrics melted into long format — `df.unpivot` is a pure
@@ -5061,6 +5121,7 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "top5_orders_partial": QueryDef(top5_orders_partial, TOP5_PARTIAL_SQL),
     "order_metrics_unpivot": QueryDef(order_metrics_unpivot, UNPIVOT_SQL),
+    "price_time_correlation": QueryDef(price_time_correlation, CORR_SQL),
     "cdc_change_feed": QueryDef(cdc_change_feed, CHANGE_FEED_SQL),
     # sketches
     "sketch_distinct_customers": QueryDef(
