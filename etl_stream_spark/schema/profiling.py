@@ -71,3 +71,63 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
             )
         )
     return reduce(DataFrame.unionByName, parts)
+
+
+def suggest_expectations(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    max_accepted_values: int = 16,
+    range_slack: float = 0.0,
+) -> list:
+    """Constraint suggestion from an observed profile (the Deequ
+    "constraint suggestion" idea): profile ``df`` once, then propose
+    the declarative expectations the data currently satisfies —
+
+    * ``not_null(c)`` where no nulls were observed;
+    * ``unique(c)`` where every non-null value was distinct;
+    * ``in_range(c, min, max)`` for numeric columns (± ``range_slack``
+      fraction of the observed span, for tolerance on future data);
+    * ``accepted_values(c, …)`` for low-cardinality non-numeric columns
+      (``n_distinct ≤ max_accepted_values`` — the value list costs one
+      extra bounded aggregation on just those columns).
+
+    Suggestions are a STARTING POINT: they encode what one dataset
+    looked like, and a human promotes them to contracts. By
+    construction every suggested rule passes on the profiled data —
+    `tests/test_profiling.py` pins that round-trip, and the returned
+    list feeds `schema.expectations.check` directly.
+    """
+    from pyspark.sql import functions as F
+
+    from . import expectations as ex
+
+    cols = columns if columns is not None else df.columns
+    prof = {r.col_name: r for r in profile_table(df, cols).collect()}
+    out: list = []
+    enum_cols = [
+        c
+        for c in cols
+        if prof[c].min_value is None
+        and 0 < prof[c].n_distinct <= max_accepted_values
+    ]
+    enum_values: dict = {}
+    if enum_cols:
+        for c in enum_cols:
+            vals = [
+                r[0]
+                for r in df.select(c).filter(F.col(c).isNotNull()).distinct().collect()
+            ]
+            enum_values[c] = sorted(vals)
+    for c in cols:
+        p = prof[c]
+        if p.n_nulls == 0 and p.n_rows > 0:
+            out.append(ex.not_null(c))
+        non_null = p.n_rows - p.n_nulls
+        if non_null > 0 and p.n_distinct == non_null:
+            out.append(ex.unique(c))
+        if p.min_value is not None:
+            slack = (p.max_value - p.min_value) * range_slack
+            out.append(ex.in_range(c, p.min_value - slack, p.max_value + slack))
+        elif c in enum_values:
+            out.append(ex.accepted_values(c, enum_values[c]))
+    return out

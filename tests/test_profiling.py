@@ -41,3 +41,55 @@ def test_profile_scans_prune_to_one_column(spark, tmp_path):
     assert len(read_schemas) == 4
     for rs in read_schemas:
         assert rs.count(":") == 1, f"branch reads more than one column: {rs}"
+
+
+def test_suggested_expectations_round_trip(spark):
+    from etl_stream_spark.schema import expectations as ex
+    from etl_stream_spark.schema.profiling import suggest_expectations
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.5, "A", None),
+            (2, 20.0, "B", "x"),
+            (3, 15.0, "A", "y"),
+        ],
+        "id long, price double, status string, note string",
+    )
+    rules = suggest_expectations(df)
+    by_name = {r.name: r for r in rules}
+    # id: never null, all distinct, ranged; status: enum; note: nullable
+    assert "not_null(id)" in by_name and "unique(id)" in by_name
+    assert "in_range(id)" in by_name and "in_range(price)" in by_name
+    assert "accepted_values(status)" in by_name
+    assert "not_null(note)" not in by_name
+    # every suggested rule passes on the profiled data by construction
+    report = ex.check(df, rules)
+    assert all(r.passed for r in report.collect())
+    # and a drifted batch trips exactly the right rules
+    drifted = spark.createDataFrame(
+        [(None, 99.0, "C", "z")], "id long, price double, status string, note string"
+    )
+    failed = {
+        r.expectation for r in ex.check(drifted, rules).collect() if not r.passed
+    }
+    assert "not_null(id)" in failed
+    assert "in_range(price)" in failed
+    assert "accepted_values(status)" in failed
+
+
+def test_suggestion_range_slack(spark):
+    from etl_stream_spark.schema import expectations as ex
+    from etl_stream_spark.schema.profiling import suggest_expectations
+
+    df = spark.createDataFrame([(0.0,), (100.0,)], "v double")
+    rules = [
+        r
+        for r in suggest_expectations(df, range_slack=0.1)
+        if r.name == "in_range(v)"
+    ]
+    assert len(rules) == 1
+    # slack widens the observed [0, 100] to [-10, 110]: 105 passes, 115 fails
+    inside = spark.createDataFrame([(105.0,)], "v double")
+    outside = spark.createDataFrame([(115.0,)], "v double")
+    assert ex.check(inside, rules).collect()[0].passed
+    assert not ex.check(outside, rules).collect()[0].passed
