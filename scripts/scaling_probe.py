@@ -127,6 +127,27 @@ t = time.time()
 ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 50), k=5, dims=64, num_bits=8).count()
 out["ann_lsh_topk"] = round(time.time() - t, 3)
 
+# EXACT similarity join (prefix filter) at the same corpus size: the
+# candidate join keys on rare prefix shingles, so the pair space stays
+# ~planted-pairs even though recall is provably total
+from etl_stream_spark.operators.dedup import prefix_filter_pairs
+t = time.time()
+out["n_exact_pairs"] = prefix_filter_pairs(docs, threshold=0.8).count()
+out["prefix_filter_pairs"] = round(time.time() - t, 3)
+
+# two-phase partial top-k vs the plain ranking window on 10M rows
+from pyspark.sql import Window
+from etl_stream_spark.operators.topk import partial_topk
+kv = emb.select((F.col("vec_id") % 1000).alias("g"), F.col("vec_id").alias("id"),
+                (F.xxhash64("vec_id") % 100000).alias("v"))
+t = time.time()
+partial_topk(kv, ["g"], "v", "id", k=5).count()
+out["partial_topk"] = round(time.time() - t, 3)
+t = time.time()
+w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("id"))
+kv.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 5).count()
+out["window_topk"] = round(time.time() - t, 3)
+
 out["n_pairs"] = n_pairs
 print("PROBE_RESULT " + json.dumps(out))
 spark.stop()
