@@ -82,6 +82,9 @@ BENCH_QUERIES = [
     "text_heavy_hitters",
     "profile_orders",
     "events_skew_aware_enrichment",
+    "order_price_quantiles_sketch",
+    "user_value_interpolated",
+    "customer_rolling_revenue",
 ]
 
 
