@@ -847,7 +847,9 @@ def price_time_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines. Magnitudes: seconds² ≈ 6e17/row, cents·seconds ≈ 8e13/row
     — decimal(38,0) holds the sums beyond 10¹⁵ rows."""
     orders = _t(spark, sf_dir, "orders")
-    x = (F.unix_micros(F.col("o_orderdate")) / F.lit(1_000_000)).cast("long")
+    # floor (not truncate toward zero) to match DuckDB's `//` exactly,
+    # including pre-1970 timestamps
+    x = F.floor(F.unix_micros(F.col("o_orderdate")) / F.lit(1_000_000)).cast("long")
     y = F.round(F.col("o_totalprice") * 100).cast("long")
     d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     agg = orders.select(
@@ -5066,7 +5068,18 @@ def streaming_trending_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     _await_or_raise(q, 300)
-    return spark.table(name)
+    # append mode emits one snapshot generation per micro-batch a shard
+    # was touched in; keep the LATEST generation per shard (shard_rows
+    # strictly increases per emission) so the result is batching-
+    # invariant and matches the one-snapshot oracle however the file
+    # source splits the input
+    sink = spark.table(name)
+    w = Window.partitionBy("shard")
+    return (
+        sink.withColumn("_latest", F.max("shard_rows").over(w))
+        .filter(F.col("shard_rows") == F.col("_latest"))
+        .drop("_latest")
+    )
 
 
 STREAM_TRENDING_SQL = f"""

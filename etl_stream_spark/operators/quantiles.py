@@ -144,8 +144,12 @@ class HistogramStore:
         attached — same schema :func:`binned_histogram` emits."""
         stored = self._read()
         if stored is None:
+            # empty-store schema must still carry the group columns so
+            # quantiles() resolves; types default to string (no rows
+            # exist to constrain them)
+            groups = "".join(f"{c} string, " for c in self.group_cols)
             return self.spark.createDataFrame(
-                [], "bin long, cnt long, dom_min double, dom_max double"
+                [], f"{groups}bin long, cnt long, dom_min double, dom_max double"
             )
         return stored.withColumns(
             {

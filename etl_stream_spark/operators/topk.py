@@ -42,18 +42,27 @@ def partial_topk(
     """Top ``k`` rows per group by ``order_col`` (desc by default), ties
     broken by ascending ``tie_col``; output carries ``rank``. Equal to
     the plain ranking-window plan, at a shuffle of
-    ``partitions × groups × k`` rows instead of all of them."""
+    ``partitions × groups × k`` rows instead of all of them.
+
+    NULL handling matches the window plan: NULL group keys form their
+    own group, and NULL order values sort first under ``ascending`` /
+    last under descending (Spark's asc/desc defaults). ``tie_col`` must
+    be non-null — it is the determinism anchor."""
     cols = list(df.columns)
 
     def _heads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: pd.DataFrame | None = None
         for pdf in batches:
             both = pdf if acc is None else pd.concat([acc, pdf], ignore_index=True)
+            # na_position mirrors Spark's window ordering (asc → nulls
+            # FIRST, desc → nulls last); dropna=False keeps NULL group
+            # keys — both required for row-for-row window-plan equality
             both = both.sort_values(
                 [*group_cols, order_col, tie_col],
                 ascending=[True] * len(group_cols) + [ascending, True],
+                na_position="first" if ascending else "last",
             )
-            acc = both.groupby(group_cols, sort=False).head(k)
+            acc = both.groupby(group_cols, sort=False, dropna=False).head(k)
         yield acc if acc is not None else pd.DataFrame(columns=cols)
 
     schema = ", ".join(f"{c} {t}" for c, t in df.dtypes)

@@ -149,6 +149,11 @@ def skew_aware_join(
     """
     from ..operators.frequency import heavy_hitters
 
+    if how not in ("inner", "left"):
+        # right/full outer would emit phantom null-extended rows for the
+        # salted copies of a hot small-side row whose salt matches no
+        # big row — the salt must stay invisible in the result
+        raise ValueError(f"skew_aware_join supports inner/left, got {how!r}")
     if hot_keys is None:
         hot_keys = heavy_hitters(big, on, phi=phi).select(F.col("item").alias(on))
     hot = F.broadcast(hot_keys.select(on).distinct())

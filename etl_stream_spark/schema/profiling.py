@@ -97,22 +97,16 @@ def suggest_expectations(
     `tests/test_profiling.py` pins that round-trip, and the returned
     list feeds `schema.expectations.check` directly.
     """
-    from pyspark.sql import functions as F
-
     from . import expectations as ex
 
     cols = columns if columns is not None else df.columns
     prof = {r.col_name: r for r in profile_table(df, cols).collect()}
     out: list = []
-    enum_cols = [
-        c
-        for c in cols
-        if prof[c].min_value is None
-        and 0 < prof[c].n_distinct <= max_accepted_values
-    ]
     enum_values: dict = {}
-    if enum_cols:
-        for c in enum_cols:
+    for c in cols:
+        p = prof[c]
+        if p.min_value is None and 0 < p.n_distinct <= max_accepted_values:
+            # bounded driver-side collect: ≤ max_accepted_values rows
             vals = [
                 r[0]
                 for r in df.select(c).filter(F.col(c).isNotNull()).distinct().collect()

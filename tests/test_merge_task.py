@@ -137,6 +137,15 @@ class TestSkewAwareJoin:
             (r["k"], r["v"], r["tag"]) for r in big.join(small, ["k"]).collect()
         }
 
+    def test_outer_modes_rejected(self, spark):
+        import pytest as _pytest
+
+        from etl_stream_spark.plans.partitioning import skew_aware_join
+
+        big, small = self._frames(spark)
+        with _pytest.raises(ValueError, match="inner/left"):
+            skew_aware_join(big, small, "k", how="full")
+
 
 class TestApplierMetrics:
     def test_batches_counted_per_table(self, spark, tmp_path):

@@ -478,3 +478,29 @@ class TestPartialTopk:
         )
         # k exceeds group sizes: every row survives, ranked ascending by v
         assert got == [("a", 1, 2), ("a", 2, 1), ("b", 3, 1)]
+
+    def test_null_group_and_null_order_values(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from etl_stream_spark.operators.topk import partial_topk
+
+        rows = [
+            (None, 1, 5.0), (None, 2, 9.0), (None, 3, 1.0),
+            ("a", 4, None), ("a", 5, 2.0), ("a", 6, 7.0),
+        ]
+        df = spark.createDataFrame(rows, "g string, id long, v double").repartition(3)
+        for asc in (True, False):
+            got = {
+                (r.g, r.id, r.rank)
+                for r in partial_topk(df, ["g"], "v", "id", k=2, ascending=asc).collect()
+            }
+            order = F.col("v").asc() if asc else F.col("v").desc()
+            w = Window.partitionBy("g").orderBy(order, F.col("id").asc())
+            want = {
+                (r.g, r.id, r.rank)
+                for r in df.withColumn("rank", F.row_number().over(w).cast("long"))
+                .filter(F.col("rank") <= 2)
+                .collect()
+            }
+            assert got == want, asc

@@ -173,3 +173,12 @@ def test_streaming_histogram_maintenance(spark, tmp_path):
     }
     got_q = {(r.g, r.prob): r.q_est for r in store.quantiles([0.5]).collect()}
     assert got_q == want_q
+
+
+def test_empty_store_quantiles_returns_empty(spark, tmp_path):
+    from etl_stream_spark.operators.quantiles import HistogramStore
+
+    store = HistogramStore(
+        spark, str(tmp_path / "never"), ["g"], "v", domain=(0.0, 1.0), num_bins=8
+    )
+    assert store.quantiles([0.5]).count() == 0
