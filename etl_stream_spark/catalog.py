@@ -2666,6 +2666,53 @@ def pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pq_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
+def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quality audit (the `ann_recall_audit` twin for the
+    compressed index): recall@k of product-quantization ADC search
+    against the exact brute-force top-k, per query — the compression-
+    loss number a deployment checks before shipping m-byte codes
+    instead of full vectors. Both sides deterministic, so the recall
+    values themselves are oracle-checkable."""
+    exact = knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = pq_topk_q(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    per = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("_hit").alias("n_hits"),
+        )
+    )
+    return per.select(
+        "query_id",
+        "n_exact",
+        "n_hits",
+        F.round(
+            F.col("n_hits").cast("double") / F.col("n_exact").cast("double"), 4
+        ).alias("recall_at_k"),
+    )
+
+
+def _pq_recall_sql() -> str:
+    return f"""
+WITH exact AS (SELECT query_id, neighbor_id FROM ({KNN_SQL})),
+approx AS (SELECT query_id, neighbor_id FROM ({_pq_sql()})),
+per AS (
+  SELECT e.query_id,
+         CAST(COUNT(*) AS BIGINT) AS n_exact,
+         CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits
+  FROM exact e LEFT JOIN approx a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT query_id, n_exact, n_hits,
+       ROUND(CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE), 4) AS recall_at_k
+FROM per
+"""
+
+
 def _pq_sql(k: int = 5, m: int = 4, n_codes: int = 8, dims: int = 64) -> str:
     sub = dims // m
     subv = f"v[(sid * {sub} + 1):((sid + 1) * {sub})]"
@@ -5242,6 +5289,7 @@ CATALOG: dict[str, QueryDef] = {
     "ivf_topk": QueryDef(ivf_topk_q, _ivf_sql()),
     "ivf_incremental_search": QueryDef(ivf_incremental_search, IVF_INC_SQL),
     "pq_topk": QueryDef(pq_topk_q, _pq_sql()),
+    "pq_recall_audit": QueryDef(pq_recall_audit, _pq_recall_sql()),
     # multimodal
     "multimodal_features": QueryDef(multimodal_features, MULTIMODAL_SQL),
     "multimodal_frame_sample": QueryDef(multimodal_frame_sample, FRAMES_SQL),
