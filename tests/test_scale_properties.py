@@ -226,6 +226,8 @@ _BOUNDED_HINT_ALLOWLIST = {
     "kmeans_assignment",
     "knn_bruteforce",
     "pq_topk",
+    "pq_recall_audit",  # broadcasts: the bounded query sets of its two
+    # audited legs (knn_bruteforce exact side + pq_topk ADC side)
     "q11_important_parts",
     "q15_top_supplier",
     "q22_idle_rich_customers",
