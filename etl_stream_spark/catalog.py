@@ -1061,6 +1061,96 @@ PROFILE_SQL = "\nUNION ALL\n".join(
 )
 
 
+def orders_replication_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent replication parity checksum (the
+    pt-table-checksum / snapshot-verification shape): hash each order's
+    replicated columns to a 52-bit integer, XOR-fold per md5 key
+    bucket. Source and target frames compare with a 16-row join; a
+    mismatched bucket localizes divergence to 1/16 of the key space.
+    One pass, map-side-combinable count + bit_xor — the exchange
+    carries 16 rows at any table size. The reference trusts the
+    warehouse MERGE blindly (``etl-snowflake-py/etl_snowflake/
+    task.py:154-190``); this is the independent post-merge check a
+    production deployment layers on top."""
+    from etl_stream_spark.operators.checksum import bucket_checksums, row_fingerprint
+
+    o = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast(DEC) * 100).cast("long")
+    fp = row_fingerprint(
+        [
+            F.col("o_orderkey"),
+            F.col("o_custkey"),
+            F.col("o_orderstatus"),
+            cents,
+            F.unix_micros(F.col("o_orderdate")),
+            F.col("o_orderpriority"),
+        ]
+    )
+    return bucket_checksums(o, "o_orderkey", fp, buckets=16)
+
+
+CHECKSUM_SQL = """
+WITH fp AS (
+  SELECT ('0x' || substr(md5(concat_ws('|',
+           CAST(o_orderkey AS VARCHAR),
+           CAST(o_custkey AS VARCHAR),
+           o_orderstatus,
+           CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR),
+           CAST(epoch_us(o_orderdate) AS VARCHAR),
+           o_orderpriority)), 1, 13))::BIGINT AS h,
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::BIGINT % 16 AS bucket
+  FROM orders
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(h) AS BIGINT) AS xor_fp
+FROM fp GROUP BY bucket
+"""
+
+
+def part_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy string matching (edit-distance entity resolution,
+    `operators/dedup.py::fuzzy_block_matches`): 20 md5-sampled part
+    names are corrupted deterministically (char 8 deleted — the dirty
+    record a vendor feed would carry), then resolved back against the
+    full part table via prefix-5 blocking + levenshtein <= 2. The
+    block key bounds candidates per probe to its block's size, never
+    the corpus; the probe set is bounded (20) and broadcast."""
+    part = _t(spark, sf_dir, "part")
+    probes = (
+        part.select(
+            F.col("p_partkey").alias("probe_id"),
+            F.concat(
+                F.substring("p_name", 1, 7), F.expr("substring(p_name, 9)")
+            ).alias("name"),
+            F.md5(F.col("p_partkey").cast("string")).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(20)
+        .drop("_h")
+    )
+    records = part.select(
+        F.col("p_partkey").alias("match_id"), F.col("p_name").alias("name")
+    )
+    return dd.fuzzy_block_matches(
+        records, probes, text_col="name", block_len=5, max_distance=2
+    )
+
+
+FUZZY_SQL = """
+WITH probes AS (
+  SELECT p_partkey AS probe_id,
+         substr(p_name, 1, 7) || substr(p_name, 9) AS probe_text
+  FROM part ORDER BY md5(CAST(p_partkey AS VARCHAR)) LIMIT 20
+)
+SELECT q.probe_id, q.probe_text, p.p_partkey AS match_id,
+       p.p_name AS match_text,
+       CAST(levenshtein(q.probe_text, p.p_name) AS BIGINT) AS distance
+FROM probes q JOIN part p
+  ON substr(q.probe_text, 1, 5) = substr(p.p_name, 1, 5)
+WHERE levenshtein(q.probe_text, p.p_name) <= 2
+"""
+
+
 def cdc_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally maintained JOIN materialized view end-to-end:
     orders ⟕ customer replayed as four interleaved CDC batches (half
@@ -5176,6 +5266,8 @@ CATALOG: dict[str, QueryDef] = {
     "cdc_join_view": QueryDef(cdc_join_view, JOIN_VIEW_SQL),
     "dq_orders_report": QueryDef(dq_orders_report, DQ_REPORT_SQL),
     "profile_orders": QueryDef(profile_orders, PROFILE_SQL),
+    "orders_replication_checksum": QueryDef(orders_replication_checksum, CHECKSUM_SQL),
+    "part_fuzzy_name_match": QueryDef(part_fuzzy_name_match, FUZZY_SQL),
     "order_price_quantiles_sketch": QueryDef(
         order_price_quantiles_sketch, QUANTILE_SKETCH_SQL
     ),

@@ -524,3 +524,60 @@ def prefix_filter_pairs(
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def fuzzy_block_matches(
+    records: DataFrame,
+    probes: DataFrame,
+    text_col: str = "name",
+    block_len: int = 5,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Blocked fuzzy string matching: edit-distance entity resolution.
+
+    The data-cleaning complement to the set-similarity joins above:
+    Jaccard/MinHash treat text as token SETS and miss single-character
+    typos inside a token; record linkage over dirty names (the classic
+    "Customer#123 vs Custmer#123" case) needs **edit distance**. An
+    all-pairs levenshtein is O(n·m·len²) — the standard production
+    shape (Febrl/Magellan-style blocking) is: equi-join on a cheap
+    BLOCK KEY that any true match must share, then verify only the
+    candidates with the exact distance.
+
+    Block key here: the first ``block_len`` characters. That makes the
+    match deterministic-complete for any corruption at position >
+    ``block_len`` (insertions/deletions/substitutions later in the
+    string never change the block), which is the common dirty-data
+    regime for prefixed entity names. Candidates per probe are bounded
+    by its block's size, never the corpus.
+
+    Scale shape: ``probes`` is a bounded query set (broadcast); the
+    corpus side shuffles nothing — scan → hash-join on the block key →
+    per-candidate ``levenshtein`` — so cost is linear in the corpus
+    with a candidate-verification term of Σ matched-block sizes.
+
+    Returns (probe_id, probe_text, match_id, match_text, distance) for
+    candidates within ``max_distance``.
+    """
+    p = probes.select(
+        F.col("probe_id"),
+        F.col(text_col).alias("probe_text"),
+        F.substring(text_col, 1, block_len).alias("_blk"),
+    )
+    r = records.select(
+        F.col("match_id"),
+        F.col(text_col).alias("match_text"),
+        F.substring(text_col, 1, block_len).alias("_blk"),
+    )
+    dist = F.levenshtein("probe_text", "match_text")
+    return (
+        r.join(F.broadcast(p), "_blk")
+        .select(
+            "probe_id",
+            "probe_text",
+            "match_id",
+            "match_text",
+            dist.cast("long").alias("distance"),
+        )
+        .filter(F.col("distance") <= max_distance)
+    )

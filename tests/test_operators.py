@@ -504,3 +504,80 @@ class TestPartialTopk:
                 .collect()
             }
             assert got == want, asc
+
+
+class TestBucketChecksums:
+    def _orders(self, spark, rows):
+        return spark.createDataFrame(rows, "k long, status string, cents long")
+
+    def _sums(self, spark, df):
+        from etl_stream_spark.operators.checksum import bucket_checksums, row_fingerprint
+
+        fp = row_fingerprint([F.col("k"), F.col("status"), F.col("cents")])
+        return {
+            (r.bucket, r.n_rows, r.xor_fp)
+            for r in bucket_checksums(df, "k", fp, buckets=4).collect()
+        }
+
+    def test_equal_tables_equal_checksums_any_partitioning(self, spark):
+        rows = [(i, "OK" if i % 3 else "LATE", i * 100 + 7) for i in range(200)]
+        a = self._orders(spark, rows).repartition(7)
+        b = self._orders(spark, list(reversed(rows))).repartition(2)
+        assert self._sums(spark, a) == self._sums(spark, b)
+
+    def test_single_row_divergence_localizes_to_one_bucket(self, spark):
+        rows = [(i, "OK", i * 100) for i in range(200)]
+        mutated = [(k, s, c + 1 if k == 57 else c) for k, s, c in rows]
+        a = self._sums(spark, self._orders(spark, rows))
+        b = self._sums(spark, self._orders(spark, mutated))
+        diff = a.symmetric_difference(b)
+        assert len({bucket for bucket, _, _ in diff}) == 1
+        # counts agree everywhere (same rows, different content)
+        assert {(bk, n) for bk, n, _ in a} == {(bk, n) for bk, n, _ in b}
+
+    def test_duplicate_row_pair_cancels_in_xor_but_not_count(self, spark):
+        # XOR's known blind spot: an even number of identical rows
+        # cancels — which is exactly why the count travels with it.
+        rows = [(1, "OK", 100)]
+        a = self._sums(spark, self._orders(spark, rows))
+        b = self._sums(spark, self._orders(spark, rows * 3))
+        (xa,) = {x for _, _, x in a}
+        (xb,) = {x for _, _, x in b}
+        assert xa == xb  # 3 copies XOR to one copy...
+        assert a != b  # ...but n_rows 1 vs 3 still flags the bucket
+
+
+class TestFuzzyBlockMatches:
+    def test_corruption_past_block_always_resolves(self, spark):
+        from etl_stream_spark.operators.dedup import fuzzy_block_matches
+
+        names = [
+            (1, "goldenrod lavender spring"),
+            (2, "midnight chocolate lace"),
+            (3, "goldenrod lavished spring"),  # same block as 1
+        ]
+        records = spark.createDataFrame(
+            [(i, n) for i, n in names], "match_id long, name string"
+        )
+        # delete char 8 from each name: block (first 5 chars) survives
+        probes = spark.createDataFrame(
+            [(i, n[:7] + n[8:]) for i, n in names], "probe_id long, name string"
+        )
+        out = fuzzy_block_matches(records, probes, block_len=5, max_distance=2)
+        got = {(r.probe_id, r.match_id, r.distance) for r in out.collect()}
+        # every probe finds its own source at distance 1
+        assert all((i, i, 1) in got for i, _ in names)
+        # nothing crosses blocks
+        assert not any(p == 2 and m != 2 for p, m, _ in got)
+
+    def test_distance_cap_filters(self, spark):
+        from etl_stream_spark.operators.dedup import fuzzy_block_matches
+
+        records = spark.createDataFrame(
+            [(1, "alpha beta gamma")], "match_id long, name string"
+        )
+        probes = spark.createDataFrame(
+            [(9, "alphaXYZW gamma")], "probe_id long, name string"
+        )
+        out = fuzzy_block_matches(records, probes, block_len=5, max_distance=2)
+        assert out.count() == 0

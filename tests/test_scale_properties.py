@@ -228,6 +228,7 @@ _BOUNDED_HINT_ALLOWLIST = {
     "pq_topk",
     "pq_recall_audit",  # broadcasts: the bounded query sets of its two
     # audited legs (knn_bruteforce exact side + pq_topk ADC side)
+    "part_fuzzy_name_match",  # broadcasts: the 20-row md5-sampled probe set
     "q11_important_parts",
     "q15_top_supplier",
     "q22_idle_rich_customers",
