@@ -85,6 +85,10 @@ BENCH_QUERIES = [
     "order_price_quantiles_sketch",
     "user_value_interpolated",
     "customer_rolling_revenue",
+    # verification family: one-pass XOR parity checksum (the exchange
+    # carries 16 rows at any SF) and blocked edit-distance resolution
+    "orders_replication_checksum",
+    "part_fuzzy_name_match",
 ]
 
 

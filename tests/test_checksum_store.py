@@ -102,3 +102,53 @@ class TestChecksumStore:
         drift = make_batch(spark, [ev(i, "x", 0, OP_UPDATE, 100 + i) for i in (1, 2)])
         target.merge(drift)
         assert store.verify().count() >= 1
+
+
+def test_streaming_checksum_maintenance(spark, tmp_path):
+    """ChecksumStore under the streaming runtime: CDC micro-batches via
+    foreachBatch (merge then update, the deployment loop) leave the
+    stored parity map equal to a full recompute of the final state."""
+    import json
+
+    src = tmp_path / "src"
+    src.mkdir()
+    half1 = [
+        {"id": i, "name": f"n{i}", "qty": i, "operation": OP_INSERT,
+         "sequence": make_sequence(1, i)}
+        for i in range(25)
+    ]
+    half2 = [
+        {"id": i, "name": "upd", "qty": i * 2, "operation": OP_UPDATE,
+         "sequence": make_sequence(2, i)}
+        for i in range(0, 25, 4)
+    ] + [
+        {"id": i, "name": None, "qty": None, "operation": OP_DELETE,
+         "sequence": make_sequence(3, i)}
+        for i in range(0, 25, 9)
+    ]
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in half1))
+    (src / "b.json").write_text("\n".join(json.dumps(r) for r in half2))
+
+    target = ParquetMergeTable(spark, str(tmp_path / "t"), keys=["id"], num_buckets=4)
+    store = ChecksumStore(spark, str(tmp_path / "cs"), target, FP_COLS)
+
+    def apply(df, _eid):
+        target.merge(df)
+        store.update(df)
+
+    stream = (
+        spark.readStream.schema(
+            "id long, name string, qty long, operation string, sequence string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert store.verify().count() == 0
+    assert sum(r.n_rows for r in store.read().collect()) == 25 - 3  # ceil(25/9)=3
