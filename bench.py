@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     # carries 16 rows at any SF) and blocked edit-distance resolution
     "orders_replication_checksum",
     "part_fuzzy_name_match",
+    "corpus_boilerplate_removal",
 ]
 
 

@@ -1828,6 +1828,42 @@ FROM ex GROUP BY passage HAVING COUNT(DISTINCT doc_id) >= 2
 """
 
 
+def corpus_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate removal: aligned 3-token
+    segments occurring in >= 3 distinct documents are stripped from
+    every document and the survivors reassembled in order — the
+    transform (not just the report `corpus_duplicated_passages` gives)
+    that removes template text before training. Segment frequencies
+    and the common-set membership test are shuffle equi-joins on the
+    segment key; the common set is never broadcast (it grows with the
+    corpus)."""
+    docs = _t(spark, sf_dir, "documents")
+    return cp.remove_boilerplate(docs, width=3, min_docs=3)
+
+
+_BOILER_SEGS = (
+    "SELECT doc_id, CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[]) ELSE "
+    "list_transform(range(0, CAST(ceil(len(t)/3.0) AS INT)), "
+    "i -> array_to_string(t[i*3+1 : i*3+3], ' ')) END AS segs FROM toks"
+)
+
+BOILERPLATE_SQL = f"""
+WITH toks AS ({TOKS_CTE}), segs AS ({_BOILER_SEGS}),
+ex AS (SELECT DISTINCT doc_id, unnest(segs) AS seg FROM segs),
+common AS (SELECT seg FROM ex GROUP BY seg HAVING COUNT(*) >= 3),
+commons AS (SELECT COALESCE(list(seg), CAST([] AS VARCHAR[])) AS cs FROM common)
+SELECT s.doc_id,
+       COALESCE(
+         array_to_string(list_filter(s.segs, x -> NOT list_contains(c.cs, x)), ' '),
+         '') AS clean_text,
+       CAST(len(s.segs) AS BIGINT) AS n_segments,
+       CAST(len(s.segs)
+            - len(list_filter(s.segs, x -> NOT list_contains(c.cs, x))) AS BIGINT)
+         AS n_removed
+FROM segs s CROSS JOIN commons c
+"""
+
+
 def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source (domain) curation audit: doc counts, corpus-wide
     exact-dup participation, token volume, quality keep-rate — the
@@ -5346,6 +5382,7 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_train_test_split": QueryDef(corpus_train_test_split, SPLIT_SQL),
     "corpus_normalize": QueryDef(corpus_normalize, NORMALIZE_SQL),
     "corpus_duplicated_passages": QueryDef(corpus_duplicated_passages, PASSAGES_SQL),
+    "corpus_boilerplate_removal": QueryDef(corpus_boilerplate_removal, BOILERPLATE_SQL),
     "corpus_vocabulary": QueryDef(corpus_vocabulary, VOCAB_SQL),
     "text_heavy_hitters": QueryDef(text_heavy_hitters, HEAVY_SQL),
     "corpus_source_budget": QueryDef(corpus_source_budget, SOURCE_BUDGET_SQL),

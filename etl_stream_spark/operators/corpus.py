@@ -428,3 +428,75 @@ def source_report(
             ).alias("keep_rate"),
         )
     )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 3,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Corpus-wide boilerplate removal (the CCNet/RefinedWeb line-dedup
+    shape): drop from every document the aligned ``width``-token
+    segments that occur in ≥ ``min_docs`` distinct documents, and
+    reassemble the survivors in original order.
+
+    Where :func:`duplicated_passages` only REPORTS cross-document
+    repetition, this op performs the removal — the transform that
+    strips navigation chrome, license headers, and template text from
+    a web corpus before training. Segments are non-overlapping (unlike
+    the overlapping shingles of the dedup family), so removal is
+    well-defined: a token belongs to exactly one segment.
+
+    Scale shape: segment frequencies are one shuffle on the segment key
+    with map-side combine (within-doc distinct first); the common-set
+    membership test is a shuffle equi-join (left_anti) on the same key —
+    never a broadcast, since the common set grows with the corpus.
+    Reassembly is a per-document sort of its own kept positions.
+
+    Returns (id_col, clean_text, n_segments, n_removed).
+    """
+    toks = tokens(text_col)
+    n_segs = F.ceil(F.size(toks) / F.lit(width)).cast("int")
+    segs = F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_segs - 1),
+            lambda i: F.array_join(F.slice(toks, i * width + 1, width), " "),
+        )
+    )
+    base = df.select(F.col(id_col), segs.alias("_segs"))
+    ex = base.select(id_col, F.posexplode("_segs").alias("_pos", "_seg"))
+    dfreq = (
+        ex.select(id_col, "_seg")
+        .distinct()
+        .groupBy("_seg")
+        .agg(F.count(F.lit(1)).alias("_n_docs"))
+    )
+    common = dfreq.filter(F.col("_n_docs") >= min_docs).select("_seg")
+    kept = (
+        ex.join(common, "_seg", "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_seg"))),
+                    lambda x: x["_seg"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("_n_kept"),
+        )
+    )
+    return (
+        base.select(id_col, F.size("_segs").cast("long").alias("n_segments"))
+        .join(kept, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            "n_segments",
+            (F.col("n_segments") - F.coalesce(F.col("_n_kept"), F.lit(0))).cast(
+                "long"
+            ).alias("n_removed"),
+        )
+    )

@@ -252,3 +252,51 @@ class TestSourceReport:
         assert out["books"].keep_rate == 1.0
         assert out["web"].keep_rate == 0.5
         assert out["web"].total_tokens > 0
+
+
+class TestRemoveBoilerplate:
+    def test_common_segments_stripped_order_preserved(self, spark):
+        # width=2 segments; "nav bar" opens 3 docs → boilerplate.
+        rows = [
+            (1, "nav bar alpha beta gamma delta"),
+            (2, "nav bar epsilon zeta"),
+            (3, "nav bar theta iota kappa mu"),
+            (4, "totally unique words here"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r.doc_id: r
+            for r in cp.remove_boilerplate(docs, width=2, min_docs=3).collect()
+        }
+        assert out[1].clean_text == "alpha beta gamma delta"
+        assert out[1].n_removed == 1 and out[1].n_segments == 3
+        assert out[2].clean_text == "epsilon zeta"
+        assert out[4].clean_text == "totally unique words here"
+        assert out[4].n_removed == 0
+
+    def test_fully_boilerplate_doc_becomes_empty(self, spark):
+        rows = [(i, "nav bar") for i in range(3)] + [(9, "real content words")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r.doc_id: r
+            for r in cp.remove_boilerplate(docs, width=2, min_docs=3).collect()
+        }
+        assert out[0].clean_text == "" and out[0].n_removed == 1
+        assert out[9].clean_text == "real content words"
+
+    def test_alignment_not_substring(self, spark):
+        # "bar nav" appears as a SUBSTRING of doc 3 but never as an
+        # aligned segment — aligned segmentation must not remove it.
+        rows = [
+            (1, "bar nav x"),
+            (2, "bar nav y"),
+            (3, "bar nav z"),
+            (4, "pad bar nav w"),  # "bar nav" here spans segments 1|2
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r.doc_id: r
+            for r in cp.remove_boilerplate(docs, width=2, min_docs=3).collect()
+        }
+        assert out[1].clean_text == "x"
+        assert out[4].clean_text == "pad bar nav w"  # untouched
