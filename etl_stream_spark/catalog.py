@@ -1962,6 +1962,55 @@ FROM ranked GROUP BY source
 """
 
 
+def events_value_imputed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-statistic null imputation (`operators/imputation.py`):
+    ~1/16 of event values are masked to NULL deterministically (md5
+    prefix of the event id — the engine-portable corruption), then
+    filled with the user's exact median of the surviving values (global
+    median for users left with none). Returns the imputed rows. The
+    statistic table is |users| rows joined back on the group key —
+    AQE decides the strategy, no forced hint."""
+    from etl_stream_spark.operators.imputation import impute_nulls
+
+    ev = _t(spark, sf_dir, "events")
+    masked = ev.withColumn(
+        "value",
+        F.when(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 1) == "0",
+            F.lit(None).cast("double"),
+        ).otherwise(F.col("value")),
+    )
+    out = impute_nulls(masked, ["user_id"], "value", strategy="median")
+    return (
+        out.filter(F.col("was_imputed"))
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value_imputed", 6).alias("value_imputed"),
+        )
+    )
+
+
+IMPUTE_SQL = """
+WITH masked AS (
+  SELECT event_id, user_id,
+         CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'
+              THEN NULL ELSE value END AS v
+  FROM events
+),
+grp AS (
+  SELECT user_id, ROUND(quantile_cont(v, 0.5), 6) AS g
+  FROM masked WHERE v IS NOT NULL GROUP BY user_id
+),
+gstat AS (
+  SELECT ROUND(quantile_cont(v, 0.5), 6) AS gg FROM masked WHERE v IS NOT NULL
+)
+SELECT m.event_id, m.user_id, ROUND(COALESCE(g, gg), 6) AS value_imputed
+FROM masked m LEFT JOIN grp USING (user_id) CROSS JOIN gstat
+WHERE m.v IS NULL
+"""
+
+
 def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source (domain) curation audit: doc counts, corpus-wide
     exact-dup participation, token volume, quality keep-rate — the
@@ -5482,6 +5531,7 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_duplicated_passages": QueryDef(corpus_duplicated_passages, PASSAGES_SQL),
     "corpus_boilerplate_removal": QueryDef(corpus_boilerplate_removal, BOILERPLATE_SQL),
     "corpus_source_cap": QueryDef(corpus_source_cap, SOURCE_CAP_SQL),
+    "events_value_imputed": QueryDef(events_value_imputed, IMPUTE_SQL),
     "orders_price_winsorized": QueryDef(orders_price_winsorized, WINSOR_SQL),
     "corpus_vocabulary": QueryDef(corpus_vocabulary, VOCAB_SQL),
     "text_heavy_hitters": QueryDef(text_heavy_hitters, HEAVY_SQL),

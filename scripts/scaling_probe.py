@@ -148,6 +148,15 @@ w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("id"))
 kv.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 5).count()
 out["window_topk"] = round(time.time() - t, 3)
 
+# boilerplate removal: two shuffles on the segment key + per-doc
+# reassembly — cost must scale with the corpus, not pair-quadratically
+from etl_stream_spark.operators.corpus import remove_boilerplate
+t = time.time()
+out["n_boiler_removed"] = remove_boilerplate(docs, width=3, min_docs=3).agg(
+    F.sum("n_removed")
+).collect()[0][0]
+out["boilerplate_removal"] = round(time.time() - t, 3)
+
 out["n_pairs"] = n_pairs
 print("PROBE_RESULT " + json.dumps(out))
 spark.stop()
