@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "dedup_lsh_pairs",
     "dedup_lsh_verified",
     "dedup_simhash",
+    "dedup_bloom_incremental",
     "semantic_dedup",
     "corpus_source_report",
     "knn_bruteforce",

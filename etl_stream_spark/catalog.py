@@ -2299,6 +2299,41 @@ FROM toks GROUP BY 1
 """
 
 
+def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incoming docs already seen in an earlier shard, bloom-pruned.
+
+    Deterministic 60/40 history/incoming split on the doc-id md5
+    bucket; history fingerprints are summarized into a fixed-size bit
+    array (one-row broadcast of the sketch, never of the rows), the
+    incoming shard is probed map-side, and only "maybe seen" rows reach
+    the exact semi join — so the result is row-for-row the plain semi
+    join the oracle runs. The sketch is pure pruning: correct at any
+    false-positive rate, sized by `optimal_num_bits` at scale.
+
+    The fingerprint is the md5 of the leading 200 chars — the
+    "duplicated leading passage" signal (boilerplate-headed reposts),
+    which unlike whole-text md5 actually recurs in this corpus.
+    """
+    from etl_stream_spark.operators.bloom import bloom_semi_join
+
+    fp = F.md5(F.substring("text", 1, 200)).alias("fp")
+    docs = _t(spark, sf_dir, "documents")
+    b = cp.hash_bucket("doc_id", 10)
+    history = docs.filter(b < 6).select(fp)
+    incoming = docs.filter(b >= 6).select(F.col("doc_id"), fp)
+    return bloom_semi_join(incoming, history, "fp", num_bits=1 << 17, num_hashes=5)
+
+
+BLOOM_INCR_SQL = f"""
+WITH fp AS (
+  SELECT doc_id, md5(substr(text, 1, 200)) AS fp, {cp.bucket_sql("doc_id", 10)} AS b
+  FROM documents
+)
+SELECT doc_id, fp FROM fp
+WHERE b >= 6 AND fp IN (SELECT fp FROM fp WHERE b < 6)
+"""
+
+
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_signatures(_t(spark, sf_dir, "documents"), num_hashes=_NUM_HASHES)
 
@@ -5543,6 +5578,7 @@ CATALOG: dict[str, QueryDef] = {
     # dedup
     "dedup_exact": QueryDef(dedup_exact, EXACT_SQL),
     "dedup_minhash_signatures": QueryDef(dedup_minhash_signatures, MINHASH_SQL),
+    "dedup_bloom_incremental": QueryDef(dedup_bloom_incremental, BLOOM_INCR_SQL),
     "dedup_lsh_pairs": QueryDef(dedup_lsh_pairs, _lsh_pairs_sql()),
     "dedup_clusters": QueryDef(dedup_clusters, _clusters_sql()),
     "dedup_survivors": QueryDef(dedup_survivors, _survivors_sql()),
@@ -5656,12 +5692,16 @@ _DRIVER_PRIORITY = [
     "dedup_clusters",
     "dedup_lsh_verified",
     "dedup_minhash_signatures",
+    # bloom-pruned incremental membership (first driver check): the
+    # sketch only prunes — oracle is the plain semi join
+    "dedup_bloom_incremental",
     # domain reweighting (DSIR)
     "corpus_dsir_weights",
     # similarity / ANN (proven: LSH + recall audit; first-time: exact
     # kNN baseline + k-means assignment)
+    # (ann_recall_audit [proven r02, plan unchanged] rotated out late
+    # round 3 for the bloom-pruned incremental dedup below.)
     "ann_lsh_topk",
-    "ann_recall_audit",
     "knn_bruteforce",
     "kmeans_assignment",
     "hybrid_search_rrf",

@@ -158,6 +158,20 @@ out["n_boiler_removed"] = remove_boilerplate(docs, width=3, min_docs=3).agg(
 out["boilerplate_removal"] = round(time.time() - t, 3)
 
 out["n_pairs"] = n_pairs
+
+# bloom membership at corpus scale: summarize HALF the corpus's
+# fingerprints into a 2^27-bit array (16 MB — the one-row broadcast),
+# probe the other half map-side, exact-verify only the maybes. Work is
+# one pass to build + one map-side pass to probe; the exchange after
+# the probe carries only true hits + the fpr sliver.
+from etl_stream_spark.operators.bloom import bloom_semi_join
+fp = F.md5("text").alias("fp")
+hist = docs.filter(F.col("doc_id") % 2 == 0).select(fp)
+inc = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", fp)
+t = time.time()
+out["n_bloom_hits"] = bloom_semi_join(inc, hist, "fp", num_bits=1 << 27, num_hashes=5).count()
+out["bloom_semi_join"] = round(time.time() - t, 3)
+
 print("PROBE_RESULT " + json.dumps(out))
 spark.stop()
 """
