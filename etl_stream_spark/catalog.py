@@ -274,6 +274,8 @@ FROM (
 
 
 def q_order_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts and exact-decimal revenue per priority class — the
+    single-shuffle map-side-combined aggregate shape."""
     orders = _t(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -494,6 +496,8 @@ FROM orders GROUP BY o_orderpriority
 
 
 def q_hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour event rollup (the batch twin of the streaming
+    windowed aggregate)."""
     return sz.hourly_event_rollup(_t(spark, sf_dir, "events"))
 
 
@@ -507,6 +511,8 @@ FROM events GROUP BY 1, 2
 
 
 def q_user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min timeout) with per-session
+    duration and event counts — one window per user, no self-join."""
     return sz.session_stats(_t(spark, sf_dir, "events"))
 
 
@@ -1430,6 +1436,8 @@ TOKS_CTE = (
 
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts: total, distinct, and mean token length
+    — all in-row JVM higher-order functions, zero shuffles."""
     docs = _t(spark, sf_dir, "documents")
     return ta.with_token_stats(docs).select(
         "doc_id", "n_tokens", "n_uniq_tokens", "avg_token_len"
@@ -1447,6 +1455,8 @@ FROM toks
 
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality gate (length / stopword ratio / punctuation
+    ratio) with the keep decision — the C4-style pre-training filter."""
     docs = _t(spark, sf_dir, "documents")
     return ta.with_quality_score(docs).select(
         "doc_id", "n_tokens", "stopword_ratio", "punct_ratio", "quality_keep"
@@ -1473,6 +1483,8 @@ FROM q
 
 
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: per-language evidence scores plus the
+    argmax label, computed as in-row token-set intersections."""
     docs = _t(spark, sf_dir, "documents")
     cols = ["doc_id"] + [f"score_{lang}" for lang in sorted(ta.LANG_MARKERS)] + [
         "predicted_lang"
@@ -1502,6 +1514,8 @@ FROM scored
 
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-normalized md5 content fingerprint per document — the
+    key every exact-dedup and incremental-membership path joins on."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", ta.fingerprint("text").alias("fingerprint"))
 
@@ -1513,6 +1527,9 @@ SELECT doc_id, md5(array_to_string(t, ' ')) AS fingerprint FROM toks
 
 
 def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling token-hash fingerprint (positional
+    combine of per-token digests) — detects re-orderings bag-of-words
+    md5 misses."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", ta.rolling_fingerprint("text").alias("rolling_fp"))
 
@@ -2288,6 +2305,8 @@ WHERE ROUND(CAST(len(list_intersect(sha.sh, shb.sh)) AS DOUBLE)
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicates by normalized-content md5: one shuffle on a
+    16-byte digest, never on document bodies."""
     return dd.exact_duplicates(_t(spark, sf_dir, "documents"))
 
 
@@ -2335,6 +2354,8 @@ WHERE b >= 6 AND fp IN (SELECT fp FROM fp WHERE b < 6)
 
 
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature vectors (rolling token-hash
+    family, in-row minima — no shingle explode, no exchange)."""
     return dd.minhash_signatures(_t(spark, sf_dir, "documents"), num_hashes=_NUM_HASHES)
 
 
@@ -2342,6 +2363,9 @@ MINHASH_SQL = f"WITH {SIG_CTES} SELECT * FROM sig"
 
 
 def dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash LSH: bucketed
+    equi-join on (band, key) — pair work bounded by bucket sizes,
+    never all-pairs."""
     return dd.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), num_hashes=_NUM_HASHES, band_size=2
     )
@@ -2510,6 +2534,8 @@ WHERE ROUND(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard pairs within source blocks — the blocked
+    equi-join form of n-gram similarity (no unblocked cross product)."""
     return dd.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), block_col="source", threshold=0.1
     )
@@ -2528,6 +2554,8 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprints: per-token hash bit-votes folded
+    in-row — a pure projection, zero shuffles."""
     return dd.simhash_fingerprints(_t(spark, sf_dir, "documents"), bits=60)
 
 
@@ -2560,6 +2588,8 @@ _COS = (
 
 
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for a bounded query set — the recall=1
+    baseline every ANN entry is audited against; corpus never shuffles."""
     emb = _t(spark, sf_dir, "embeddings")
     return sim.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
@@ -2649,6 +2679,8 @@ def _bucket_sql(vec: str, band: int, num_bits: int) -> str:
 
 
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k neighbors via banded hyperplane-LSH buckets:
+    bucket equi-join generates candidates, exact cosine ranks them."""
     emb = _t(spark, sf_dir, "embeddings")
     return sim.ann_lsh_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=5, num_bits=4, num_bands=2, dims=_DIMS
@@ -2885,6 +2917,8 @@ SELECT query_id, doc_id, rrf_score, bm25_rank, vec_rank, fused_rank FROM (
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-blocked by hyperplane
+    buckets so the candidate space stays linear in the corpus."""
     emb = _t(spark, sf_dir, "embeddings")
     return sim.embedding_neardup_pairs(
         emb, threshold=0.3, num_bits=4, num_bands=4, dims=_DIMS
@@ -3253,6 +3287,8 @@ FROM q GROUP BY label, pos
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed feature extraction over opaque binary media columns via
+    Arrow-batched mapInPandas (decode kernel is the documented stub)."""
     docs = _t(spark, sf_dir, "documents")
     media = mm.to_media_column(docs)
     return mm.extract_features(media)
