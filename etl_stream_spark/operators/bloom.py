@@ -154,7 +154,9 @@ def bloom_semi_join(
         .filter(might_contain(F.col(on), num_bits, num_hashes))
         .drop(WORDS_COL)
     )
-    return maybe.join(history.select(on).distinct(), on, "left_semi")
+    # no .distinct() on history: semi join semantics already dedup, and
+    # the distinct would add a full history-wide exchange
+    return maybe.join(history.select(on), on, "left_semi")
 
 
 def bloom_anti_join(
@@ -180,6 +182,6 @@ def bloom_anti_join(
     survivors = (
         tagged.filter(F.col("_maybe"))
         .drop("_maybe", WORDS_COL)
-        .join(history.select(on).distinct(), on, "left_anti")
+        .join(history.select(on), on, "left_anti")
     )
     return definite.unionByName(survivors)
