@@ -151,26 +151,34 @@ def main() -> None:
         from etl_stream_spark.catalog import cdc_envelope_decode
         from etl_stream_spark.cdc import ParquetMergeTable
 
-        root = tempfile.mkdtemp(prefix="bench_cdc_")
-        t0 = time.time()
-        # persist so the decode runs once: count() + merge() would
-        # otherwise each re-evaluate the full pipeline and understate
-        # rows/s by roughly a duplicated decode pass
-        decoded = cdc_envelope_decode(spark, sf_dir).persist()
-        n_events = decoded.count()
-        target = ParquetMergeTable(
-            spark, os.path.join(root, "target"), keys=["user_id"], num_buckets=32
-        )
-        target.merge(decoded)
-        decoded.unpersist()
-        cdc_secs = time.time() - t0
+        # same warm-up-then-measure protocol as the headline queries:
+        # the first pass pays JIT/codegen/first-touch for this code path
+        # (~3x the steady state) and would otherwise dominate the single
+        # measurement, making the metric cold-start noise rather than a
+        # round-over-round throughput signal
+        cdc_secs = n_events = None
+        for _pass in range(2):
+            root = tempfile.mkdtemp(prefix="bench_cdc_")
+            t0 = time.time()
+            # persist so the decode runs once: count() + merge() would
+            # otherwise each re-evaluate the full pipeline and understate
+            # rows/s by roughly a duplicated decode pass
+            decoded = cdc_envelope_decode(spark, sf_dir).persist()
+            n_events = decoded.count()
+            target = ParquetMergeTable(
+                spark, os.path.join(root, "target"), keys=["user_id"], num_buckets=32
+            )
+            target.merge(decoded)
+            decoded.unpersist()
+            elapsed = time.time() - t0
+            cdc_secs = elapsed if cdc_secs is None else min(cdc_secs, elapsed)
+            shutil.rmtree(root, ignore_errors=True)
         cdc_rows_per_sec = round(n_events / cdc_secs, 1)
         print(
             f"# cdc_throughput: {n_events} events in {cdc_secs:.2f}s "
             f"= {cdc_rows_per_sec} rows/s",
             file=sys.stderr,
         )
-        shutil.rmtree(root, ignore_errors=True)
     except Exception as exc:  # keep the headline metric intact
         print(f"# cdc_throughput: FAILED {exc}", file=sys.stderr)
 
