@@ -105,3 +105,41 @@ def test_build_is_deterministic(spark):
     a = build_bloom(history, "fp", NB, NH).collect()[0][0]
     b = build_bloom(history.repartition(7), "fp", NB, NH).collect()[0][0]
     assert a == b
+
+
+# -- property: pruned joins equal plain joins on arbitrary inputs --------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+keys_st = st.lists(
+    st.integers(min_value=0, max_value=30), min_size=0, max_size=25
+)
+bits_st = st.sampled_from([64, 128, 1024])
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(hist_keys=keys_st, inc_keys=keys_st, num_bits=bits_st)
+def test_pruned_joins_match_plain_on_random_inputs(
+    spark, hist_keys, inc_keys, num_bits
+):
+    """For ANY key multisets and ANY filter sizing (including absurdly
+    undersized → near-100% fpr), semi and anti results are exactly the
+    plain joins' and partition the incoming rows."""
+    history = spark.createDataFrame(
+        [(f"k{k}",) for k in hist_keys] or [("__never__",)], "fp string"
+    )
+    incoming = spark.createDataFrame(
+        [(f"k{k}", i) for i, k in enumerate(inc_keys)] or [("__none__", 0)],
+        "fp string, payload long",
+    )
+    semi = bloom_semi_join(incoming, history, "fp", num_bits, 3)
+    anti = bloom_anti_join(incoming, history, "fp", num_bits, 3)
+    want_semi = incoming.join(history, "fp", "left_semi")
+    assert semi.exceptAll(want_semi).count() == 0
+    assert want_semi.exceptAll(semi).count() == 0
+    assert semi.count() + anti.count() == incoming.count()
