@@ -127,19 +127,63 @@ class ParquetMergeTable:
         fs, p = _hadoop_fs(self.spark, self.path)
         return fs.exists(p)
 
+    def _existing_buckets(self) -> set[int]:
+        """Bucket ids with a materialized directory — ONE listing RPC of
+        the table root, never a recursive file listing."""
+        fs, p = _hadoop_fs(self.spark, self.path)
+        if not fs.exists(p):
+            return set()
+        out: set[int] = set()
+        prefix = f"{BUCKET_COL}="
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.startswith(prefix):
+                try:
+                    out.add(int(name[len(prefix):]))
+                except ValueError:
+                    continue
+        return out
+
     def _read_state(self, buckets: list[int] | None = None) -> DataFrame | None:
-        """Read target incl. bookkeeping cols, pruned to ``buckets``."""
-        if not self.exists():
+        """Read target incl. bookkeeping cols, pruned to ``buckets``.
+
+        Pruning happens at the PATH level, not as a post-scan filter: a
+        root read with mergeSchema lists and footer-reads EVERY file in
+        the table before Catalyst can prune, so per-merge planning cost
+        would grow with total state instead of with the touched buckets
+        (measured 2x per 16x state before this). Reading only the
+        touched ``_bucket=`` directories (``basePath`` keeps the
+        partition column) bounds listing + schema-merge work by the
+        batch's footprint. A column that exists only in unread buckets
+        is simply absent from this merge's output files — the
+        column-absent-keeps-target convention readers already handle."""
+        if buckets is None:
+            if not self.exists():
+                return None
+            try:
+                return self.spark.read.option("mergeSchema", "true").parquet(
+                    self.path
+                )
+            except AnalysisException:
+                # Directory exists but holds no data files (e.g. an
+                # all-DELETE first batch wrote an empty result) → same as
+                # no target.
+                return None
+        hit = sorted(self._existing_buckets().intersection(buckets))
+        if not hit:
+            # No state for any touched bucket: semantically an empty
+            # target — merge's first-batch branch writes the identical
+            # result (deletes dropped / tombstoned, sequence renamed).
             return None
+        paths = [f"{self.path}/{BUCKET_COL}={b}" for b in hit]
         try:
-            df = self.spark.read.option("mergeSchema", "true").parquet(self.path)
+            return (
+                self.spark.read.option("mergeSchema", "true")
+                .option("basePath", self.path)
+                .parquet(*paths)
+            )
         except AnalysisException:
-            # Directory exists but holds no data files (e.g. an all-DELETE
-            # first batch wrote an empty result) → same as no target.
             return None
-        if buckets is not None:
-            df = df.filter(F.col(BUCKET_COL).isin(buckets))
-        return df
 
     def read(self) -> DataFrame:
         """Current merged state (user-facing columns only). Tombstone
