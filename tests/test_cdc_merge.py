@@ -389,3 +389,46 @@ class TestTombstonePermutationInvariance:
             for bi in order:
                 t.merge(make_batch(spark, batches[bi]))
             assert state_dict(t) == expected, order
+
+
+class TestPrunedStateRead:
+    """The path-level state pruning (merge reads only touched _bucket=
+    dirs) must not leak into semantics: columns living only in UNtouched
+    buckets survive merges that never see them."""
+
+    def test_column_in_untouched_bucket_survives(self, spark, tmp_path):
+        from etl_stream_spark.cdc.merge import bucket_expr_for
+
+        # two keys guaranteed to land in different buckets
+        rows = spark.range(1, 60).select(
+            F.col("id"), bucket_expr_for(["id"], 4).alias("b")
+        ).collect()
+        by_bucket = {}
+        for r in rows:
+            by_bucket.setdefault(r["b"], r["id"])
+        k_a, k_b = by_bucket[0], by_bucket[1]
+
+        target = ParquetMergeTable(
+            spark, str(tmp_path / "t"), keys=["id"], num_buckets=4
+        )
+        target.merge(make_batch(
+            spark, [ev(k_a, "a", 1, OP_INSERT, 0), ev(k_b, "b", 2, OP_INSERT, 1)]
+        ))
+        # evolved batch adds `extra`, touches ONLY k_a's bucket
+        evolved = spark.createDataFrame(
+            [(k_a, "a2", 1, "ex", "INSERT",
+              make_sequence(1_700_000_000_000_001, 0))],
+            "id long, name string, qty long, extra string, "
+            "operation string, sequence string",
+        )
+        target.merge(evolved)
+        # old-schema batch touching ONLY k_b's bucket: its pruned state
+        # read never sees `extra`
+        target.merge(make_batch(
+            spark, [ev(k_b, "b2", 3, OP_UPDATE, 2)]
+        ))
+
+        got = {r["id"]: r for r in target.read().collect()}
+        assert got[k_a]["extra"] == "ex"      # survived the blind merge
+        assert got[k_b]["name"] == "b2"       # the update applied
+        assert got[k_b]["extra"] is None      # evolution null-fills
