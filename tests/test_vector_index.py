@@ -142,16 +142,14 @@ def test_upsert_map_lookup_is_bucket_pruned(spark, tmp_path):
         one.select(bucket_expr_for(["vec_id"], 32).alias("b")).first()["b"]
     )
     looked = idx._old_cells(one.select("vec_id"), "vec_id")
-    plan = looked._jdf.queryExecution().executedPlan().toString()
-    import re
-
-    m = re.search(
-        r"PartitionFilters: \[[^\]]*_bucket#\d+\)?\s*(?:=\s*(\d+)|IN \(([\d,]+)\))",
-        plan,
-    )
-    assert m, plan[:2000]
-    got = m.group(1) or m.group(2)
-    assert got == str(expected_bucket), (got, expected_bucket)
+    # the merge engine prunes at the PATH level (only touched _bucket=
+    # dirs are listed at all), so the pruning is visible in the scan's
+    # file set rather than as a PartitionFilters plan entry — assert the
+    # stronger property directly: every map file the plan reads lives
+    # under the one expected bucket directory.
+    map_files = [f for f in looked.inputFiles() if "/ids/" in f]
+    assert map_files, looked.inputFiles()
+    assert all(f"_bucket={expected_bucket}/" in f for f in map_files), map_files
 
 
 def test_streaming_upsert_serves_fresh_vectors(spark, tmp_path):
