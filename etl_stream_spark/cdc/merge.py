@@ -211,8 +211,18 @@ class ParquetMergeTable:
         """Apply one CDC micro-batch (rows with OPERATION + SEQUENCE
         metadata columns; DELETE rows may carry PKs only)."""
         deduped = last_writer_wins(batch, self.keys, SEQUENCE_COL).drop(TIMESTAMP_COL)
-        deduped = deduped.withColumn(BUCKET_COL, self._bucket_expr())
+        # Persist the per-batch winners: both the bucket probe and the
+        # state write consume them, and without the cache each action
+        # re-runs the LWW shuffle AND the batch's upstream lineage. The
+        # frame is micro-batch-sized (≤ one row per key in the batch) —
+        # the standard foreachBatch cache, not a scale hazard.
+        deduped = deduped.withColumn(BUCKET_COL, self._bucket_expr()).persist()
+        try:
+            self._merge_deduped(deduped)
+        finally:
+            deduped.unpersist()
 
+    def _merge_deduped(self, deduped: DataFrame) -> None:
         # Distinct bucket ids in this batch — bounded by num_buckets, the
         # only driver-side collect in the merge.
         touched = [r[0] for r in deduped.select(BUCKET_COL).distinct().collect()]

@@ -28,7 +28,11 @@ from etl_stream_spark.cdc.merge import ParquetMergeTable, _hadoop_fs, _hadoop_pa
 from etl_stream_spark.schema.identifiers import validate_identifier
 
 
-def apply_with_truncate_barrier(table: ParquetMergeTable, events: DataFrame) -> None:
+def apply_with_truncate_barrier(
+    table: ParquetMergeTable,
+    events: DataFrame,
+    trunc_seqs: list | None = None,
+) -> None:
     """Apply one table's CDC events respecting TRUNCATE ordering (G8).
 
     Within one synchronous call nothing can observe the target between
@@ -36,14 +40,20 @@ def apply_with_truncate_barrier(table: ParquetMergeTable, events: DataFrame) -> 
     would have merged — so the pre-truncate segments are skipped
     entirely (consecutive truncates collapse for free, the reference's
     dedup at ``bigquery/core.rs:657-676``): one truncate, then one merge
-    of the events after the last barrier."""
-    trunc_seqs = sorted(
-        r[0]
-        for r in events.filter(F.col(OPERATION_COL) == OP_TRUNCATE)
-        .select(SEQUENCE_COL)
-        .distinct()
-        .collect()
-    )
+    of the events after the last barrier.
+
+    ``trunc_seqs`` lets a caller that already scanned the batch (the
+    applier's fused discovery pass) hand over the truncate sequences
+    instead of paying a second pass here."""
+    if trunc_seqs is None:
+        trunc_seqs = [
+            r[0]
+            for r in events.filter(F.col(OPERATION_COL) == OP_TRUNCATE)
+            .select(SEQUENCE_COL)
+            .distinct()
+            .collect()
+        ]
+    trunc_seqs = sorted(trunc_seqs)
     data = events.filter(F.col(OPERATION_COL) != OP_TRUNCATE)
     if not trunc_seqs:
         table.merge(data)
@@ -123,11 +133,23 @@ class CdcBatchApplier:
             return None
 
     def apply_batch(self, events: DataFrame, epoch_id: int | None = None) -> None:
-        names = [
-            r[0]
-            for r in events.select(self.table_col).distinct().collect()
-            if r[0] in self._configs
-        ]
+        # Fused discovery: ONE pass collects both the distinct table list
+        # and each table's truncate sequences (both tiny and bounded), so
+        # the per-table barrier and the rollup's has-truncate probe don't
+        # each re-execute the batch lineage.
+        meta = (
+            events.groupBy(self.table_col)
+            .agg(
+                F.collect_set(
+                    F.when(
+                        F.col(OPERATION_COL) == OP_TRUNCATE, F.col(SEQUENCE_COL)
+                    )
+                ).alias("_trunc_seqs")
+            )
+            .collect()
+        )
+        trunc_by_table = {r[0]: sorted(r[1]) for r in meta}
+        names = [n for n in trunc_by_table if n in self._configs]
         if not names:
             return
 
@@ -150,23 +172,22 @@ class CdcBatchApplier:
                         "cdc_rows_quarantined_total", labels={"table": name}
                     )
                 per_table = valid.unionByName(trunc, allowMissingColumns=True)
+            trunc_seqs = trunc_by_table.get(name, [])
             rollup = self.rollups.get(name)
             touched: list[tuple] = []
-            has_trunc = False
+            has_trunc = bool(trunc_seqs)
             if rollup is not None:
                 # pre-image group capture must precede the merge
                 data_rows = per_table.filter(F.col(OPERATION_COL) != OP_TRUNCATE)
                 touched = rollup.touched_groups(data_rows)
-                has_trunc = (
-                    per_table.filter(F.col(OPERATION_COL) == OP_TRUNCATE).limit(1).count()
-                    > 0
-                )
             history = self.histories.get(name)
             if history is not None:
                 # history records pre-truncate versions, so it applies
                 # with its own (segment-preserving) truncate handling
                 history.apply_with_truncate_barrier(per_table)
-            apply_with_truncate_barrier(self.target(name), per_table)
+            apply_with_truncate_barrier(
+                self.target(name), per_table, trunc_seqs=trunc_seqs
+            )
             if rollup is not None:
                 if has_trunc:
                     # a truncate may extinguish groups absent from this
