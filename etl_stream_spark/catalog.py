@@ -3992,6 +3992,69 @@ def cdc_quarantine_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
 CDC_REPAIR_SQL = CDC_STREAM_SQL
 
 
+def cdc_forget_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten through the real CDC engine
+    (``cdc/erasure.py``; the reference has no erasure operation — this
+    is the compliance extension a 100 TB deployment needs): merge the
+    full event log, erase an md5-selected user set (the suppression
+    list is recorded first, then the bucket-pruned physical purge),
+    then REPLAY the whole log. The erasure list keeps the erased keys
+    out of the replay while the stale-sequence guard leaves every
+    survivor untouched — the final state must equal a pipeline that
+    never saw the erased users (the oracle)."""
+    from etl_stream_spark.cdc.erasure import forget_keys
+    from etl_stream_spark.cdc.pipeline import CdcBatchApplier, CdcTableConfig
+
+    _ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    env = (
+        with_cdc_metadata(ev, _op_col(), _seq_col(), timestamp=F.col("ts"))
+        .select("user_id", "event_type", "value", "operation", "sequence")
+        .withColumn("table", F.lit("events_state"))
+    )
+    root = tempfile.mkdtemp(prefix="cdc_forget_")
+    src = os.path.join(root, "landing")
+    env.write.mode("overwrite").parquet(src)
+    batch = spark.read.parquet(src)
+    applier = CdcBatchApplier(
+        spark,
+        os.path.join(root, "silver"),
+        {"events_state": CdcTableConfig(keys=["user_id"], num_buckets=8)},
+    )
+    applier.apply_batch(batch)
+    doomed = (
+        batch.select("user_id")
+        .filter(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) == "0")
+        .distinct()
+    )
+    forget_keys(applier, "events_state", doomed)
+    # full-log replay: without suppression the erased keys would simply
+    # re-insert (erasure leaves no tombstone behind — that is its
+    # point); with it they stay gone, and each survivor's winning event
+    # carries a sequence equal to its stored state, so the stale guard
+    # changes nothing.
+    applier.apply_batch(batch)
+    state = applier.target("events_state").read()
+    return state.select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        _dbl(F.col("value").cast(DEC)).alias("last_value"),
+    )
+
+
+#: a pipeline that never ingested the erased users
+CDC_FORGET_SQL = f"""
+SELECT user_id, event_type AS last_event_type,
+       CAST(ROUND(CAST(value AS DECIMAL(18,2)), 2) AS DOUBLE) AS last_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY lpad(CAST(event_id AS VARCHAR), 20, '0') DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND {_OP_CASE} <> 'DELETE'
+  AND substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <> '0'
+"""
+
+
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality over documents (top-bigram /
     top-trigram mass, longest identical-token run, keep flag)."""
@@ -5687,6 +5750,7 @@ CATALOG: dict[str, QueryDef] = {
     "streaming_vector_search": QueryDef(streaming_vector_search, KNN_SQL),
     "cdc_streaming_merge": QueryDef(cdc_streaming_merge, CDC_STREAM_SQL),
     "cdc_quarantine_repair": QueryDef(cdc_quarantine_repair, CDC_REPAIR_SQL),
+    "cdc_forget_keys": QueryDef(cdc_forget_keys, CDC_FORGET_SQL),
 }
 
 # Extended relational shapes (TPC-H Q2..Q22 adaptations, rollup, window
@@ -5715,17 +5779,22 @@ _DRIVER_PRIORITY = [
     # rotation.)
     # (cdc_gold_rollup also rotated out late round 3 — proven r02,
     # plan unchanged, and the CDC family keeps five other canaries.)
+    # (cdc_envelope_decode also rotated out late round 3 — driver-proven
+    # r01+r02, the decode path is untouched this round and embedded in
+    # every other CDC entry via with_cdc_metadata — making room for the
+    # right-to-be-forgotten loop below.)
     "cdc_final_state",
-    "cdc_envelope_decode",
     "cdc_streaming_merge",
     "cdc_schema_evolution",
     "cdc_change_feed",
     "cdc_scd2_incremental",
-    # CDC time-travel + view-maintenance + repair loop (first driver check)
+    # CDC time-travel + view-maintenance + repair + erasure loops
+    # (first driver check)
     "cdc_point_in_time",
     "cdc_scd2_history",
     "cdc_join_view",
     "cdc_quarantine_repair",
+    "cdc_forget_keys",
     # relational / TPC-H (q1 is the stable proven canary; q3/q5 were
     # re-planned this round — de-broadcast + dim-prefilter — so they
     # stay for re-proof; q7/q21 are the round-3 de-broadcast +

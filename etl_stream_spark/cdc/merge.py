@@ -313,6 +313,42 @@ class ParquetMergeTable:
         )
         self._write(result, full_overwrite=False, touched=touched)
 
+    def purge_keys(self, keys_df: DataFrame) -> None:
+        """Compliance erasure (right-to-be-forgotten): physically remove
+        every row for the given key tuples — delete tombstones and
+        sequence state included — bypassing the stale-sequence guard.
+        An erasure request is not a CDC event: nothing about WAL order
+        protects it, and unlike :data:`OP_DELETE` it must leave no
+        marker behind.
+
+        Bucket-pruned like a merge: the purge set hashes to its buckets
+        (the only driver-side collect is the bounded bucket-id list) and
+        only those directories are read and rewritten. Erasure alone
+        does not keep the key out of FUTURE batches — pair with
+        ``cdc.erasure.ErasureList`` suppression so a replayed old event
+        (DLQ resubmission, landing re-read) cannot resurrect the key.
+        """
+        purge = (
+            keys_df.select(*self.keys)
+            .distinct()
+            .withColumn(BUCKET_COL, self._bucket_expr())
+            .persist()
+        )
+        try:
+            touched = [r[0] for r in purge.select(BUCKET_COL).distinct().collect()]
+            if not touched:
+                return
+            state = self._read_state(buckets=touched)
+            if state is None:
+                return
+            cond = [
+                F.col(f"t.{k}").eqNullSafe(F.col(f"p.{k}")) for k in self.keys
+            ]
+            kept = state.alias("t").join(purge.alias("p"), cond, "left_anti")
+            self._write(kept, full_overwrite=False, touched=touched)
+        finally:
+            purge.unpersist()
+
     def compact_tombstones(self, upto_seq: str) -> None:
         """Purge tombstone rows whose sequence is ``<= upto_seq``.
 

@@ -155,6 +155,15 @@ class CdcBatchApplier:
 
         def run(name: str) -> None:
             per_table = events.filter(F.col(self.table_col) == name).drop(self.table_col)
+            # Right-to-be-forgotten suppression: erased keys never reach
+            # the merge, the history, OR the quarantine — even on replays
+            # (cdc/erasure.py). One FS existence check per table per
+            # batch; the anti-join is against the bounded erasure list.
+            from etl_stream_spark.cdc.erasure import erasure_list_for
+
+            elist = erasure_list_for(self, name)
+            if elist.exists():
+                per_table = elist.suppress(per_table)
             exps = self._configs[name].expectations
             if exps:
                 from etl_stream_spark.schema.expectations import split

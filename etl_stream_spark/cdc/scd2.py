@@ -154,6 +154,43 @@ class Scd2Table:
         except FileNotFoundError:
             return {"files_before": 0, "files_after": 0, "skipped": True}
 
+    def purge_keys(self, keys_df: DataFrame) -> None:
+        """Compliance erasure: remove EVERY version of the given keys —
+        current and historical. The open zone inherits the merge
+        engine's bucket-pruned purge; the closed zone is append-only
+        and not keyed, so its erasure is a compaction-class rewrite of
+        the snapshotted file set (concurrent-append safe like the
+        landing purge: retained rows are appended as new files first,
+        then exactly the snapshotted files are deleted). At scale,
+        batch erasure requests and fold the rewrite into the scheduled
+        :meth:`compact_closed` cycle — the same cost model as a
+        Delta/Iceberg DELETE, which also rewrites affected files."""
+        from etl_stream_spark.cdc.merge import _hadoop_fs, _hadoop_path
+
+        self.open.purge_keys(keys_df)
+        closed = self._read_closed()
+        if closed is None:
+            return
+        snapshot = list(closed.inputFiles())
+        if not snapshot:
+            return
+        purge = keys_df.select(*self.keys).distinct()
+        retained = (
+            self.spark.read.option("mergeSchema", "true")
+            .option("basePath", self.closed_path)
+            .parquet(*snapshot)
+            .join(purge, on=self.keys, how="left_anti")
+            .persist()  # isEmpty + append must not scan the snapshot twice
+        )
+        try:
+            if not retained.isEmpty():
+                retained.write.mode("append").parquet(self.closed_path)
+        finally:
+            retained.unpersist()
+        fs, _ = _hadoop_fs(self.spark, self.closed_path)
+        for f in snapshot:
+            fs.delete(_hadoop_path(self.spark, f), False)
+
     def close_all(self, at_seq: str) -> None:
         """TRUNCATE semantics for a history table: a truncate does not
         erase history (that is the point of keeping one) — it CLOSES

@@ -1,0 +1,301 @@
+"""Right-to-be-forgotten (cdc/erasure.py + purge_keys on the storage
+layers): erasure must remove every trace of a key — merged state,
+tombstones, SCD2 history, quarantine — and keep it out under replays,
+while touching only the buckets/files that hold it."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_stream_spark.cdc import (
+    OP_DELETE,
+    OP_INSERT,
+    OP_UPDATE,
+    ParquetMergeTable,
+    make_sequence,
+)
+from etl_stream_spark.cdc.erasure import (
+    ErasureList,
+    erasure_list_for,
+    forget_keys,
+    purge_parquet_dir,
+)
+from etl_stream_spark.cdc.pipeline import CdcBatchApplier, CdcTableConfig
+from etl_stream_spark.cdc.scd2 import Scd2Table
+
+EVENT_SCHEMA = "id long, name string, qty long, operation string, sequence string"
+
+
+def ev(id_, name, qty, op, seq_idx):
+    return (id_, name, qty, op, make_sequence(1_700_000_000_000_000, seq_idx))
+
+
+def keys_of(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "id long")
+
+
+def bucket_files(path):
+    """{bucket_dir: sorted parquet file names} for a bucketed table."""
+    out = {}
+    for entry in sorted(os.listdir(path)):
+        if entry.startswith("_bucket="):
+            files = sorted(
+                f for f in os.listdir(os.path.join(path, entry))
+                if f.endswith(".parquet")
+            )
+            out[entry] = files
+    return out
+
+
+class TestMergeTablePurge:
+    def test_rows_and_sequence_state_removed(self, spark, tmp_path):
+        t = ParquetMergeTable(spark, str(tmp_path / "t"), keys=["id"], num_buckets=4)
+        t.merge(
+            spark.createDataFrame(
+                [ev(i, f"n{i}", i, OP_INSERT, i) for i in range(1, 9)], EVENT_SCHEMA
+            )
+        )
+        t.purge_keys(keys_of(spark, [2, 5]))
+        assert {r.id for r in t.read().collect()} == {1, 3, 4, 6, 7, 8}
+        # erasure leaves no sequence state: an OLD (stale) event for the
+        # key re-inserts — exactly why suppression must accompany purge
+        t.merge(
+            spark.createDataFrame([ev(2, "old", 0, OP_INSERT, 0)], EVENT_SCHEMA)
+        )
+        assert 2 in {r.id for r in t.read().collect()}
+
+    def test_tombstones_purged_too(self, spark, tmp_path):
+        t = ParquetMergeTable(
+            spark, str(tmp_path / "t"), keys=["id"], num_buckets=4,
+            tombstone_deletes=True,
+        )
+        t.merge(
+            spark.createDataFrame(
+                [ev(1, "a", 1, OP_INSERT, 1), ev(2, "b", 2, OP_INSERT, 2)],
+                EVENT_SCHEMA,
+            )
+        )
+        t.merge(spark.createDataFrame([ev(1, None, None, OP_DELETE, 3)], EVENT_SCHEMA))
+        state = t._read_state()
+        assert state.filter(F.col("_deleted")).count() == 1
+        t.purge_keys(keys_of(spark, [1]))
+        state = t._read_state()
+        assert state.filter(F.coalesce(F.col("_deleted"), F.lit(False))).count() == 0
+        assert {r.id for r in t.read().collect()} == {2}
+
+    def test_untouched_buckets_not_rewritten(self, spark, tmp_path):
+        t = ParquetMergeTable(spark, str(tmp_path / "t"), keys=["id"], num_buckets=8)
+        t.merge(
+            spark.createDataFrame(
+                [ev(i, f"n{i}", i, OP_INSERT, i) for i in range(1, 33)], EVENT_SCHEMA
+            )
+        )
+        before = bucket_files(t.path)
+        purge_ids = [1, 2]
+        doomed_buckets = {
+            f"_bucket={r[0]}"
+            for r in keys_of(spark, purge_ids)
+            .select(t._bucket_expr().alias("b"))
+            .distinct()
+            .collect()
+        }
+        t.purge_keys(keys_of(spark, purge_ids))
+        after = bucket_files(t.path)
+        untouched = set(before) - doomed_buckets
+        assert untouched, "fixture degenerate: every bucket touched"
+        for b in untouched:
+            assert after[b] == before[b], f"{b} rewritten by unrelated purge"
+        assert {r.id for r in t.read().collect()} == set(range(3, 33))
+
+    def test_purge_missing_keys_is_noop(self, spark, tmp_path):
+        t = ParquetMergeTable(spark, str(tmp_path / "t"), keys=["id"], num_buckets=4)
+        t.merge(spark.createDataFrame([ev(1, "a", 1, OP_INSERT, 1)], EVENT_SCHEMA))
+        t.purge_keys(keys_of(spark, [99]))
+        assert {r.id for r in t.read().collect()} == {1}
+
+
+class TestScd2Purge:
+    def test_all_versions_erased_others_intact(self, spark, tmp_path):
+        h = Scd2Table(spark, str(tmp_path / "h"), keys=["id"], num_buckets=4)
+        h.apply_batch(
+            spark.createDataFrame(
+                [ev(1, "a1", 1, OP_INSERT, 1), ev(2, "b1", 1, OP_INSERT, 2)],
+                EVENT_SCHEMA,
+            )
+        )
+        h.apply_batch(
+            spark.createDataFrame(
+                [ev(1, "a2", 2, OP_UPDATE, 3), ev(2, "b2", 2, OP_UPDATE, 4)],
+                EVENT_SCHEMA,
+            )
+        )
+        assert h.read().filter(F.col("id") == 1).count() == 2  # closed + open
+        h.purge_keys(keys_of(spark, [1]))
+        hist = h.read()
+        assert hist.filter(F.col("id") == 1).count() == 0
+        got = {(r.id, r.name, r.is_current) for r in hist.collect()}
+        assert got == {(2, "b1", False), (2, "b2", True)}
+        # as_of can no longer resurrect the erased key at any point
+        assert h.as_of(make_sequence(1_700_000_000_000_000, 2)).filter(
+            F.col("id") == 1
+        ).count() == 0
+
+
+class TestForgetLoop:
+    def batch(self, spark, rows):
+        return spark.createDataFrame(
+            [r + ("t1",) for r in rows],
+            EVENT_SCHEMA + ", table string",
+        )
+
+    def test_replay_cannot_resurrect_and_survivors_unchanged(self, spark, tmp_path):
+        applier = CdcBatchApplier(
+            spark, str(tmp_path), {"t1": CdcTableConfig(keys=["id"], num_buckets=4)}
+        )
+        log = self.batch(
+            spark,
+            [ev(i, f"n{i}", i, OP_INSERT, i) for i in range(1, 7)]
+            + [ev(3, "n3v2", 33, OP_UPDATE, 10)],
+        )
+        applier.apply_batch(log)
+        forget_keys(applier, "t1", keys_of(spark, [3, 5]))
+        assert {r.id for r in applier.target("t1").read().collect()} == {1, 2, 4, 6}
+        # full replay (DLQ/landing re-read shape): erased keys suppressed,
+        # survivors' equal-sequence events lose to the stale guard
+        applier.apply_batch(log)
+        got = {(r.id, r.name) for r in applier.target("t1").read().collect()}
+        assert got == {(1, "n1"), (2, "n2"), (4, "n4"), (6, "n6")}
+        # a genuinely NEW key still lands after the erasure list exists
+        applier.apply_batch(self.batch(spark, [ev(9, "n9", 9, OP_INSERT, 20)]))
+        assert 9 in {r.id for r in applier.target("t1").read().collect()}
+
+    def test_erasure_list_survives_restart(self, spark, tmp_path):
+        applier = CdcBatchApplier(
+            spark, str(tmp_path), {"t1": CdcTableConfig(keys=["id"], num_buckets=4)}
+        )
+        applier.apply_batch(
+            self.batch(spark, [ev(1, "a", 1, OP_INSERT, 1), ev(2, "b", 2, OP_INSERT, 2)])
+        )
+        forget_keys(applier, "t1", keys_of(spark, [1]))
+        # a fresh applier (restart) reads the same persisted list
+        applier2 = CdcBatchApplier(
+            spark, str(tmp_path), {"t1": CdcTableConfig(keys=["id"], num_buckets=4)}
+        )
+        applier2.apply_batch(self.batch(spark, [ev(1, "back", 9, OP_INSERT, 30)]))
+        assert {r.id for r in applier2.target("t1").read().collect()} == {2}
+
+    def test_quarantine_and_history_purged(self, spark, tmp_path):
+        from etl_stream_spark.schema.expectations import custom
+
+        gate = custom("qty_not_negative", lambda df: F.col("qty") < 0)
+        hist = Scd2Table(spark, str(tmp_path / "hist"), keys=["id"], num_buckets=4)
+        applier = CdcBatchApplier(
+            spark,
+            str(tmp_path),
+            {"t1": CdcTableConfig(keys=["id"], num_buckets=4, expectations=[gate])},
+            histories={"t1": hist},
+        )
+        applier.apply_batch(
+            self.batch(
+                spark,
+                [
+                    ev(1, "a", 1, OP_INSERT, 1),
+                    ev(2, "b", -2, OP_INSERT, 2),  # quarantined
+                    ev(3, "c", 3, OP_INSERT, 3),
+                ],
+            )
+        )
+        assert applier.read_quarantine("t1").count() == 1
+        forget_keys(applier, "t1", keys_of(spark, [2, 3]))
+        q = applier.read_quarantine("t1")
+        assert q is None or q.count() == 0
+        assert hist.read().filter(F.col("id") == 3).count() == 0
+        assert {r.id for r in applier.target("t1").read().collect()} == {1}
+        # erased key's quarantined row resubmitted by a stale repair
+        # job is suppressed at the gate's front door
+        applier.apply_batch(self.batch(spark, [ev(2, "b", -2, OP_INSERT, 2)]))
+        q = applier.read_quarantine("t1")
+        assert q is None or q.count() == 0
+
+    def test_truncate_markers_pass_suppression(self, spark, tmp_path):
+        from etl_stream_spark.cdc import OP_TRUNCATE
+
+        applier = CdcBatchApplier(
+            spark, str(tmp_path), {"t1": CdcTableConfig(keys=["id"], num_buckets=4)}
+        )
+        applier.apply_batch(self.batch(spark, [ev(1, "a", 1, OP_INSERT, 1)]))
+        forget_keys(applier, "t1", keys_of(spark, [1]))
+        # NULL-keyed truncate marker must not be eaten by the anti-join
+        applier.apply_batch(
+            self.batch(
+                spark,
+                [
+                    ev(2, "b", 2, OP_INSERT, 2),
+                    (None, None, None, OP_TRUNCATE, make_sequence(1_700_000_000_000_000, 3)),
+                    ev(4, "d", 4, OP_INSERT, 4),
+                ],
+            )
+        )
+        assert {r.id for r in applier.target("t1").read().collect()} == {4}
+
+    def test_rollup_groups_repaired(self, spark, tmp_path):
+        from etl_stream_spark.cdc.rollup import IncrementalRollup
+
+        silver = ParquetMergeTable(
+            spark, str(tmp_path / "t1"), keys=["id"], num_buckets=4
+        )
+        rollup = IncrementalRollup(
+            spark,
+            silver,
+            str(tmp_path / "gold"),
+            group_cols=["name"],
+            aggs={"total": lambda: F.sum("qty").cast("long")},
+            num_buckets=2,
+        )
+        applier = CdcBatchApplier(
+            spark,
+            str(tmp_path),
+            {"t1": CdcTableConfig(keys=["id"], num_buckets=4)},
+            rollups={"t1": rollup},
+        )
+        applier.apply_batch(
+            self.batch(
+                spark,
+                [
+                    ev(1, "g1", 10, OP_INSERT, 1),
+                    ev(2, "g1", 5, OP_INSERT, 2),
+                    ev(3, "g2", 7, OP_INSERT, 3),
+                ],
+            )
+        )
+        assert {(r.name, r.total) for r in rollup.read().collect()} == {
+            ("g1", 15),
+            ("g2", 7),
+        }
+        forget_keys(applier, "t1", keys_of(spark, [1, 3]))
+        assert {(r.name, r.total) for r in rollup.read().collect()} == {("g1", 5)}
+
+
+class TestPrimitives:
+    def test_purge_parquet_dir(self, spark, tmp_path):
+        path = str(tmp_path / "q")
+        spark.createDataFrame(
+            [(1, "x"), (2, "y"), (3, "z")], "id long, v string"
+        ).write.parquet(path)
+        purge_parquet_dir(spark, path, keys_of(spark, [2]), ["id"])
+        assert {r.id for r in spark.read.parquet(path).collect()} == {1, 3}
+        # missing dir: no-op, no raise
+        purge_parquet_dir(spark, str(tmp_path / "absent"), keys_of(spark, [1]), ["id"])
+
+    def test_erasure_list_distinct_and_idempotent(self, spark, tmp_path):
+        el = ErasureList(spark, str(tmp_path / "e"), ["id"])
+        assert not el.exists()
+        el.add(keys_of(spark, [1, 2]))
+        el.add(keys_of(spark, [2, 3]))
+        assert el.exists()
+        assert {r.id for r in el.read().collect()} == {1, 2, 3}
+        df = spark.createDataFrame([(1, "a"), (4, "d")], "id long, v string")
+        assert {r.id for r in el.suppress(df).collect()} == {4}
