@@ -786,6 +786,65 @@ def cdc_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_scd2_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention horizon on the maintained SCD2 history: replay the log
+    in two micro-batches through :class:`Scd2Table`, then expire every
+    closed version whose validity ended at or before the
+    60%-of-max-event horizon (``expire_closed_before`` — only files
+    holding expired rows are rewritten). Surviving history = versions
+    still valid at, or opened after, the horizon; open versions never
+    expire. Oracle: the full-log SCD2 derivation minus expired
+    versions."""
+    from etl_stream_spark.cdc.scd2 import Scd2Table
+
+    _ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    env = with_cdc_metadata(ev, _op_col(), _seq_col(), timestamp=F.col("ts")).select(
+        "user_id", "event_id", "event_type", "value", "operation", "sequence"
+    )
+    hi = env.agg(F.max("event_id")).collect()[0][0] or 0
+    root = tempfile.mkdtemp(prefix="cdc_scd2_ret_")
+    t = Scd2Table(spark, os.path.join(root, "hist"), keys=["user_id"], num_buckets=8)
+    mid = hi // 2
+    for lo, b in [(0, mid), (mid, hi)]:
+        chunk = env.filter(
+            (F.col("event_id") > F.lit(lo)) & (F.col("event_id") <= F.lit(b))
+        ).drop("event_id")
+        t.apply_batch(chunk)
+    horizon = f"{hi * 3 // 5:020d}"  # same zero-pad as _seq_col
+    t.expire_closed_before(horizon)
+    return t.read().select(
+        "user_id",
+        "valid_from_seq",
+        "valid_to_seq",
+        "event_type",
+        _dbl(F.col("value").cast(DEC)).alias("value"),
+        "is_current",
+    )
+
+
+SCD2_RETENTION_SQL = f"""
+WITH cut AS (
+  SELECT lpad(CAST(CAST(FLOOR(MAX(event_id) * 3 / 5) AS BIGINT) AS VARCHAR),
+              20, '0') AS s
+  FROM events
+)
+SELECT user_id, valid_from_seq, valid_to_seq, event_type, value,
+       (valid_to_seq IS NULL) AS is_current
+FROM (
+  SELECT user_id,
+         lpad(CAST(event_id AS VARCHAR), 20, '0') AS valid_from_seq,
+         lead(lpad(CAST(event_id AS VARCHAR), 20, '0'))
+           OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to_seq,
+         event_type,
+         CAST(ROUND(CAST(value AS DECIMAL(18,2)), 2) AS DOUBLE) AS value,
+         {_OP_CASE} AS op
+  FROM events
+), cut
+WHERE op <> 'DELETE' AND (valid_to_seq IS NULL OR valid_to_seq > cut.s)
+"""
+
+
 def dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality expectations over orders: key
     nullability + uniqueness, referential integrity to customer,
@@ -5611,6 +5670,7 @@ CATALOG: dict[str, QueryDef] = {
     "cdc_point_in_time": QueryDef(cdc_point_in_time, POINT_IN_TIME_SQL),
     "cdc_scd2_history": QueryDef(cdc_scd2_history, SCD2_SQL),
     "cdc_scd2_incremental": QueryDef(cdc_scd2_incremental, SCD2_SQL),
+    "cdc_scd2_retention": QueryDef(cdc_scd2_retention, SCD2_RETENTION_SQL),
     "cdc_join_view": QueryDef(cdc_join_view, JOIN_VIEW_SQL),
     "dq_orders_report": QueryDef(dq_orders_report, DQ_REPORT_SQL),
     "profile_orders": QueryDef(profile_orders, PROFILE_SQL),

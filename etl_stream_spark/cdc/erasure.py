@@ -124,7 +124,12 @@ def erasure_list_for(applier, name: str) -> ErasureList:
     )
 
 
-def forget_keys(applier, name: str, keys_df: DataFrame) -> None:
+def forget_keys(
+    applier,
+    name: str,
+    keys_df: DataFrame,
+    extra_paths: Sequence[str] = (),
+) -> None:
     """Erase the given keys from every stateful surface of one table.
 
     Ordering matters: the erasure list is written FIRST, so any batch
@@ -133,7 +138,14 @@ def forget_keys(applier, name: str, keys_df: DataFrame) -> None:
     state is repaired last: rollup groups are captured from the doomed
     rows BEFORE the purge (their pre-image is only visible then) and
     refreshed after; join views listening on the table rebuild in full.
-    """
+
+    ``extra_paths``: additional plain parquet directories holding raw
+    copies of the table's events BY KEY COLUMN — the landing zone, a
+    decoded DLQ park. Suppression keeps these copies from ever merging
+    again, but the stored bytes themselves are what a deletion request
+    is about, so they are purged too. (A RAW-bytes DLQ whose rows are
+    undecoded strings has no key columns — decode-then-repark before
+    forgetting, or age it out by retention.)"""
     target = applier.target(name)
     erasure_list_for(applier, name).add(keys_df)
 
@@ -159,6 +171,8 @@ def forget_keys(applier, name: str, keys_df: DataFrame) -> None:
         keys_df,
         target.keys,
     )
+    for path in extra_paths:
+        purge_parquet_dir(applier.spark, path, keys_df, target.keys)
     if rollup is not None:
         rollup.refresh_groups(touched_groups)
     for view, fact_name, dim_name in applier.join_views:

@@ -154,42 +154,81 @@ class Scd2Table:
         except FileNotFoundError:
             return {"files_before": 0, "files_after": 0, "skipped": True}
 
-    def purge_keys(self, keys_df: DataFrame) -> None:
-        """Compliance erasure: remove EVERY version of the given keys —
-        current and historical. The open zone inherits the merge
-        engine's bucket-pruned purge; the closed zone is append-only
-        and not keyed, so its erasure is a compaction-class rewrite of
-        the snapshotted file set (concurrent-append safe like the
-        landing purge: retained rows are appended as new files first,
-        then exactly the snapshotted files are deleted). At scale,
-        batch erasure requests and fold the rewrite into the scheduled
-        :meth:`compact_closed` cycle — the same cost model as a
-        Delta/Iceberg DELETE, which also rewrites affected files."""
+    def _replace_closed_files(self, files: list[str], keep) -> None:
+        """Rewrite exactly ``files`` in the closed zone: append
+        ``keep(subset)`` as new files first, then delete the originals
+        — concurrent-append safe like the landing purge (rows appended
+        during the rewrite are never touched). Callers pass only the
+        files that actually CONTAIN doomed rows, so rewrite
+        amplification is bounded by where the doomed rows live, not by
+        history size — the same cost model as a Delta/Iceberg DELETE,
+        which also rewrites affected files only. At scale, batch
+        erasure/retention requests and fold the rewrite into the
+        scheduled :meth:`compact_closed` cycle."""
         from etl_stream_spark.cdc.merge import _hadoop_fs, _hadoop_path
 
-        self.open.purge_keys(keys_df)
-        closed = self._read_closed()
-        if closed is None:
+        if not files:
             return
-        snapshot = list(closed.inputFiles())
-        if not snapshot:
-            return
-        purge = keys_df.select(*self.keys).distinct()
-        retained = (
+        subset = (
             self.spark.read.option("mergeSchema", "true")
             .option("basePath", self.closed_path)
-            .parquet(*snapshot)
-            .join(purge, on=self.keys, how="left_anti")
-            .persist()  # isEmpty + append must not scan the snapshot twice
+            .parquet(*files)
         )
+        retained = keep(subset).persist()  # isEmpty + append: one scan
         try:
             if not retained.isEmpty():
                 retained.write.mode("append").parquet(self.closed_path)
         finally:
             retained.unpersist()
         fs, _ = _hadoop_fs(self.spark, self.closed_path)
-        for f in snapshot:
+        for f in files:
             fs.delete(_hadoop_path(self.spark, f), False)
+
+    def purge_keys(self, keys_df: DataFrame) -> None:
+        """Compliance erasure: remove EVERY version of the given keys —
+        current and historical. The open zone inherits the merge
+        engine's bucket-pruned purge. The closed zone is append-only
+        and not keyed, so the doomed FILES are located first (one
+        semi-join collecting distinct file names — bounded by the
+        file count, which compaction keeps low) and only those are
+        rewritten."""
+        self.open.purge_keys(keys_df)
+        closed = self._read_closed()
+        if closed is None:
+            return
+        purge = keys_df.select(*self.keys).distinct()
+        doomed_files = [
+            r[0]
+            for r in closed.withColumn("_f", F.input_file_name())
+            .join(purge, on=self.keys, how="left_semi")
+            .select("_f")
+            .distinct()
+            .collect()
+        ]
+        self._replace_closed_files(
+            doomed_files, lambda df: df.join(purge, on=self.keys, how="left_anti")
+        )
+
+    def expire_closed_before(self, seq: str) -> None:
+        """Retention enforcement: drop closed versions whose validity
+        ENDED at or before ``seq`` (``valid_to_seq <= seq``). Open
+        versions never expire, and :meth:`as_of` reads at or after the
+        horizon are unaffected — reads before it lose versions by
+        design (that is what a retention horizon means). Only files
+        holding expired rows are rewritten."""
+        closed = self._read_closed()
+        if closed is None:
+            return
+        doomed = F.col(VALID_TO_COL) <= F.lit(seq)
+        doomed_files = [
+            r[0]
+            for r in closed.withColumn("_f", F.input_file_name())
+            .filter(doomed)
+            .select("_f")
+            .distinct()
+            .collect()
+        ]
+        self._replace_closed_files(doomed_files, lambda df: df.filter(~doomed))
 
     def close_all(self, at_seq: str) -> None:
         """TRUNCATE semantics for a history table: a truncate does not

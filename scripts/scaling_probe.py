@@ -222,6 +222,55 @@ print("PROBE_RESULT " + json.dumps(out))
 spark.stop()
 """
 
+_PURGE_SCALE = r"""
+import json, shutil, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from etl_stream_spark.session import get_spark
+from etl_stream_spark.cdc import ParquetMergeTable
+from etl_stream_spark.cdc.envelope import OPERATION_COL, SEQUENCE_COL, TIMESTAMP_COL
+from etl_stream_spark.cdc.merge import bucket_expr_for
+
+spark = get_spark(app_name="purge_scale")
+out = {{}}
+
+def mk_events(keys_df, seq_base):
+    return keys_df.select(
+        F.col("k"), (F.col("k") * 3).alias("v"),
+        F.lit("u").alias(OPERATION_COL),
+        F.lpad((F.lit(seq_base) + F.col("k")).cast("string"), 20, "0").alias(SEQUENCE_COL),
+        F.current_timestamp().alias(TIMESTAMP_COL),
+    )
+
+# Erasure's 100 TB claim mirrors the merge's: a 200-key forget request
+# clustered into 8 buckets must cost the touched buckets' volume, not
+# the table's, at any state size (per-bucket volume held constant).
+for state_rows, buckets in ((100_000, 64), (400_000, 256), (1_600_000, 1024)):
+    root = tempfile.mkdtemp(prefix="purgescale_")
+    tbl = ParquetMergeTable(spark, root, keys=["k"], num_buckets=buckets)
+    tbl.merge(mk_events(spark.range(state_rows).select(F.col("id").alias("k")), 0))
+    clustered = (
+        spark.range(state_rows).select(F.col("id").alias("k"))
+        .filter(bucket_expr_for(["k"], buckets) < 8)
+    )
+    doomed = [r[0] for r in clustered.limit(600).collect()]
+    best = None
+    for _pass in range(3):  # fresh 200-key slice per pass; best of last 2
+        keys = spark.createDataFrame(
+            [(k,) for k in doomed[_pass * 200:(_pass + 1) * 200]], "k long"
+        )
+        t = time.time()
+        tbl.purge_keys(keys)
+        dt = time.time() - t
+        if _pass:
+            best = dt if best is None else min(best, dt)
+    out[f"state{{state_rows}}_b{{buckets}}"] = round(best, 3)
+    shutil.rmtree(root, ignore_errors=True)
+
+print("PROBE_RESULT " + json.dumps(out))
+spark.stop()
+"""
+
 
 def _materialize_corpus(n_docs: int, root: str) -> None:
     """Synthesize a deterministic n-doc corpus + embeddings engine-side.
@@ -315,6 +364,13 @@ def main() -> None:
         "with constant per-bucket volume and a bucket-clustered batch — "
         "must stay flat if state reads are touched-bucket bounded",
     )
+    ap.add_argument(
+        "--purge-scale",
+        action="store_true",
+        help="probe right-to-be-forgotten purge cost (200 clustered keys) "
+        "against 100k/400k/1.6M-row state — must stay flat if erasure is "
+        "touched-bucket bounded",
+    )
     args = ap.parse_args()
 
     if args.merge_scale:
@@ -322,6 +378,23 @@ def main() -> None:
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(n))
             proc = subprocess.run(
                 [sys.executable, "-c", _MERGE_SCALE.format(repo=REPO)],
+                env=env, capture_output=True, text=True,
+            )
+            line = next(
+                (l for l in proc.stdout.splitlines() if l.startswith("PROBE_RESULT ")),
+                None,
+            )
+            if line is None:
+                print(json.dumps({"cpus": n, "error": proc.stderr[-500:]}))
+                continue
+            print(json.dumps({"cpus": n, **json.loads(line[len("PROBE_RESULT "):])}))
+        return
+
+    if args.purge_scale:
+        for n in [int(c) for c in args.cpus.split(",")]:
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(n))
+            proc = subprocess.run(
+                [sys.executable, "-c", _PURGE_SCALE.format(repo=REPO)],
                 env=env, capture_output=True, text=True,
             )
             line = next(

@@ -144,6 +144,97 @@ class TestScd2Purge:
         ).count() == 0
 
 
+class TestScd2Retention:
+    def seq(self, i):
+        return make_sequence(1_700_000_000_000_000, i)
+
+    def build(self, spark, tmp_path):
+        h = Scd2Table(spark, str(tmp_path / "h"), keys=["id"], num_buckets=4)
+        # three batches → three closed-zone file generations
+        h.apply_batch(
+            spark.createDataFrame(
+                [ev(1, "a1", 1, OP_INSERT, 1), ev(2, "b1", 1, OP_INSERT, 2)],
+                EVENT_SCHEMA,
+            )
+        )
+        h.apply_batch(
+            spark.createDataFrame([ev(1, "a2", 2, OP_UPDATE, 4)], EVENT_SCHEMA)
+        )
+        h.apply_batch(
+            spark.createDataFrame(
+                [ev(1, "a3", 3, OP_UPDATE, 8), ev(2, "b2", 2, OP_UPDATE, 9)],
+                EVENT_SCHEMA,
+            )
+        )
+        return h
+
+    def test_expire_drops_only_ended_versions(self, spark, tmp_path):
+        h = self.build(spark, tmp_path)
+        # horizon at seq 5: a1 (ended 4) expires; a2 (ends 8) and
+        # b1 (ends 9) survive, as do both open versions
+        h.expire_closed_before(self.seq(5))
+        got = {(r.id, r.name, r.valid_to_seq is None) for r in h.read().collect()}
+        assert got == {
+            (1, "a2", False),
+            (1, "a3", True),
+            (2, "b1", False),
+            (2, "b2", True),
+        }
+        # as_of after the horizon is unaffected
+        at7 = {(r.id, r.name) for r in h.as_of(self.seq(7)).collect()}
+        assert at7 == {(1, "a2"), (2, "b1")}
+        # as_of before it loses the expired version — by design
+        assert {r.id for r in h.as_of(self.seq(3)).collect()} == {2}
+
+    def test_expire_rewrites_only_files_with_expired_rows(self, spark, tmp_path):
+        h = self.build(spark, tmp_path)
+        before = set(
+            f.split("/")[-1]
+            for f in os.listdir(h.closed_path)
+            if f.endswith(".parquet")
+        )
+        # horizon 5 dooms only batch-2's closed file (a1, ended at 4);
+        # batch-3's closed files (ended 8 and 9) must not be rewritten
+        h.expire_closed_before(self.seq(5))
+        after = set(
+            f for f in os.listdir(h.closed_path) if f.endswith(".parquet")
+        )
+        survivors = before & after
+        assert survivors, "retention rewrote every closed file"
+        # and nothing expired remains
+        assert h.read().filter(F.col("name") == "a1").count() == 0
+
+    def test_expire_noop_below_everything(self, spark, tmp_path):
+        h = self.build(spark, tmp_path)
+        before = sorted(os.listdir(h.closed_path))
+        h.expire_closed_before(self.seq(0))
+        assert sorted(os.listdir(h.closed_path)) == before
+
+    def test_purge_rewrites_only_files_with_key(self, spark, tmp_path):
+        h = Scd2Table(spark, str(tmp_path / "h2"), keys=["id"], num_buckets=4)
+        h.apply_batch(
+            spark.createDataFrame([ev(1, "a1", 1, OP_INSERT, 1)], EVENT_SCHEMA)
+        )
+        h.apply_batch(
+            spark.createDataFrame([ev(1, "a2", 2, OP_UPDATE, 2)], EVENT_SCHEMA)
+        )  # closes a1 → file gen 1
+        h.apply_batch(
+            spark.createDataFrame([ev(2, "b1", 1, OP_INSERT, 3)], EVENT_SCHEMA)
+        )
+        h.apply_batch(
+            spark.createDataFrame([ev(2, "b2", 2, OP_UPDATE, 4)], EVENT_SCHEMA)
+        )  # closes b1 → file gen 2
+        before = set(
+            f for f in os.listdir(h.closed_path) if f.endswith(".parquet")
+        )
+        h.purge_keys(keys_of(spark, [1]))
+        after = set(
+            f for f in os.listdir(h.closed_path) if f.endswith(".parquet")
+        )
+        assert before & after, "purge rewrote closed files without the key"
+        assert {r.id for r in h.read().collect()} == {2}
+
+
 class TestForgetLoop:
     def batch(self, spark, rows):
         return spark.createDataFrame(
@@ -240,6 +331,22 @@ class TestForgetLoop:
             )
         )
         assert {r.id for r in applier.target("t1").read().collect()} == {4}
+
+    def test_extra_paths_landing_purged(self, spark, tmp_path):
+        from etl_stream_spark.cdc.pipeline import LandingTable
+
+        landing = LandingTable(spark, str(tmp_path / "landing"))
+        applier = CdcBatchApplier(
+            spark, str(tmp_path), {"t1": CdcTableConfig(keys=["id"], num_buckets=4)}
+        )
+        batch = self.batch(
+            spark, [ev(1, "a", 1, OP_INSERT, 1), ev(2, "b", 2, OP_INSERT, 2)]
+        )
+        landing.append(batch.drop("table"))
+        applier.apply_batch(batch)
+        forget_keys(applier, "t1", keys_of(spark, [1]), extra_paths=[landing.path])
+        assert {r.id for r in landing.read().collect()} == {2}
+        assert {r.id for r in applier.target("t1").read().collect()} == {2}
 
     def test_rollup_groups_repaired(self, spark, tmp_path):
         from etl_stream_spark.cdc.rollup import IncrementalRollup
