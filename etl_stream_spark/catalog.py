@@ -2412,6 +2412,44 @@ WHERE b >= 6 AND fp IN (SELECT fp FROM fp WHERE b < 6)
 """
 
 
+def corpus_forget_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten on the corpus side (`FingerprintStore.purge`,
+    the training-data mirror of ``cdc_forget_keys``): register the whole
+    corpus in the persisted fingerprint store, erase the md5-selected
+    document set's content fingerprints (bucket-pruned merge-table
+    purge), then re-ingest the FULL corpus — exactly the forgotten
+    CONTENT comes back as novel (one row per erased fingerprint, min
+    doc_id, shared content included), every remembered document stays
+    suppressed. Proves erasure propagates to a derived store with no
+    collateral loss."""
+    from etl_stream_spark.operators.incremental_dedup import FingerprintStore
+
+    _ensure_utc(spark)
+    docs = _t(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="fp_forget_")
+    store = FingerprintStore(spark, os.path.join(root, "fps"), num_buckets=16)
+    store.register(docs)
+    doomed = docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    )
+    store.purge(doomed)
+    back = store.novel(docs)
+    return back.select("doc_id", ta.fingerprint("text").alias("fingerprint"))
+
+
+CORPUS_FORGET_SQL = f"""
+WITH toks AS ({TOKS_CTE}),
+fps AS (SELECT doc_id, md5(array_to_string(t, ' ')) AS fingerprint FROM toks),
+doomed AS (
+  SELECT DISTINCT fingerprint FROM fps
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+)
+SELECT MIN(doc_id) AS doc_id, fingerprint
+FROM fps JOIN doomed USING (fingerprint)
+GROUP BY fingerprint
+"""
+
+
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document MinHash signature vectors (rolling token-hash
     family, in-row minima — no shingle explode, no exchange)."""
@@ -4756,6 +4794,52 @@ FROM agg
 """
 
 
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style row-pattern matching (``operators/cep.py``):
+    each user's events collapse to an ordered one-char symbol string
+    (one shuffle of 3-scalar rows, in-row sort, no window), then three
+    named patterns run as JVM regexes — purchase-then-error friction,
+    signup→purchase with no intervening error, and 2+-error bursts.
+    The classical CEP-as-regex reduction of SQL:2016 row patterns."""
+    from etl_stream_spark.operators.cep import match_pattern
+
+    ev = _t(spark, sf_dir, "events")
+    return match_pattern(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["event_id"],
+        event_col="event_type",
+        symbol_map={
+            "signup": "s",
+            "view": "v",
+            "purchase": "p",
+            "error": "e",
+            "click": "c",
+        },
+        patterns={
+            "friction": "pe",
+            "conversion": "s[^e]*p",
+            "error_burst": "ee+",
+        },
+    )
+
+
+PATTERN_MATCH_SQL = """
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(CASE event_type WHEN 'signup' THEN 's' WHEN 'view' THEN 'v'
+                    WHEN 'purchase' THEN 'p' WHEN 'error' THEN 'e'
+                    WHEN 'click' THEN 'c' ELSE 'o' END, '' ORDER BY event_id) AS seq
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(regexp_extract_all(seq, 'pe')) AS BIGINT) AS friction_matches,
+       CAST(len(regexp_extract_all(seq, 's[^e]*p')) AS BIGINT) AS conversion_matches,
+       CAST(len(regexp_extract_all(seq, 'ee+')) AS BIGINT) AS error_burst_matches
+FROM seqs
+"""
+
+
 def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel: users whose FIRST signup precedes
     their first view precedes their first purchase (strict first-
@@ -5709,6 +5793,7 @@ CATALOG: dict[str, QueryDef] = {
     "user_profile_similarity": QueryDef(user_profile_similarity, PROFILE_SIM_SQL),
     "corpus_difficulty_deciles": QueryDef(corpus_difficulty_deciles, DECILES_SQL),
     "events_conversion_funnel": QueryDef(events_conversion_funnel, FUNNEL_EVENTS_SQL),
+    "events_pattern_match": QueryDef(events_pattern_match, PATTERN_MATCH_SQL),
     "bpe_pair_counts": QueryDef(bpe_pair_counts, BPE_PAIRS_SQL),
     "bpe_learned_merges": QueryDef(bpe_learned_merges, None),
     "bpe_encode_stats": QueryDef(bpe_encode_stats, None),
@@ -5769,6 +5854,7 @@ CATALOG: dict[str, QueryDef] = {
     "dedup_exact": QueryDef(dedup_exact, EXACT_SQL),
     "dedup_minhash_signatures": QueryDef(dedup_minhash_signatures, MINHASH_SQL),
     "dedup_bloom_incremental": QueryDef(dedup_bloom_incremental, BLOOM_INCR_SQL),
+    "corpus_forget_documents": QueryDef(corpus_forget_documents, CORPUS_FORGET_SQL),
     "dedup_lsh_pairs": QueryDef(dedup_lsh_pairs, _lsh_pairs_sql()),
     "dedup_clusters": QueryDef(dedup_clusters, _clusters_sql()),
     "dedup_survivors": QueryDef(dedup_survivors, _survivors_sql()),

@@ -109,6 +109,21 @@ class FingerprintStore:
         )
         self.table.merge(rows)
 
+    def purge(
+        self, docs: DataFrame, text_col: str = "text"
+    ) -> None:
+        """Right-to-be-forgotten propagation: erase the given documents'
+        content fingerprints from the store. The hash is DERIVED from
+        the erased content — keeping it would both retain derived data
+        and silently suppress a future legitimate re-submission of the
+        same content as "already seen". Content-keyed by design: if a
+        kept document shares the exact content, that fingerprint is
+        removed too and the next ingest re-registers it — convergent,
+        never lossy. Bucket-pruned via the merge engine's purge."""
+        self.table.purge_keys(
+            docs.select(_fingerprint(text_col).alias(FP_COL)).distinct()
+        )
+
     def dedup_shard(
         self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     ) -> DataFrame:

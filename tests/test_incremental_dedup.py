@@ -58,3 +58,27 @@ def test_novel_on_empty_store_passes_all(spark, tmp_path):
     out = store.novel(docs(spark, [(1, "a"), (2, "b")]))
     assert ids(out) == [1, 2]
     assert "fp" not in out.columns  # internal column does not leak
+
+
+def test_purge_forgets_content_and_reingest_recovers(spark, tmp_path):
+    store = FingerprintStore(spark, str(tmp_path / "fps"), num_buckets=4)
+    corpus = docs(
+        spark,
+        [
+            (1, "alpha beta"),
+            (2, "delta epsilon"),
+            (3, "alpha beta"),  # shares content with 1
+            (4, "zeta eta"),
+        ],
+    )
+    store.register(corpus)
+    assert ids(store.novel(corpus)) == []  # everything seen
+    # forget docs 1 and 4: their CONTENT fingerprints leave the store
+    store.purge(docs(spark, [(1, "alpha beta"), (4, "zeta eta")]))
+    back = store.novel(corpus)
+    # shared content (1,3) resurfaces as min-id 1; unshared 4 returns;
+    # remembered content (2) stays suppressed
+    assert ids(back) == [1, 4]
+    # re-registering converges back to fully-seen
+    store.register(corpus)
+    assert ids(store.novel(corpus)) == []
