@@ -5963,6 +5963,11 @@ _DRIVER_PRIORITY = [
     # [proven] rotated out for the skew-aware join composition)
     "events_skew_aware_enrichment",
     "events_conversion_funnel",
+    # CEP row-pattern matching (first driver check; entered late round 3
+    # for streaming_stream_join [driver-proven r02, plan unchanged] —
+    # streaming keeps sustained_alerts as its proven canary plus the
+    # first-time trending summaries)
+    "events_pattern_match",
     # text analysis rep + hot-token detection (Misra-Gries)
     "text_token_stats",
     "text_heavy_hitters",
@@ -6003,7 +6008,6 @@ _DRIVER_PRIORITY = [
     # for the stateful trending summaries)
     "streaming_trending_tokens",
     "streaming_sustained_alerts",
-    "streaming_stream_join",
     # temporal joins (as-of proven; interpolation first-time)
     "asof_latest_purchase",
     "user_value_interpolated",
