@@ -91,6 +91,9 @@ BENCH_QUERIES = [
     "orders_replication_checksum",
     "part_fuzzy_name_match",
     "corpus_boilerplate_removal",
+    # CEP row-pattern matching + exact-integer trajectory similarity
+    "events_pattern_match",
+    "user_trajectory_topk",
 ]
 
 

@@ -4840,6 +4840,55 @@ FROM seqs
 """
 
 
+def user_trajectory_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity (``operators/timeseries.py``): each user's
+    8-bucket integer-cents activity trajectory over the global event
+    range, ranked by exact squared distance to the integral-mean
+    trajectory — 25 most-typical users. All-BIGINT arithmetic
+    (quantized cents, ``div`` bucketing/averaging), so the ranking is
+    bit-identical across engines; one (key,bucket) exchange, in-row
+    densify + fold, two 1-row broadcasts."""
+    from etl_stream_spark.operators import timeseries as tsq
+
+    ev = _t(spark, sf_dir, "events")
+    cents = (F.col("value").cast(DEC) * 100).cast("long")
+    traj = tsq.bucket_trajectories(ev, "user_id", "event_id", cents, n_buckets=8)
+    ref = tsq.mean_trajectory(traj, n_buckets=8)
+    return tsq.rank_by_distance(traj, ref, "user_id", k=25)
+
+
+TRAJECTORY_SQL = """
+WITH v AS (
+  SELECT user_id, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+bounds AS (SELECT MIN(event_id) AS lo, MAX(event_id) AS hi FROM v),
+bsum AS (
+  SELECT user_id, ((event_id - lo) * 8) // (hi - lo + 1) AS b, SUM(cents) AS s
+  FROM v, bounds GROUP BY 1, 2
+),
+grid AS (
+  SELECT u.user_id, gs.b
+  FROM (SELECT DISTINCT user_id FROM v) u
+  CROSS JOIN (SELECT unnest(range(8)) AS b) gs
+),
+dense AS (
+  SELECT g.user_id, g.b, COALESCE(bsum.s, 0) AS s
+  FROM grid g LEFT JOIN bsum ON g.user_id = bsum.user_id AND g.b = bsum.b
+),
+ref AS (
+  SELECT b, SUM(s) // (SELECT COUNT(DISTINCT user_id) FROM v) AS r
+  FROM dense GROUP BY b
+)
+SELECT user_id, CAST(SUM((s - r) * (s - r)) AS BIGINT) AS dist2
+FROM dense JOIN ref USING (b)
+GROUP BY user_id
+ORDER BY dist2, user_id
+LIMIT 25
+"""
+
+
 def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel: users whose FIRST signup precedes
     their first view precedes their first purchase (strict first-
@@ -5794,6 +5843,7 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_difficulty_deciles": QueryDef(corpus_difficulty_deciles, DECILES_SQL),
     "events_conversion_funnel": QueryDef(events_conversion_funnel, FUNNEL_EVENTS_SQL),
     "events_pattern_match": QueryDef(events_pattern_match, PATTERN_MATCH_SQL),
+    "user_trajectory_topk": QueryDef(user_trajectory_topk, TRAJECTORY_SQL),
     "bpe_pair_counts": QueryDef(bpe_pair_counts, BPE_PAIRS_SQL),
     "bpe_learned_merges": QueryDef(bpe_learned_merges, None),
     "bpe_encode_stats": QueryDef(bpe_encode_stats, None),

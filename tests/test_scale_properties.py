@@ -234,6 +234,8 @@ _BOUNDED_HINT_ALLOWLIST = {
     "q22_idle_rich_customers",
     "semantic_dedup",
     "user_profile_similarity",
+    "user_trajectory_topk",  # broadcasts: the 1-row order-range bounds
+    # and the 1-row mean-trajectory reference (8 BIGINTs)
 }
 
 
