@@ -4840,6 +4840,136 @@ FROM seqs
 """
 
 
+def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link analysis (``operators/graph.py``): deterministic integer
+    PageRank over the customer–supplier co-purchase graph (bipartite,
+    symmetrized; nodes integer-encoded 2k / 2k+1), 3 iterations at
+    SCALE=10^12 with integral div throughout — the 25 most-central
+    suppliers, bit-identical to the oracle's unrolled SQL iterations.
+    Per iteration: one |E| equi-join + one map-side-combinable sum."""
+    from etl_stream_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank(edges, iterations=3)
+    return (
+        ranks.filter(F.col("node") % 2 == 1)
+        .select(
+            F.expr("(node - 1) div 2").alias("s_suppkey"),
+            F.col("rank").alias("rank_scaled"),
+        )
+        .orderBy(F.desc("rank_scaled"), "s_suppkey")
+        .limit(25)
+    )
+
+
+def _pagerank_sql(iterations: int = 3) -> str:
+    """The oracle's unrolled twin of ``operators/graph.py::pagerank`` —
+    identical integer ops in identical order."""
+    scale, num, den = 10**12, 85, 100
+    ctes = [
+        f"""e0 AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)""",
+        "e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "od AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src)",
+        "nn AS (SELECT COUNT(*) AS c FROM nodes)",
+        f"r0 AS (SELECT node, {scale} // (SELECT c FROM nn) AS r FROM nodes)",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(
+            f"""s{k} AS (
+  SELECT e.dst AS node, SUM(r{k-1}.r // od.d) AS s
+  FROM e JOIN r{k-1} ON e.src = r{k-1}.node JOIN od ON e.src = od.src
+  GROUP BY e.dst
+)"""
+        )
+        ctes.append(
+            f"""r{k} AS (
+  SELECT n.node,
+         ({den - num} * {scale}) // ({den} * (SELECT c FROM nn))
+         + ({num} * COALESCE(s{k}.s, 0)) // {den} AS r
+  FROM nodes n LEFT JOIN s{k} ON n.node = s{k}.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT (node - 1) // 2 AS s_suppkey, CAST(r AS BIGINT) AS rank_scaled
+FROM r{iterations} WHERE node % 2 = 1
+ORDER BY rank_scaled DESC, s_suppkey LIMIT 25
+"""
+    )
+
+
+PAGERANK_SQL = _pagerank_sql(3)
+
+
+def streaming_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CEP (``streaming/cep.py``): per-user (order, symbol)
+    buffers in keyed state, patterns re-counted per micro-batch —
+    running match counts that repair themselves under out-of-order
+    arrival. The availableNow snapshot (latest emission per key) is
+    hash-identical to the batch operator, so the oracle is the same
+    SQL as ``events_pattern_match``."""
+    from etl_stream_spark.streaming.cep import pattern_matches
+
+    _ensure_utc(spark)
+    stream = (
+        spark.readStream.schema(_raw_schema(spark, sf_dir, "events"))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    matched = pattern_matches(
+        stream,
+        key_col="user_id",
+        order_col="event_id",
+        event_col="event_type",
+        symbol_map={
+            "signup": "s",
+            "view": "v",
+            "purchase": "p",
+            "error": "e",
+            "click": "c",
+        },
+        patterns={
+            "friction": "pe",
+            "conversion": "s[^e]*p",
+            "error_burst": "ee+",
+        },
+    )
+    name = "cep_" + uuid.uuid4().hex[:8]
+    q = (
+        matched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_raise(q, 300)
+    sink = spark.table(name)
+    w = Window.partitionBy("user_id")
+    return (
+        sink.withColumn("_latest", F.max("events_seen").over(w))
+        .filter(F.col("events_seen") == F.col("_latest"))
+        .drop("_latest", "events_seen")
+    )
+
+
 def user_trajectory_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series similarity (``operators/timeseries.py``): each user's
     8-bucket integer-cents activity trajectory over the global event
@@ -5844,6 +5974,8 @@ CATALOG: dict[str, QueryDef] = {
     "events_conversion_funnel": QueryDef(events_conversion_funnel, FUNNEL_EVENTS_SQL),
     "events_pattern_match": QueryDef(events_pattern_match, PATTERN_MATCH_SQL),
     "user_trajectory_topk": QueryDef(user_trajectory_topk, TRAJECTORY_SQL),
+    "streaming_pattern_match": QueryDef(streaming_pattern_match, PATTERN_MATCH_SQL),
+    "supplier_pagerank": QueryDef(supplier_pagerank, PAGERANK_SQL),
     "bpe_pair_counts": QueryDef(bpe_pair_counts, BPE_PAIRS_SQL),
     "bpe_learned_merges": QueryDef(bpe_learned_merges, None),
     "bpe_encode_stats": QueryDef(bpe_encode_stats, None),
