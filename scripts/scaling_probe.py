@@ -222,6 +222,33 @@ print("PROBE_RESULT " + json.dumps(out))
 spark.stop()
 """
 
+_PAGERANK_SCALE = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from etl_stream_spark.session import get_spark
+from etl_stream_spark.operators.graph import pagerank
+
+spark = get_spark(app_name="pagerank_scale")
+n_edges = {n_edges}
+n_nodes = n_edges // 10
+# deterministic synthetic graph: hash-derived endpoints give a
+# Poisson-ish degree distribution over n_nodes (no planted hubs —
+# the probe measures the join/agg machinery, not a degenerate input)
+e = spark.range(n_edges).select(
+    F.pmod(F.xxhash64(F.col("id")), F.lit(n_nodes)).alias("src"),
+    F.pmod(F.xxhash64(F.col("id") * 2 + 1), F.lit(n_nodes)).alias("dst"),
+)
+t0 = time.time()
+ranks = pagerank(e, iterations=3)
+total = ranks.agg(F.sum("rank")).collect()[0][0]
+dt = time.time() - t0
+print("PROBE_RESULT " + json.dumps(
+    {{"edges": n_edges, "nodes": n_nodes, "sec": round(dt, 1),
+      "mass": int(total)}}))
+spark.stop()
+"""
+
 _PURGE_SCALE = r"""
 import json, shutil, sys, tempfile, time
 sys.path.insert(0, {repo!r})
@@ -365,6 +392,13 @@ def main() -> None:
         "must stay flat if state reads are touched-bucket bounded",
     )
     ap.add_argument(
+        "--pagerank-edges",
+        type=int,
+        default=0,
+        help="probe 3-iteration integer PageRank over an N-edge synthetic "
+        "graph at each --cpus count",
+    )
+    ap.add_argument(
         "--purge-scale",
         action="store_true",
         help="probe right-to-be-forgotten purge cost (200 clustered keys) "
@@ -378,6 +412,27 @@ def main() -> None:
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(n))
             proc = subprocess.run(
                 [sys.executable, "-c", _MERGE_SCALE.format(repo=REPO)],
+                env=env, capture_output=True, text=True,
+            )
+            line = next(
+                (l for l in proc.stdout.splitlines() if l.startswith("PROBE_RESULT ")),
+                None,
+            )
+            if line is None:
+                print(json.dumps({"cpus": n, "error": proc.stderr[-500:]}))
+                continue
+            print(json.dumps({"cpus": n, **json.loads(line[len("PROBE_RESULT "):])}))
+        return
+
+    if args.pagerank_edges:
+        for n in [int(c) for c in args.cpus.split(",")]:
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(n))
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    "-c",
+                    _PAGERANK_SCALE.format(repo=REPO, n_edges=args.pagerank_edges),
+                ],
                 env=env, capture_output=True, text=True,
             )
             line = next(
