@@ -6136,7 +6136,10 @@ _DRIVER_PRIORITY = [
     # (top3_parts_per_brand [proven r01+r02, plan unchanged] rotated
     # out late round 3 — customer_order_history keeps the proven
     # ranking-window canary — for the verification family's rep below.)
-    "customers_without_orders",
+    # (customers_without_orders [driver-proven r02, plan unchanged]
+    # rotated out late round 3 — q21_waiting_suppliers keeps the
+    # anti-join shape in-window — for the new graph family below.)
+    "supplier_pagerank",
     # verification family (first driver check): one-pass XOR parity
     # checksum — 16-row exchange at any SF
     "orders_replication_checksum",
