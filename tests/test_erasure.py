@@ -386,6 +386,49 @@ class TestForgetLoop:
         assert {(r.name, r.total) for r in rollup.read().collect()} == {("g1", 5)}
 
 
+class TestInterleavedConvergence:
+    def test_forget_between_batches_equals_never_ingested(self, spark, tmp_path):
+        """Apply → forget → apply → replay-everything must converge to
+        the state of a pipeline that never saw the forgotten keys —
+        the erasure contract under the messiest realistic interleaving
+        (late batches AND full replays after the forget)."""
+        rows = [
+            ev(i % 7, f"v{i}", i, OP_INSERT if i % 5 else OP_DELETE, i)
+            for i in range(1, 31)
+        ]
+        batches = [rows[:10], rows[10:20], rows[20:]]
+        doomed = [2, 5]
+
+        def batch(rs):
+            return spark.createDataFrame(
+                [r + ("t1",) for r in rs], EVENT_SCHEMA + ", table string"
+            )
+
+        actual = CdcBatchApplier(
+            spark,
+            str(tmp_path / "a"),
+            {"t1": CdcTableConfig(keys=["id"], num_buckets=4)},
+        )
+        actual.apply_batch(batch(batches[0]))
+        forget_keys(actual, "t1", keys_of(spark, doomed))
+        actual.apply_batch(batch(batches[1]))
+        actual.apply_batch(batch(batches[0]))  # full replay of batch 1
+        actual.apply_batch(batch(batches[2]))
+        actual.apply_batch(batch(rows))  # replay of EVERYTHING
+
+        expected = CdcBatchApplier(
+            spark,
+            str(tmp_path / "e"),
+            {"t1": CdcTableConfig(keys=["id"], num_buckets=4)},
+        )
+        clean = [r for r in rows if r[0] not in doomed]
+        expected.apply_batch(batch(clean))
+
+        got = sorted(map(tuple, actual.target("t1").read().collect()))
+        want = sorted(map(tuple, expected.target("t1").read().collect()))
+        assert got == want
+
+
 class TestPrimitives:
     def test_purge_parquet_dir(self, spark, tmp_path):
         path = str(tmp_path / "q")
