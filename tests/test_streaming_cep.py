@@ -71,6 +71,68 @@ def test_out_of_order_events_repair_counts(spark, tmp_path):
     assert gens == [(2, 1), (3, 0)]
 
 
+def test_state_survives_stream_restart(spark, tmp_path):
+    """Keyed pattern state must persist across SEPARATE stream runs
+    sharing one checkpoint — the crash/redeploy recovery contract: the
+    second run resumes from the stored (order, symbol) buffers, so its
+    counts reflect the whole history, not just the new file."""
+    src = tmp_path / "ev3"
+    src.mkdir()
+    (src / "a.json").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"uid": 1, "seq": 1, "et": "signup"},
+                {"uid": 1, "seq": 2, "et": "purchase"},
+            ]
+        )
+    )
+
+    out = tmp_path / "out"
+
+    def run_once():
+        # parquet sink: the memory sink refuses checkpoint recovery
+        stream = read_cdc_file_stream(spark, str(src), SCHEMA)
+        q = (
+            pattern_matches(stream, "uid", "seq", "et", SYMS, PATTERNS)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(tmp_path / "ckpt_shared"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    def latest():
+        rows = spark.read.parquet(str(out)).collect()
+        best = {}
+        for r in rows:
+            if r.uid not in best or r.events_seen > best[r.uid].events_seen:
+                best[r.uid] = r
+        return best
+
+    run_once()
+    assert latest()[1].conv_matches == 1
+    # stream stops; a later file arrives; a NEW run resumes the state
+    (src / "b.json").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"uid": 1, "seq": 3, "et": "signup"},
+                {"uid": 1, "seq": 4, "et": "purchase"},
+            ]
+        )
+    )
+    run_once()
+    final = latest()[1]
+    # events_seen == 4 proves the first run's buffer was recovered from
+    # the checkpoint (a fresh state would report 2); greedy 's[^e]*p'
+    # spans the whole 'spsp' → still one non-overlapping match, exactly
+    # as the batch operator counts it
+    assert (final.events_seen, final.conv_matches) == (4, 1)
+
+
 def test_snapshot_equals_batch_operator(spark, tmp_path):
     src = tmp_path / "ev2"
     src.mkdir()
