@@ -4840,6 +4840,69 @@ FROM seqs
 """
 
 
+def session_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP scoped to activity sessions — the documented contract for
+    unbounded keys (segment first, then match): 30-min-gap
+    sessionization (one user-key shuffle, ``operators/sessionize.py``)
+    feeds row-pattern matching per (user, session)
+    (``operators/cep.py``), rolled up to per-user totals of in-session
+    conversions and friction events. MATCH_RECOGNIZE's PARTITION BY
+    with a session window, composed from the two existing operators."""
+    from etl_stream_spark.operators.cep import match_pattern
+
+    ev = _t(spark, sf_dir, "events")
+    s = sz.sessionize(ev).withColumn("_s", F.col("ts").cast("long"))
+    m = match_pattern(
+        s,
+        key_cols=["user_id", "session_seq"],
+        order_cols=["_s", "event_id"],
+        event_col="event_type",
+        symbol_map={
+            "signup": "s",
+            "view": "v",
+            "purchase": "p",
+            "error": "e",
+            "click": "c",
+        },
+        patterns={"conversion": "s[^e]*p", "friction": "pe"},
+    )
+    return m.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("conversion_matches").cast("long").alias("session_conversions"),
+        F.sum("friction_matches").cast("long").alias("session_frictions"),
+    )
+
+
+SESSION_PATTERN_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s
+  FROM events
+), g AS (
+  SELECT user_id, event_id, event_type, s,
+         CASE WHEN s - lag(s) OVER w IS NULL OR s - lag(s) OVER w > 1800
+              THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+), c AS (
+  SELECT user_id, event_id, event_type, s,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY s, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM g
+), seqs AS (
+  SELECT user_id, session_seq,
+         string_agg(CASE event_type WHEN 'signup' THEN 's' WHEN 'view' THEN 'v'
+                    WHEN 'purchase' THEN 'p' WHEN 'error' THEN 'e'
+                    WHEN 'click' THEN 'c' ELSE 'o' END,
+                    '' ORDER BY s, event_id) AS q
+  FROM c GROUP BY user_id, session_seq
+)
+SELECT user_id, COUNT(*) AS n_sessions,
+       CAST(SUM(len(regexp_extract_all(q, 's[^e]*p'))) AS BIGINT) AS session_conversions,
+       CAST(SUM(len(regexp_extract_all(q, 'pe'))) AS BIGINT) AS session_frictions
+FROM seqs GROUP BY user_id
+"""
+
+
 def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link analysis (``operators/graph.py``): deterministic integer
     PageRank over the customer–supplier co-purchase graph (bipartite,
@@ -5976,6 +6039,7 @@ CATALOG: dict[str, QueryDef] = {
     "user_trajectory_topk": QueryDef(user_trajectory_topk, TRAJECTORY_SQL),
     "streaming_pattern_match": QueryDef(streaming_pattern_match, PATTERN_MATCH_SQL),
     "supplier_pagerank": QueryDef(supplier_pagerank, PAGERANK_SQL),
+    "session_pattern_match": QueryDef(session_pattern_match, SESSION_PATTERN_SQL),
     "bpe_pair_counts": QueryDef(bpe_pair_counts, BPE_PAIRS_SQL),
     "bpe_learned_merges": QueryDef(bpe_learned_merges, None),
     "bpe_encode_stats": QueryDef(bpe_encode_stats, None),
