@@ -8,6 +8,8 @@ from __future__ import annotations
 import os
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from etl_stream_spark.cdc import (
@@ -427,6 +429,103 @@ class TestInterleavedConvergence:
         got = sorted(map(tuple, actual.target("t1").read().collect()))
         want = sorted(map(tuple, expected.target("t1").read().collect()))
         assert got == want
+
+
+class TestErasureProperty:
+    @pytest.mark.slow
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.function_scoped_fixture,
+            HealthCheck.too_slow,
+        ],
+    )
+    @given(
+        log=st.lists(
+            st.tuples(
+                st.sampled_from(["INSERT", "UPDATE", "DELETE"]),
+                st.sampled_from([1, 2, 3, 4]),
+                st.integers(min_value=0, max_value=9),
+            ),
+            min_size=1,
+            max_size=16,
+        ),
+        cuts=st.lists(
+            st.integers(min_value=1, max_value=15), max_size=3, unique=True
+        ),
+        forgets=st.lists(
+            st.tuples(st.integers(min_value=0, max_value=3), st.sampled_from([1, 2, 3, 4])),
+            max_size=2,
+            unique=True,
+        ),
+        replays=st.lists(st.integers(min_value=0, max_value=7), max_size=2),
+    )
+    def test_random_forgets_and_replays_converge(
+        self, spark, tmp_path_factory, log, cuts, forgets, replays
+    ):
+        """Random log, random batch cuts, random mid-stream forgets,
+        random batch replays afterwards (tombstoned deletes, so replays
+        alone are idempotent): the final state must equal a sequential
+        oracle over the events of never-forgotten keys only."""
+        import uuid as _uuid
+
+        events = [
+            (op, key, payload, make_sequence(1_700_000_000_000_000, i))
+            for i, (op, key, payload) in enumerate(log)
+        ]
+        bounds = sorted({c for c in cuts if c < len(events)})
+        batches, start = [], 0
+        for b in [*bounds, len(events)]:
+            if b > start:
+                batches.append(events[start:b])
+                start = b
+
+        applier = CdcBatchApplier(
+            spark,
+            str(tmp_path_factory.mktemp("eprop") / f"t_{_uuid.uuid4().hex[:8]}"),
+            {
+                "t1": CdcTableConfig(
+                    keys=["id"], num_buckets=4, tombstone_deletes=True
+                )
+            },
+        )
+
+        def apply(batch_events):
+            df = spark.createDataFrame(
+                [
+                    (key, payload if op != "DELETE" else None, op, seq, "t1")
+                    for op, key, payload, seq in batch_events
+                ],
+                "id long, payload long, operation string, sequence string, table string",
+            )
+            applier.apply_batch(df)
+
+        forgotten: set[int] = set()
+        for i, batch_events in enumerate(batches):
+            apply(batch_events)
+            for j, k in forgets:
+                if j == i:
+                    forget_keys(applier, "t1", keys_of(spark, [k]))
+                    forgotten.add(k)
+        # forget points past the last batch still apply (at the end)
+        for j, k in forgets:
+            if j >= len(batches) and k not in forgotten:
+                forget_keys(applier, "t1", keys_of(spark, [k]))
+                forgotten.add(k)
+        for idx in replays:
+            apply(batches[idx % len(batches)])
+
+        expected: dict[int, int] = {}
+        for op, key, payload, _seq in events:
+            if key in forgotten:
+                continue
+            if op == "DELETE":
+                expected.pop(key, None)
+            else:
+                expected[key] = payload
+        got = {r.id: r.payload for r in applier.target("t1").read().collect()}
+        assert got == expected
 
 
 class TestPrimitives:
