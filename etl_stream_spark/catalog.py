@@ -4840,6 +4840,47 @@ FROM seqs
 """
 
 
+def events_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format breadth: land the event log as JSON-lines (the
+    drop-directory format ``sources/file_source.py`` streams), read it
+    back with an EXPLICIT schema (no inference — the production
+    contract), and aggregate per event type; the result must match the
+    parquet-sourced oracle value-for-value. Timestamps travel as epoch
+    seconds — ISO strings would re-open cross-engine TZ parsing, the
+    exact divergence the repo's determinism rules exist to avoid."""
+    _ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="jsonl_")
+    path = os.path.join(root, "events_jsonl")
+    ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("long").alias("ts_s"),
+        "value",
+    ).write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "event_id long, user_id long, event_type string, ts_s long, value double"
+    ).json(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        _dbl(F.sum(F.col("value").cast(DEC))).alias("total_value"),
+        F.min("ts_s").alias("first_s"),
+        F.max("ts_s").alias("last_s"),
+    )
+
+
+JSONL_ROUNDTRIP_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value,
+       CAST(floor(epoch(MIN(ts))) AS BIGINT) AS first_s,
+       CAST(floor(epoch(MAX(ts))) AS BIGINT) AS last_s
+FROM events GROUP BY event_type
+"""
+
+
 def session_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP scoped to activity sessions — the documented contract for
     unbounded keys (segment first, then match): 30-min-gap
@@ -6040,6 +6081,7 @@ CATALOG: dict[str, QueryDef] = {
     "streaming_pattern_match": QueryDef(streaming_pattern_match, PATTERN_MATCH_SQL),
     "supplier_pagerank": QueryDef(supplier_pagerank, PAGERANK_SQL),
     "session_pattern_match": QueryDef(session_pattern_match, SESSION_PATTERN_SQL),
+    "events_jsonl_roundtrip": QueryDef(events_jsonl_roundtrip, JSONL_ROUNDTRIP_SQL),
     "bpe_pair_counts": QueryDef(bpe_pair_counts, BPE_PAIRS_SQL),
     "bpe_learned_merges": QueryDef(bpe_learned_merges, None),
     "bpe_encode_stats": QueryDef(bpe_encode_stats, None),
