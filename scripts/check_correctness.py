@@ -127,10 +127,17 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     only = set(args.only.split(",")) if args.only else None
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"FAIL  unknown --only entries: {sorted(unknown)}")
+            return 1
     failures = []
+    checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         t0 = time.time()
         try:
             sdf = fn(spark, args.sf)
@@ -197,7 +204,7 @@ def main() -> int:
             failures.append(name)
         else:
             print(f"OK    {name}: {len(srows)} rows match [{spark_s:.1f}s]")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries OK")
+    print(f"\n{checked - len(failures)}/{checked} queries OK")
     return 1 if failures else 0
 
 
