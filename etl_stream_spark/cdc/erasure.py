@@ -120,7 +120,7 @@ def erasure_list_for(applier, name: str) -> ErasureList:
     return ErasureList(
         applier.spark,
         f"{applier.base_path}/_erased/{name}",
-        applier._configs[name].keys,
+        applier.config(name).keys,
     )
 
 

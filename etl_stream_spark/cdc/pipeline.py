@@ -108,6 +108,9 @@ class CdcBatchApplier:
         self._targets: dict[str, ParquetMergeTable] = {}
         self._configs = dict(tables)
 
+    def config(self, name: str) -> CdcTableConfig:
+        return self._configs[name]
+
     def target(self, name: str) -> ParquetMergeTable:
         if name not in self._targets:
             validate_identifier(name, "table name")

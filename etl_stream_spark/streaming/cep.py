@@ -34,7 +34,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..operators.cep import symbol_expr
 
-_STATE_SCHEMA = "orders array<long>, syms array<string>"
+_STATE_SCHEMA = "orders array<long>, syms array<string>, n long"
 
 
 def pattern_matches(
@@ -45,13 +45,24 @@ def pattern_matches(
     symbol_map: Mapping[str, str],
     patterns: Mapping[str, str],
     other: str = "o",
+    max_buffer: int | None = None,
 ) -> DataFrame:
     """Per-key running pattern-match counts over a stream.
 
     Emits ``(key, <name>_matches..., events_seen)`` for every key a
     micro-batch touched; ``events_seen`` strictly increases per
     emission, so downstream keeps the latest row per key (the same
-    snapshot-generation convention as ``trending_items``)."""
+    snapshot-generation convention as ``trending_items``).
+
+    ``max_buffer`` bounds per-key state for keys that never stop: only
+    the HIGHEST-order ``max_buffer`` (order, symbol) pairs are
+    retained, so counts become "matches within the trailing
+    max_buffer events" and a late event older than the retained window
+    is dropped rather than repaired — the explicit trade a bounded-
+    state CEP makes (Flink CEP's ``within`` clause is the same trade
+    in time units). Size it ≥ the longest pattern span you care
+    about. Default None keeps everything: exact counts, state = the
+    key's event count (the MATCH_RECOGNIZE partition-fits contract)."""
     key_dt = stream.schema[key_col].dataType.simpleString()
     names = list(patterns)
     out_schema = ", ".join(
@@ -70,22 +81,27 @@ def pattern_matches(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            orders, syms = state.get
+            orders, syms, seen = state.get
             orders, syms = list(orders), list(syms)
         else:
-            orders, syms = [], []
+            orders, syms, seen = [], [], 0
         for pdf in pdfs:
+            seen += len(pdf)
             orders.extend(int(x) for x in pdf["_ord"])
             syms.extend(pdf["_sym"])
         pairs = sorted(zip(orders, syms))
+        if max_buffer is not None and len(pairs) > max_buffer:
+            pairs = pairs[-max_buffer:]
         orders = [p[0] for p in pairs]
         syms = [p[1] for p in pairs]
-        state.update((orders, syms))
+        state.update((orders, syms, int(seen)))
         s = "".join(syms)
         row = {key_col: [key[0]]}
         for n in names:
             row[f"{n}_matches"] = [len(compiled[n].findall(s))]
-        row["events_seen"] = [len(syms)]
+        # cumulative, never the (possibly capped) buffer length —
+        # strictly increasing so latest-per-key selection stays sound
+        row["events_seen"] = [int(seen)]
         yield pd.DataFrame(row)
 
     return keyed.groupBy(key_col).applyInPandasWithState(

@@ -71,6 +71,35 @@ def test_out_of_order_events_repair_counts(spark, tmp_path):
     assert gens == [(2, 1), (3, 0)]
 
 
+def test_max_buffer_bounds_state_and_windows_counts(spark, tmp_path):
+    """With max_buffer, only the trailing window of (order, symbol)
+    pairs is retained: counts become windowed, events_seen stays
+    cumulative (strictly increasing), and a late event older than the
+    window is dropped, not repaired."""
+    src = tmp_path / "evb"
+    src.mkdir()
+    # batch 1: s p s p  (seqs 1-4); batch 2: one late error at seq 2
+    (src / "a.json").write_text(
+        "\n".join(
+            json.dumps({"uid": 1, "seq": q, "et": t})
+            for q, t in [(1, "signup"), (2, "purchase"), (3, "signup"), (4, "purchase")]
+        )
+    )
+    (src / "b.json").write_text(json.dumps({"uid": 1, "seq": 2, "et": "error"}))
+    stream = read_cdc_file_stream(spark, str(src), SCHEMA, max_files_per_trigger=1)
+    _run(
+        pattern_matches(
+            stream, "uid", "seq", "et", SYMS, {"pe": "pe"}, max_buffer=2
+        ),
+        tmp_path,
+        "cepb",
+    )
+    gens = {r.events_seen: r.pe_matches for r in spark.sql("SELECT * FROM cepb").collect()}
+    # batch 1: buffer trails to 'sp' (seqs 3,4) → no 'pe'; the late
+    # seq-2 error predates the retained window → dropped, counts stay
+    assert gens == {4: 0, 5: 0}
+
+
 def test_state_survives_stream_restart(spark, tmp_path):
     """Keyed pattern state must persist across SEPARATE stream runs
     sharing one checkpoint — the crash/redeploy recovery contract: the
