@@ -770,7 +770,9 @@ def cdc_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = env.agg(F.max("event_id")).collect()[0][0] or 0
     root = tempfile.mkdtemp(prefix="cdc_scd2_")
     t = Scd2Table(spark, os.path.join(root, "hist"), keys=["user_id"], num_buckets=8)
-    bounds = [hi * i // 4 for i in range(5)]
+    # first bound is -1, not 0: event_id 0 exists and a (0, ...] first
+    # chunk would silently drop it from the replay the oracle includes
+    bounds = [-1] + [hi * i // 4 for i in range(1, 5)]
     for lo, b in zip(bounds, bounds[1:]):
         chunk = env.filter(
             (F.col("event_id") > F.lit(lo)) & (F.col("event_id") <= F.lit(b))
@@ -806,7 +808,8 @@ def cdc_scd2_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="cdc_scd2_ret_")
     t = Scd2Table(spark, os.path.join(root, "hist"), keys=["user_id"], num_buckets=8)
     mid = hi // 2
-    for lo, b in [(0, mid), (mid, hi)]:
+    # first bound -1, not 0: event_id 0 must replay too (oracle does)
+    for lo, b in [(-1, mid), (mid, hi)]:
         chunk = env.filter(
             (F.col("event_id") > F.lit(lo)) & (F.col("event_id") <= F.lit(b))
         ).drop("event_id")

@@ -42,7 +42,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.errors.exceptions.captured import AnalysisException
 
-from etl_stream_spark.cdc.merge import _hadoop_fs, _hadoop_path
+from etl_stream_spark.cdc.merge import _hadoop_fs
 
 
 class ErasureList:
@@ -84,34 +84,24 @@ def purge_parquet_dir(
     spark: SparkSession, path: str, keys_df: DataFrame, keys: Sequence[str]
 ) -> None:
     """Anti-join rewrite of a plain (non-bucketed) parquet directory —
-    the quarantine / DLQ shape. Concurrent-append safe like the landing
-    purge: snapshot the file set, append the retained remainder as new
-    files, then delete exactly the snapshotted files; rows appended
-    during the rewrite are never touched. A missing or empty directory
-    is a no-op."""
+    the quarantine / DLQ / landing shape. Delegates to the shared
+    ``replace_parquet_files`` (concurrent-append-safe snapshot
+    protocol, partition-layout preserving). A missing or empty
+    directory is a no-op."""
+    from etl_stream_spark.plans.compaction import replace_parquet_files
+
     try:
         df = spark.read.option("mergeSchema", "true").parquet(path)
     except AnalysisException:
         return
     snapshot = list(df.inputFiles())
-    if not snapshot:
-        return
     purge = keys_df.select(*keys).distinct()
-    retained = (
-        spark.read.option("mergeSchema", "true")
-        .option("basePath", path)
-        .parquet(*snapshot)
-        .join(purge, on=list(keys), how="left_anti")
-        .persist()  # isEmpty + append must not scan the snapshot twice
+    replace_parquet_files(
+        spark,
+        path,
+        snapshot,
+        lambda sub: sub.join(purge, on=list(keys), how="left_anti"),
     )
-    try:
-        if not retained.isEmpty():
-            retained.write.mode("append").parquet(path)
-    finally:
-        retained.unpersist()
-    fs, _ = _hadoop_fs(spark, path)
-    for f in snapshot:
-        fs.delete(_hadoop_path(spark, f), False)
 
 
 def erasure_list_for(applier, name: str) -> ErasureList:
@@ -147,6 +137,15 @@ def forget_keys(
     undecoded strings has no key columns — decode-then-repark before
     forgetting, or age it out by retention.)"""
     target = applier.target(name)
+    # Materialize the request FIRST (lineage cut, not just a cache):
+    # keys_df is often derived from the very state this function is
+    # about to mutate (target reads, quarantine scans) — a lazy plan
+    # re-evaluated after the first purge would resolve to a different
+    # (even empty) key set for the later surfaces, silently leaving
+    # erased users' history/quarantine rows behind.
+    keys_df = (
+        keys_df.select(*target.keys).distinct().localCheckpoint(eager=True)
+    )
     erasure_list_for(applier, name).add(keys_df)
 
     rollup = applier.rollups.get(name)

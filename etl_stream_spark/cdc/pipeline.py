@@ -221,19 +221,16 @@ class CdcBatchApplier:
         # fully merged state of both its tables (no concurrent view
         # rewrites). A TRUNCATE on either side invalidates keys beyond
         # the batch's own — the view rebuilds from current state then.
+        # (The fused discovery pass already knows which tables carried
+        # truncates — no per-view re-scan of the batch lineage.)
         def _per(name: str) -> DataFrame:
             return events.filter(F.col(self.table_col) == name).drop(self.table_col)
-
-        def _had_trunc(per: DataFrame) -> bool:
-            return (
-                per.filter(F.col(OPERATION_COL) == OP_TRUNCATE).limit(1).count() > 0
-            )
 
         for view, fact_name, dim_name in self.join_views:
             fact_per = _per(fact_name) if fact_name in names else None
             dim_per = _per(dim_name) if dim_name in names else None
-            if (fact_per is not None and _had_trunc(fact_per)) or (
-                dim_per is not None and _had_trunc(dim_per)
+            if bool(trunc_by_table.get(fact_name)) or bool(
+                trunc_by_table.get(dim_name)
             ):
                 view.view.truncate()
                 view.refresh_full()

@@ -155,34 +155,17 @@ class Scd2Table:
             return {"files_before": 0, "files_after": 0, "skipped": True}
 
     def _replace_closed_files(self, files: list[str], keep) -> None:
-        """Rewrite exactly ``files`` in the closed zone: append
-        ``keep(subset)`` as new files first, then delete the originals
-        — concurrent-append safe like the landing purge (rows appended
-        during the rewrite are never touched). Callers pass only the
-        files that actually CONTAIN doomed rows, so rewrite
-        amplification is bounded by where the doomed rows live, not by
-        history size — the same cost model as a Delta/Iceberg DELETE,
-        which also rewrites affected files only. At scale, batch
-        erasure/retention requests and fold the rewrite into the
-        scheduled :meth:`compact_closed` cycle."""
-        from etl_stream_spark.cdc.merge import _hadoop_fs, _hadoop_path
+        """Rewrite exactly ``files`` in the closed zone via the shared
+        snapshot protocol (``plans/compaction.py::replace_parquet_files``).
+        Callers pass only the files that actually CONTAIN doomed rows,
+        so rewrite amplification is bounded by where the doomed rows
+        live, not by history size — the same cost model as a
+        Delta/Iceberg DELETE, which also rewrites affected files only.
+        At scale, batch erasure/retention requests and fold the rewrite
+        into the scheduled :meth:`compact_closed` cycle."""
+        from etl_stream_spark.plans.compaction import replace_parquet_files
 
-        if not files:
-            return
-        subset = (
-            self.spark.read.option("mergeSchema", "true")
-            .option("basePath", self.closed_path)
-            .parquet(*files)
-        )
-        retained = keep(subset).persist()  # isEmpty + append: one scan
-        try:
-            if not retained.isEmpty():
-                retained.write.mode("append").parquet(self.closed_path)
-        finally:
-            retained.unpersist()
-        fs, _ = _hadoop_fs(self.spark, self.closed_path)
-        for f in files:
-            fs.delete(_hadoop_path(self.spark, f), False)
+        replace_parquet_files(self.spark, self.closed_path, files, keep)
 
     def purge_keys(self, keys_df: DataFrame) -> None:
         """Compliance erasure: remove EVERY version of the given keys —

@@ -81,9 +81,13 @@ class FingerprintStore:
             r[0]
             for r in batch.select(bucket.alias(BUCKET_COL)).distinct().collect()
         ]
-        seen = self.table._read_state(buckets=touched).select(FP_COL)
+        state = self.table._read_state(buckets=touched)
+        if state is None:
+            # table root exists but none of the batch's buckets are
+            # materialized (e.g. purge() emptied them) — all novel
+            return batch.drop(FP_COL)
         return (
-            batch.join(seen, FP_COL, "left_anti").drop(FP_COL)
+            batch.join(state.select(FP_COL), FP_COL, "left_anti").drop(FP_COL)
         )
 
     def register(

@@ -71,11 +71,15 @@ def pattern_matches(
         + ["events_seen long"]
     )
     compiled = {n: re.compile(p) for n, p in patterns.items()}
+    # NULL order values are dropped here, explicitly: such a row has no
+    # position in the sequence, and letting it reach the stateful
+    # function would poison the micro-batch (and every replay of it).
+    # Malformed input belongs in the DLQ decode path, not this buffer.
     keyed = stream.select(
         F.col(key_col),
         F.col(order_col).cast("long").alias("_ord"),
         symbol_expr(event_col, symbol_map, other).alias("_sym"),
-    )
+    ).filter(F.col("_ord").isNotNull())
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState

@@ -350,6 +350,58 @@ class TestForgetLoop:
         assert {r.id for r in landing.read().collect()} == {2}
         assert {r.id for r in applier.target("t1").read().collect()} == {2}
 
+    def test_partitioned_landing_layout_survives_purge(self, spark, tmp_path):
+        """Purging a PARTITIONED directory must keep its Hive layout:
+        an unpartitioned append into a dt=*/ tree corrupts every future
+        read ('conflicting directory structures')."""
+        from etl_stream_spark.cdc.pipeline import LandingTable
+
+        landing = LandingTable(
+            spark, str(tmp_path / "landing"), partition_cols=("dt",)
+        )
+        applier = CdcBatchApplier(
+            spark, str(tmp_path), {"t1": CdcTableConfig(keys=["id"], num_buckets=4)}
+        )
+        batch = self.batch(
+            spark, [ev(1, "a", 1, OP_INSERT, 1), ev(2, "b", 2, OP_INSERT, 2)]
+        )
+        landing.append(
+            batch.drop("table").withColumn(
+                "dt", F.when(F.col("id") == 1, "2026-01-01").otherwise("2026-01-02")
+            )
+        )
+        applier.apply_batch(batch)
+        forget_keys(applier, "t1", keys_of(spark, [1]), extra_paths=[landing.path])
+        # the read itself fails if the layout was corrupted (partition
+        # values re-infer as DATE — compare stringified)
+        rows = landing.read().collect()
+        assert {(r.id, str(r.dt)) for r in rows} == {(2, "2026-01-02")}
+
+    def test_keys_from_mutated_state_purge_every_surface(self, spark, tmp_path):
+        """keys_df derived FROM the target state must keep working after
+        the target is purged: every later surface (history, quarantine)
+        sees the materialized request, not a lazily re-evaluated (now
+        empty) plan — the silent-compliance-hole regression."""
+        hist = Scd2Table(spark, str(tmp_path / "hist"), keys=["id"], num_buckets=4)
+        applier = CdcBatchApplier(
+            spark,
+            str(tmp_path),
+            {"t1": CdcTableConfig(keys=["id"], num_buckets=4)},
+            histories={"t1": hist},
+        )
+        applier.apply_batch(
+            self.batch(
+                spark,
+                [ev(1, "keep", 1, OP_INSERT, 1), ev(2, "doomed", 2, OP_INSERT, 2)],
+            )
+        )
+        # the erasure request is a FILTER OVER CURRENT STATE — the shape
+        # a takedown job produces
+        doomed = applier.target("t1").read().filter(F.col("name") == "doomed")
+        forget_keys(applier, "t1", doomed)
+        assert {r.id for r in applier.target("t1").read().collect()} == {1}
+        assert hist.read().filter(F.col("id") == 2).count() == 0
+
     def test_rollup_groups_repaired(self, spark, tmp_path):
         from etl_stream_spark.cdc.rollup import IncrementalRollup
 
