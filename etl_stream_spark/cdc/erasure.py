@@ -40,6 +40,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.errors.exceptions.captured import AnalysisException
 
 from etl_stream_spark.cdc.merge import _hadoop_fs
@@ -82,26 +83,32 @@ class ErasureList:
 
 def purge_parquet_dir(
     spark: SparkSession, path: str, keys_df: DataFrame, keys: Sequence[str]
-) -> None:
+) -> int:
     """Anti-join rewrite of a plain (non-bucketed) parquet directory —
     the quarantine / DLQ / landing shape. Delegates to the shared
     ``replace_parquet_files`` (concurrent-append-safe snapshot
     protocol, partition-layout preserving). A missing or empty
-    directory is a no-op."""
+    directory is a no-op. Returns rows removed (audit figure)."""
     from etl_stream_spark.plans.compaction import replace_parquet_files
 
     try:
         df = spark.read.option("mergeSchema", "true").parquet(path)
     except AnalysisException:
-        return
+        return 0
     snapshot = list(df.inputFiles())
+    if not snapshot:
+        return 0
     purge = keys_df.select(*keys).distinct()
+    doomed = df.join(purge, on=list(keys), how="left_semi").count()
+    if doomed == 0:
+        return 0
     replace_parquet_files(
         spark,
         path,
         snapshot,
         lambda sub: sub.join(purge, on=list(keys), how="left_anti"),
     )
+    return doomed
 
 
 def erasure_list_for(applier, name: str) -> ErasureList:
@@ -119,7 +126,7 @@ def forget_keys(
     name: str,
     keys_df: DataFrame,
     extra_paths: Sequence[str] = (),
-) -> None:
+) -> dict:
     """Erase the given keys from every stateful surface of one table.
 
     Ordering matters: the erasure list is written FIRST, so any batch
@@ -135,7 +142,12 @@ def forget_keys(
     again, but the stored bytes themselves are what a deletion request
     is about, so they are purged too. (A RAW-bytes DLQ whose rows are
     undecoded strings has no key columns — decode-then-repark before
-    forgetting, or age it out by retention.)"""
+    forgetting, or age it out by retention.)
+
+    Returns the proof-of-erasure report (per-surface rows removed) and
+    appends it, timestamped, to ``<base>/_erasure_audit`` — a deletion
+    request must be demonstrably fulfilled, not just executed, and the
+    audit row is what an operator produces on demand."""
     target = applier.target(name)
     # Materialize the request FIRST (lineage cut, not just a cache):
     # keys_df is often derived from the very state this function is
@@ -160,21 +172,49 @@ def forget_keys(
             )
             touched_groups = rollup.touched_groups(doomed)
 
-    target.purge_keys(keys_df)
+    report = {
+        "table": name,
+        "requested_keys": keys_df.count(),
+        "state_rows": target.purge_keys(keys_df),
+        "history_rows": 0,
+        "quarantine_rows": purge_parquet_dir(
+            applier.spark,
+            f"{applier.base_path}/_quarantine/{name}",
+            keys_df,
+            target.keys,
+        ),
+        "extra_path_rows": 0,
+    }
     history = applier.histories.get(name)
     if history is not None:
-        history.purge_keys(keys_df)
-    purge_parquet_dir(
-        applier.spark,
-        f"{applier.base_path}/_quarantine/{name}",
-        keys_df,
-        target.keys,
-    )
+        report["history_rows"] = history.purge_keys(keys_df)
     for path in extra_paths:
-        purge_parquet_dir(applier.spark, path, keys_df, target.keys)
+        report["extra_path_rows"] += purge_parquet_dir(
+            applier.spark, path, keys_df, target.keys
+        )
     if rollup is not None:
         rollup.refresh_groups(touched_groups)
     for view, fact_name, dim_name in applier.join_views:
         if name in (fact_name, dim_name):
             view.view.truncate()
             view.refresh_full()
+    (
+        applier.spark.createDataFrame(
+            [
+                (
+                    report["table"],
+                    report["requested_keys"],
+                    report["state_rows"],
+                    report["history_rows"],
+                    report["quarantine_rows"],
+                    report["extra_path_rows"],
+                )
+            ],
+            "table string, requested_keys long, state_rows long, "
+            "history_rows long, quarantine_rows long, extra_path_rows long",
+        )
+        .withColumn("erased_at", F.current_timestamp())
+        .write.mode("append")
+        .parquet(f"{applier.base_path}/_erasure_audit")
+    )
+    return report

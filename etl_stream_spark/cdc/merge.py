@@ -313,13 +313,14 @@ class ParquetMergeTable:
         )
         self._write(result, full_overwrite=False, touched=touched)
 
-    def purge_keys(self, keys_df: DataFrame) -> None:
+    def purge_keys(self, keys_df: DataFrame) -> int:
         """Compliance erasure (right-to-be-forgotten): physically remove
         every row for the given key tuples — delete tombstones and
         sequence state included — bypassing the stale-sequence guard.
         An erasure request is not a CDC event: nothing about WAL order
         protects it, and unlike :data:`OP_DELETE` it must leave no
-        marker behind.
+        marker behind. Returns the number of rows removed (the
+        proof-of-erasure figure the audit trail records).
 
         Bucket-pruned like a merge: the purge set hashes to its buckets
         (the only driver-side collect is the bounded bucket-id list) and
@@ -337,15 +338,21 @@ class ParquetMergeTable:
         try:
             touched = [r[0] for r in purge.select(BUCKET_COL).distinct().collect()]
             if not touched:
-                return
+                return 0
             state = self._read_state(buckets=touched)
             if state is None:
-                return
+                return 0
             cond = [
                 F.col(f"t.{k}").eqNullSafe(F.col(f"p.{k}")) for k in self.keys
             ]
+            doomed = state.alias("t").join(
+                purge.alias("p"), cond, "left_semi"
+            ).count()
+            if doomed == 0:
+                return 0
             kept = state.alias("t").join(purge.alias("p"), cond, "left_anti")
             self._write(kept, full_overwrite=False, touched=touched)
+            return doomed
         finally:
             purge.unpersist()
 

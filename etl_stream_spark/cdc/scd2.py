@@ -167,30 +167,36 @@ class Scd2Table:
 
         replace_parquet_files(self.spark, self.closed_path, files, keep)
 
-    def purge_keys(self, keys_df: DataFrame) -> None:
+    def purge_keys(self, keys_df: DataFrame) -> int:
         """Compliance erasure: remove EVERY version of the given keys —
         current and historical. The open zone inherits the merge
         engine's bucket-pruned purge. The closed zone is append-only
-        and not keyed, so the doomed FILES are located first (one
-        semi-join collecting distinct file names — bounded by the
-        file count, which compaction keeps low) and only those are
-        rewritten."""
-        self.open.purge_keys(keys_df)
+        and not keyed, so one pass over it locates the doomed FILES and
+        counts the doomed rows together (the file list is bounded by
+        the file count, which compaction keeps low) and only those
+        files are rewritten. Returns total versions removed
+        (open + closed) for the proof-of-erasure audit."""
+        removed = self.open.purge_keys(keys_df)
         closed = self._read_closed()
         if closed is None:
-            return
+            return removed
         purge = keys_df.select(*self.keys).distinct()
-        doomed_files = [
-            r[0]
-            for r in closed.withColumn("_f", F.input_file_name())
+        summary = (
+            closed.withColumn("_f", F.input_file_name())
             .join(purge, on=self.keys, how="left_semi")
-            .select("_f")
-            .distinct()
-            .collect()
-        ]
-        self._replace_closed_files(
-            doomed_files, lambda df: df.join(purge, on=self.keys, how="left_anti")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.collect_set("_f").alias("files"),
+            )
+            .first()
         )
+        if summary.n == 0:
+            return removed
+        self._replace_closed_files(
+            list(summary.files),
+            lambda df: df.join(purge, on=self.keys, how="left_anti"),
+        )
+        return removed + summary.n
 
     def expire_closed_before(self, seq: str) -> None:
         """Retention enforcement: drop closed versions whose validity

@@ -302,7 +302,18 @@ class TestForgetLoop:
             )
         )
         assert applier.read_quarantine("t1").count() == 1
-        forget_keys(applier, "t1", keys_of(spark, [2, 3]))
+        report = forget_keys(applier, "t1", keys_of(spark, [2, 3]))
+        # proof-of-erasure: per-surface removal counts + audit trail
+        assert report == {
+            "table": "t1",
+            "requested_keys": 2,
+            "state_rows": 1,       # id 3 (id 2 was quarantined, never merged)
+            "history_rows": 1,     # id 3's single open version
+            "quarantine_rows": 1,  # id 2's parked row
+            "extra_path_rows": 0,
+        }
+        audit = spark.read.parquet(str(tmp_path / "_erasure_audit"))
+        assert audit.count() == 1 and audit.first().state_rows == 1
         q = applier.read_quarantine("t1")
         assert q is None or q.count() == 0
         assert hist.read().filter(F.col("id") == 3).count() == 0
