@@ -136,6 +136,17 @@ class DeltaMergeTable:
 
             DeltaTable.forPath(self.spark, self.path).delete()
 
+    def _ensure_tombstone_column(self) -> None:
+        """Add a nullable boolean ``_deleted`` to a pre-tombstone table
+        (no-op when present). NULL reads as not-deleted, so existing
+        rows keep their semantics — parity with the parquet engine."""
+        cols = self.spark.read.format("delta").load(self.path).columns
+        if DELETED_COL not in cols:
+            self.spark.sql(
+                f"ALTER TABLE delta.`{self.path}` "
+                f"ADD COLUMNS ({DELETED_COL} boolean)"
+            )
+
     def merge(self, batch: DataFrame) -> None:
         from delta.tables import DeltaTable
         from pyspark.sql import functions as F
@@ -158,6 +169,12 @@ class DeltaMergeTable:
             initial.write.format("delta").save(self.path)
             return
         if self.tombstone_deletes:
+            # Tables created before the tombstone flag lack _deleted, and
+            # Delta MERGE rejects SET on unknown columns unless schema
+            # autoMerge is on — evolve first so the twin matches
+            # ParquetMergeTable's transparent handling of pre-tombstone
+            # files (NULL _deleted → row kept).
+            self._ensure_tombstone_column()
             # deletes are `_deleted = true` updates/inserts — the key and
             # its sequence state survive so stale replays lose
             (

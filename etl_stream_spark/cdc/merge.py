@@ -285,9 +285,16 @@ class ParquetMergeTable:
             # can only assign listed columns, so the parquet engine must
             # match or the documented drop-in swap would change results.
             # (A NULL *value* in a present column still overwrites.)
+            #
+            # A WINNING DELETE also takes the batch side (NULL for
+            # PK-only deletes): the Delta twin's tombstone_assignments
+            # sets every data column from b, and retention demands the
+            # pre-image not linger on the tombstone until compaction —
+            # Kafka-tombstone semantics. (Only reachable in tombstone
+            # mode; winning deletes are filtered out otherwise.)
             t_side = F.col(f"t.{col}") if col in t_data else F.lit(None)
             b_side = F.col(f"b.{col}") if col in b_data else t_side
-            return F.when(src_wins & ~is_delete, b_side).otherwise(t_side).alias(col)
+            return F.when(src_wins, b_side).otherwise(t_side).alias(col)
 
         key_exprs = [
             F.coalesce(F.col(f"t.{k}"), F.col(f"b.{k}")).alias(k) for k in self.keys

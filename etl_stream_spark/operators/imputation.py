@@ -69,7 +69,18 @@ def impute_nulls(
         v.filter(F.col("_v").isNotNull())
         .groupBy(*group_cols)
         .agg(_group_stat(strategy).alias("_grp_stat"))
+        # null-safe join keys: a NULL group key is its own group (window
+        # /groupBy semantics), so rows in it must match the NULL-key
+        # statistic rather than silently falling through to the global
+        # one. Plain equality would reject NULL = NULL.
+        .select(
+            *[F.col(c).alias(f"_g_{c}") for c in group_cols], "_grp_stat"
+        )
     )
+    grp_cond = None
+    for c in group_cols:
+        eq = F.col(c).eqNullSafe(F.col(f"_g_{c}"))
+        grp_cond = eq if grp_cond is None else (grp_cond & eq)
     glob = (
         v.filter(F.col("_v").isNotNull())
         .agg(_group_stat(strategy).alias("_glob_stat"))
@@ -77,7 +88,8 @@ def impute_nulls(
     )
     out_col = f"{value_col}_imputed"
     return (
-        v.join(stats, group_cols, "left")
+        v.join(stats, grp_cond, "left")
+        .drop(*[f"_g_{c}" for c in group_cols])
         # 1-row global fallback joined on a constant key: a broadcast
         # hash join, never a nested-loop/cartesian shape
         .withColumn("_one", F.lit(1))

@@ -228,12 +228,18 @@ class PostingsIndex:
         )
 
     def build(self, docs: DataFrame) -> None:
+        """(Re)build from scratch. Truncates any existing forward index
+        first: merging a gen-0 upsert into a populated fwd table would be
+        rejected by its stale-sequence guard (existing rows carry higher
+        sequences), leaving doc_gen > 0 while postings say gen 0 — the
+        liveness join would then drop every document."""
         from etl_stream_spark.cdc.envelope import OP_UPDATE
 
         tf, dl = self._rows(docs, 0)
         tf.write.mode("overwrite").partitionBy(TERM_BUCKET_COL).parquet(
             self._post_path
         )
+        self._fwd().truncate()
         self._merge_fwd(dl, 0, OP_UPDATE)
         self._set_gen(0)
 

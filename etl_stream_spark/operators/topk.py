@@ -47,8 +47,36 @@ def partial_topk(
     NULL handling matches the window plan: NULL group keys form their
     own group, and NULL order values sort first under ``ascending`` /
     last under descending (Spark's asc/desc defaults). ``tie_col`` must
-    be non-null — it is the determinism anchor."""
+    be non-null — it is the determinism anchor. NULL *group* keys in
+    integral columns holding values above 2^53 are unsupported (Arrow→
+    pandas turns a nullable int column into float64, which could merge
+    distinct huge-key groups); integral ORDER columns are safe — they
+    cross the Arrow boundary as a (null-flag, zero-filled value) pair so
+    no nullable-int→float64 conversion ever touches them."""
     cols = list(df.columns)
+    dtypes = dict(df.dtypes)
+    int_order = dtypes[order_col] in ("tinyint", "smallint", "int", "bigint")
+    if int_order:
+        # Nullable int64 → float64 at the Arrow→pandas boundary loses
+        # exactness above 2^53, corrupting both the k-head selection and
+        # the emitted values. Ship a non-null pair instead and rebuild
+        # the column JVM-side after the reduction.
+        df = df.select(
+            *[c for c in cols if c != order_col],
+            F.col(order_col).isNull().alias("_ord_null"),
+            F.coalesce(F.col(order_col), F.lit(0).cast(dtypes[order_col])).alias(
+                "_ord_filled"
+            ),
+        )
+        # asc ⇒ nulls first ⇒ _ord_null=True rows lead (sort flag False);
+        # desc ⇒ nulls last ⇒ True rows trail (sort flag True).
+        sort_cols = [*group_cols, "_ord_null", "_ord_filled", tie_col]
+        sort_flags = [True] * len(group_cols) + [not ascending, ascending, True]
+    else:
+        sort_cols = [*group_cols, order_col, tie_col]
+        sort_flags = [True] * len(group_cols) + [ascending, True]
+
+    work_cols = list(df.columns)
 
     def _heads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: pd.DataFrame | None = None
@@ -58,15 +86,25 @@ def partial_topk(
             # FIRST, desc → nulls last); dropna=False keeps NULL group
             # keys — both required for row-for-row window-plan equality
             both = both.sort_values(
-                [*group_cols, order_col, tie_col],
-                ascending=[True] * len(group_cols) + [ascending, True],
+                sort_cols,
+                ascending=sort_flags,
                 na_position="first" if ascending else "last",
             )
             acc = both.groupby(group_cols, sort=False, dropna=False).head(k)
-        yield acc if acc is not None else pd.DataFrame(columns=cols)
+        yield acc if acc is not None else pd.DataFrame(columns=work_cols)
 
     schema = ", ".join(f"{c} {t}" for c, t in df.dtypes)
     reduced = ensure_parallelism(df).mapInPandas(_heads, schema=schema)
+    if int_order:
+        reduced = reduced.select(
+            *[
+                F.when(~F.col("_ord_null"), F.col("_ord_filled"))
+                .alias(c)
+                if c == order_col
+                else F.col(c)
+                for c in cols
+            ]
+        )
     order = F.col(order_col).asc() if ascending else F.col(order_col).desc()
     w = Window.partitionBy(*group_cols).orderBy(order, F.col(tie_col).asc())
     return (

@@ -138,7 +138,12 @@ class IvfIndex:
         rounds: int = 2,
     ) -> None:
         """Train the coarse quantizer and write the cell-partitioned
-        corpus — the only full corpus scan in the index lifecycle."""
+        corpus — the only full corpus scan in the index lifecycle.
+
+        Truncates any pre-existing id map first: merging gen-0 rows into
+        a populated map would be rejected by the stale-sequence guard,
+        leaving stale cell assignments (and permanent tombstones) that
+        silently drop documents from every later search."""
         assigned, cents_py = kmeans_train(
             corpus, k=self.nlist, rounds=rounds, id_col=id_col, vec_col=vec_col,
             scale=self.scale,
@@ -148,6 +153,7 @@ class IvfIndex:
         )
         cents.coalesce(1).write.mode("overwrite").parquet(self._cent_path)
         self._write_corpus(corpus, assigned, id_col, vec_col, g=0)
+        self._id_map(id_col).truncate()
         self._write_map(assigned, id_col, 0, OP_UPDATE)
         self._set_gen(0)
 

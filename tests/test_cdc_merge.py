@@ -432,3 +432,24 @@ class TestPrunedStateRead:
         assert got[k_a]["extra"] == "ex"      # survived the blind merge
         assert got[k_b]["name"] == "b2"       # the update applied
         assert got[k_b]["extra"] is None      # evolution null-fills
+
+
+class TestTombstonePayload:
+    def test_winning_delete_drops_pre_image(self, spark, tmp_path):
+        """Kafka-tombstone semantics (and Delta-twin parity): a winning
+        DELETE takes the batch row's data values — NULL for PK-only
+        deletes — so the pre-image does not linger in storage until
+        compaction (retention/RTBF window)."""
+        t = ParquetMergeTable(
+            spark,
+            str(tmp_path / "t"),
+            keys=["id"],
+            num_buckets=4,
+            tombstone_deletes=True,
+        )
+        t.merge(make_batch(spark, [ev(1, "secret", 42, OP_INSERT, 0)]))
+        t.merge(make_batch(spark, [ev(1, None, None, OP_DELETE, 5)]))
+        raw = t._read_state().filter(F.col("id") == 1).collect()
+        assert len(raw) == 1
+        assert raw[0]["name"] is None and raw[0]["qty"] is None
+        assert state_dict(t) == {}

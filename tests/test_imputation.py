@@ -61,3 +61,21 @@ class TestImputeNulls:
         assert {k: (r.v_imputed, r.was_imputed) for k, r in a.items()} == {
             k: (r.v_imputed, r.was_imputed) for k, r in b.items()
         }
+
+
+def test_null_group_key_matches_its_own_group(spark):
+    """NULL group keys form their own group (groupBy semantics): rows in
+    it must take the NULL-key group's statistic, not silently fall back
+    to the global one. Requires a null-safe stats join."""
+    rows = [
+        (None, 1, 100.0),
+        (None, 2, 100.0),
+        (None, 3, None),  # must get 100.0 (its group), not the global
+        ("a", 4, 1.0),
+        ("a", 5, None),
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    out = _by_id(impute_nulls(df, ["g"], "v", strategy="median"))
+    assert out[3].v_imputed == 100.0 and out[3].was_imputed
+    assert out[5].v_imputed == 1.0 and out[5].was_imputed
+    assert out[1].v_imputed == 100.0 and not out[1].was_imputed

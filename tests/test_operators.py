@@ -505,6 +505,45 @@ class TestPartialTopk:
             }
             assert got == want, asc
 
+    def test_nullable_bigint_order_keeps_exactness_above_2p53(self, spark):
+        """A NULL in an integral order column must not degrade the
+        column to float64 at the Arrow boundary: values above 2^53
+        (adjacent under float64 rounding) stay distinct, and the
+        emitted values are bit-exact."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from etl_stream_spark.operators.topk import partial_topk
+
+        base = 2**53  # 2^53 and 2^53+1 collide as float64
+        rows = [
+            ("a", 1, base),
+            ("a", 2, base + 1),
+            ("a", 3, None),
+            ("a", 4, base - 1),
+            ("b", 5, None),
+            ("b", 6, -base - 1),
+        ]
+        df = spark.createDataFrame(rows, "g string, id long, v long").repartition(3)
+        for asc in (True, False):
+            got = {
+                (r.g, r.id, r.v, r.rank)
+                for r in partial_topk(df, ["g"], "v", "id", k=2, ascending=asc).collect()
+            }
+            order = F.col("v").asc() if asc else F.col("v").desc()
+            w = Window.partitionBy("g").orderBy(order, F.col("id").asc())
+            want = {
+                (r.g, r.id, r.v, r.rank)
+                for r in df.withColumn("rank", F.row_number().over(w).cast("long"))
+                .filter(F.col("rank") <= 2)
+                .collect()
+            }
+            assert got == want, asc
+            # exactness of the emitted values, not just the selection
+            assert {v for _g, _i, v, _r in got} <= {
+                base, base + 1, base - 1, -base - 1, None
+            }
+
 
 class TestBucketChecksums:
     def _orders(self, spark, rows):

@@ -174,3 +174,24 @@ def test_hybrid_serving_over_incremental_indexes(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == 15
+
+
+def test_build_over_existing_index_resets(spark, tmp_path):
+    """build() on an already-populated index is a full rebuild: the old
+    forward index (with its higher sequences and any tombstones) must
+    not survive to veto the gen-0 rows — previously search returned
+    empty and removed docs stayed dead forever."""
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    idx = rtr.PostingsIndex(spark, str(tmp_path / "lex"), num_term_buckets=16)
+    idx.build(docs.filter("doc_id < 4"))
+    idx.upsert(docs.filter("doc_id = 4"))
+    idx.remove(docs.filter("doc_id = 2").select("doc_id"))
+
+    idx.build(docs)  # full rebuild over the populated index
+    queries = docs.filter(F.col("doc_id") == 0)
+    got = _ranks(idx.search(queries, k=5))
+    want = _ranks(rtr.bm25_topk(docs, queries, k=5))
+    assert got == want and len(got) > 0
+    # the previously-removed doc is alive again after the rebuild
+    fwd = idx._fwd().read()
+    assert fwd.filter(F.col("doc_id") == 2).count() == 1

@@ -195,3 +195,32 @@ def test_streaming_upsert_serves_fresh_vectors(spark, tmp_path):
     assert got == _results(ref, queries, k=5, nprobe=4) and len(got) == 25
     # streamed ids must actually be reachable
     assert any(n >= 60 for n, _ in got.values())
+
+
+def test_build_over_existing_index_resets(spark, tmp_path):
+    """build() on an already-populated index is a full rebuild: the old
+    id map's higher sequences (and tombstones) must not veto the gen-0
+    assignments — previously every search silently dropped to empty."""
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.select("vec_id", "embedding")
+    queries = corpus.filter("vec_id < 3")
+
+    idx = IvfIndex(spark, str(tmp_path / "ivf"), nlist=8)
+    idx.build(corpus.filter("vec_id % 2 = 0"), rounds=2)
+    idx.remove(corpus.filter("vec_id = 4").select("vec_id"))
+
+    idx.build(corpus, rounds=2)  # full rebuild over the populated index
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in idx.search(queries, k=5, nprobe=8).collect()
+    }
+    assert len(got) == 15
+    # exhaustive probe of a rebuilt index must see the once-removed id
+    # (fresh query id so the self-match exclusion doesn't hide it)
+    from pyspark.sql import functions as F
+
+    probe = corpus.filter("vec_id = 4").select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    back = idx.search(probe, k=1, nprobe=8)
+    assert [r.neighbor_id for r in back.collect()] == [4]
