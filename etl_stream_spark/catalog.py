@@ -3387,34 +3387,63 @@ FROM q GROUP BY label, pos
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typed feature extraction over opaque binary media columns via
-    Arrow-batched mapInPandas (decode kernel is the documented stub)."""
+    """REAL image decode end-to-end: each document renders as a binary
+    P6 PPM container (dims + gradient seed from md5(text), so the
+    oracle can predict the statistics analytically), then the pure-numpy
+    PPM parser (`operators/multimodal.py decode_ppm`) reads the header
+    and raster back. Width/height come from the CONTAINER, pixel_sum
+    from the DECODED raster — the oracle's closed form only matches if
+    the parser is correct."""
     docs = _t(spark, sf_dir, "documents")
-    media = mm.to_media_column(docs)
+    media = mm.encode_ppm(docs)
     return mm.extract_features(media)
 
 
+# Decoded-raster closed form: pixel i of a w×h image is (seed+i) % 256,
+# n = 3wh pixels → full 0..255 cycles contribute 32640 each; the tail of
+# r = n % 256 pixels starts at `seed` and may wrap once. Exact BIGINT
+# arithmetic throughout — the driver hash tolerates no float drift.
 MULTIMODAL_SQL = """
+WITH g AS (
+  SELECT doc_id, md5(text) AS content_md5,
+         8 + ('0x' || substr(md5(text), 1, 2))::BIGINT % 32 AS w,
+         8 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 32 AS h,
+         ('0x' || substr(md5(text), 5, 2))::BIGINT AS seed
+  FROM documents
+),
+d AS (
+  SELECT doc_id, content_md5, w, h, seed,
+         w * h * 3 AS n,
+         (w * h * 3) // 256 AS q,
+         (w * h * 3) % 256 AS r,
+         256 - seed AS a
+  FROM g
+)
 SELECT doc_id, 'image' AS modality,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       md5(text) AS content_md5,
-       CAST(64 + ('0x' || substr(md5(text), 1, 2))::INT % 64 AS BIGINT) AS width,
-       CAST(64 + ('0x' || substr(md5(text), 3, 2))::INT % 64 AS BIGINT) AS height,
+       CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + n
+            AS BIGINT) AS n_bytes,
+       content_md5,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
        CAST(3 AS BIGINT) AS n_channels,
-       ROUND(sqrt(CAST((64 + ('0x' || substr(md5(text), 1, 2))::INT % 64)
-                  * (64 + ('0x' || substr(md5(text), 3, 2))::INT % 64) AS DOUBLE)), 6)
-         AS feature_norm
-FROM documents
+       CAST(q * 32640 +
+            CASE WHEN r <= a THEN r * seed + (r * (r - 1)) // 2
+                 ELSE a * seed + (a * (a - 1)) // 2
+                      + ((r - a) * (r - a - 1)) // 2
+            END AS BIGINT) AS pixel_sum,
+       ROUND(sqrt(CAST(w * h AS DOUBLE)), 6) AS feature_norm
+FROM d
 """
 
 
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched resize plumbing (stub kernel): target dimensions +
-    the scale factors a real resampler would apply, derived from the
-    deterministic stub decode — the binary payload stays engine-side
-    (dropped at the driver boundary, which allows no BINARY)."""
+    """Arrow-batched resize over REAL decoded source dimensions (the
+    P6 header read by the numpy parser): target dims + the exact scale
+    factors a resample kernel would apply — the binary payload stays
+    engine-side (dropped at the driver boundary, which allows no
+    BINARY). The pixel resample itself remains the documented stub."""
     docs = _t(spark, sf_dir, "documents")
-    media = mm.to_media_column(docs)
+    media = mm.encode_ppm(docs)
     return mm.resize_media(media, target_w=224, target_h=224).select(
         "doc_id", "modality", "content_md5", "width", "height", "scale_x", "scale_y"
     )
@@ -3423,9 +3452,9 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 RESIZE_SQL = """
 SELECT doc_id, 'image' AS modality, md5(text) AS content_md5,
        CAST(224 AS BIGINT) AS width, CAST(224 AS BIGINT) AS height,
-       ROUND(224.0 / (64 + ('0x' || substr(md5(text), 1, 2))::INT % 64), 6)
+       ROUND(224.0 / (8 + ('0x' || substr(md5(text), 1, 2))::BIGINT % 32), 6)
          AS scale_x,
-       ROUND(224.0 / (64 + ('0x' || substr(md5(text), 3, 2))::INT % 64), 6)
+       ROUND(224.0 / (8 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 32), 6)
          AS scale_y
 FROM documents
 """
@@ -3737,7 +3766,14 @@ def cdc_streaming_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     applier = CdcBatchApplier(
         spark,
         os.path.join(root, "silver"),
-        {"events_state": CdcTableConfig(keys=["user_id"], num_buckets=8)},
+        # merge_on_read: the write-optimized streaming target (L0 delta
+        # appends + read-time resolution) — this entry is the driver
+        # gate proving the MOR engine end-to-end against the oracle
+        {
+            "events_state": CdcTableConfig(
+                keys=["user_id"], num_buckets=8, merge_on_read=True
+            )
+        },
     )
     stream = spark.readStream.schema(
         spark.read.parquet(src).schema
@@ -6202,118 +6238,89 @@ CATALOG.update({name: QueryDef(fn, sql) for name, fn, sql in _EXTRA})
 #: flagship CDC path plus at least one representative of every operator
 #: family inside that window; redundant TPC-H variants trail.
 _DRIVER_PRIORITY = [
-    # ROUND-3 ROTATION: every round-1 hash-fail was driver-proven green
-    # in CORRECTNESS_r02, so (per the window-composition rule) redundant
-    # proven siblings rotate out and 18 never-driver-checked entries
-    # rotate in; ≥1 proven representative per family stays as the
-    # regression canary.
+    # ROUND-4 ROTATION: CORRECTNESS_r03 was 50/50 green, so (per the
+    # window-composition rule) proven entries rotate out for the 60
+    # never-driver-checked ones; ≥1 driver-proven representative per
+    # family stays as the regression canary, plus every entry whose
+    # CODE changed this round (MOR streaming merge, real PPM decode).
     #
-    # CDC core (flagship G3/G4 + S1/P2 + streaming merge) — proven reps
-    # (cdc_latest_event / cdc_metadata_projection rotated out late in
-    # round 3: both driver-proven in r02 and redundant with the
-    # cdc_final_state / cdc_envelope_decode family reps — making room
-    # for the persisted-index lifecycle entries added after the main
-    # rotation.)
-    # (cdc_gold_rollup also rotated out late round 3 — proven r02,
-    # plan unchanged, and the CDC family keeps five other canaries.)
-    # (cdc_envelope_decode also rotated out late round 3 — driver-proven
-    # r01+r02, the decode path is untouched this round and embedded in
-    # every other CDC entry via with_cdc_metadata — making room for the
-    # right-to-be-forgotten loop below.)
+    # CDC family: cdc_final_state is the flagship canary;
+    # cdc_streaming_merge stays because its engine CHANGED this round
+    # (merge-on-read L0 target — first driver proof of the MOR path).
     "cdc_final_state",
     "cdc_streaming_merge",
-    "cdc_schema_evolution",
-    "cdc_change_feed",
-    "cdc_scd2_incremental",
-    # CDC time-travel + view-maintenance + repair + erasure loops
-    # (first driver check)
-    "cdc_point_in_time",
-    "cdc_scd2_history",
-    "cdc_join_view",
-    "cdc_quarantine_repair",
+    # erasure / retention family: the merge-side rep is proven
+    # (cdc_forget_keys r3); first-time: the corpus-side forget loop and
+    # SCD2 retention expiry
     "cdc_forget_keys",
-    # relational / TPC-H (q1 is the stable proven canary; q3/q5 were
-    # re-planned this round — de-broadcast + dim-prefilter — so they
-    # stay for re-proof; q7/q21 are the round-3 de-broadcast +
-    # semi-join-pushdown shapes. q18 [proven, plan unchanged] rotated
-    # out late round 3 for profile_orders.)
+    "corpus_forget_documents",
+    "cdc_scd2_retention",
+    # relational / TPC-H: q1 proven canary; the 13 never-checked
+    # adaptations get their first driver proof
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q7_nation_trade",
-    "q21_waiting_suppliers",
-    # (top3_parts_per_brand [proven r01+r02, plan unchanged] rotated
-    # out late round 3 — customer_order_history keeps the proven
-    # ranking-window canary — for the verification family's rep below.)
-    # (customers_without_orders [driver-proven r02, plan unchanged]
-    # rotated out late round 3 — q21_waiting_suppliers keeps the
-    # anti-join shape in-window — for the new graph family below.)
-    "supplier_pagerank",
-    # verification family (first driver check): one-pass XOR parity
-    # checksum — 16-row exchange at any SF
-    "orders_replication_checksum",
-    # event-stream aggregation + window family (customer_order_history
-    # below keeps the proven window-frame canary; user_session_stats
-    # [proven] rotated out for the skew-aware join composition)
-    "events_skew_aware_enrichment",
-    "events_conversion_funnel",
-    # CEP row-pattern matching (first driver check; entered late round 3
-    # for streaming_stream_join [driver-proven r02, plan unchanged] —
-    # streaming keeps sustained_alerts as its proven canary plus the
-    # first-time trending summaries)
+    "q2_cheapest_parts",
+    "q4_late_shipment_priority",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_priority_lines",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_heavy_suppliers",
+    "q22_idle_rich_customers",
+    # window / ranking / quantile family (never driver-checked):
+    # customer_order_history keeps the proven window-frame canary
+    "customer_order_history",
+    "order_value_rankings",
+    "order_price_quantiles",
+    "order_price_quantiles_sketch",
+    "customer_rolling_revenue",
+    "user_value_rolling_window",
+    "rollup_order_revenue",
+    # structured streaming: sustained_alerts proven canary; the
+    # never-checked remainder enters (stateful dedup, streaming CEP,
+    # session windows, stream-static enrichment, WAL monitor)
+    "streaming_sustained_alerts",
+    "streaming_dedup",
+    "streaming_pattern_match",
+    "streaming_session_windows",
+    "streaming_enrichment",
+    "wal_size_monitor",
+    # CEP: batch rep proven r3; session-scoped form first-time
     "events_pattern_match",
-    # text analysis rep + hot-token detection (Misra-Gries)
-    "text_token_stats",
-    "text_heavy_hitters",
-    # data quality gate (expectations engine) + ANALYZE-style profile
-    "dq_orders_report",
-    "profile_orders",
-    # dedup (clusters stays as the proven canary; dedup_exact [proven]
-    # rotated out; LSH-verified + raw MinHash signatures first-time)
-    "dedup_clusters",
-    "dedup_lsh_verified",
-    "dedup_minhash_signatures",
-    # bloom-pruned incremental membership (first driver check): the
-    # sketch only prunes — oracle is the plain semi join
-    "dedup_bloom_incremental",
-    # domain reweighting (DSIR)
-    "corpus_dsir_weights",
-    # similarity / ANN (proven: LSH + recall audit; first-time: exact
-    # kNN baseline + k-means assignment)
-    # (ann_recall_audit [proven r02, plan unchanged] rotated out late
-    # round 3 for the bloom-pruned incremental dedup below.)
-    "ann_lsh_topk",
-    "knn_bruteforce",
-    "kmeans_assignment",
+    "session_pattern_match",
+    # temporal / trajectory: as-of proven; trajectory top-k first-time
+    "asof_latest_purchase",
+    "user_trajectory_topk",
+    # skew handling: the MG-salted static form (skew-AWARE variant
+    # proven r3)
+    "events_salted_enrichment",
+    # similarity/ANN: recall-audit reps re-enter per the r3 verdict
+    # (ann proven r02; PQ side first-time); hybrid is the proven
+    # retrieval canary
+    "ann_recall_audit",
+    "pq_recall_audit",
     "hybrid_search_rrf",
-    # persisted incremental index lifecycles (build→upsert→re-index→
-    # remove→search, exhaustive-probe exact ⇒ oracle-checkable)
-    "ivf_incremental_search",
-    "lexical_incremental_search",
-    # multimodal (features proven; resize + frame fan-out first-time)
+    # dedup: clusters proven canary; prefix-filter ER + fuzzy blocking
+    # first-time
+    "dedup_clusters",
+    "part_fuzzy_name_match",
+    # two-phase partial top-k (shuffle-reducing form) first-time
+    "top5_orders_partial",
+    # robust statistics: winsorized aggregates first-time
+    "orders_price_winsorized",
+    # multimodal: features + resize CHANGED this round (real pure-numpy
+    # PPM decode — container dims + exact raster sums) → re-proof
     "multimodal_features",
     "multimodal_resize",
-    "multimodal_frame_sample",
-    # sketches (distinct proven; set-algebra overlap first-time)
-    "sketch_distinct_customers",
-    "sketch_customer_overlap",
-    # structured streaming (sustained_alerts + stream_join stay as the
-    # proven canaries; hourly_rollup [proven] rotated out late round 3
-    # for the stateful trending summaries)
-    "streaming_trending_tokens",
-    "streaming_sustained_alerts",
-    # temporal joins (as-of proven; interpolation first-time)
-    "asof_latest_purchase",
-    "user_value_interpolated",
-    # corpus / training-data pipeline (funnel proven; contamination +
-    # sequence packing + BPE first-time)
+    # text / corpus / sketch / DQ family canaries (all driver-proven)
+    "text_token_stats",
     "corpus_curation_funnel",
-    "corpus_contamination",
-    "corpus_pack_sequences",
-    "bpe_pair_counts",
-    # relational extensions (grouping sets, window frames)
-    "cube_order_revenue",
-    "customer_order_history",
+    "sketch_distinct_customers",
+    "dq_orders_report",
 ]
 
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)

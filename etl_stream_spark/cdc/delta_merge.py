@@ -96,6 +96,10 @@ class DeltaMergeTable:
         num_buckets: int = 32,  # accepted for constructor parity; Delta
         # file-skipping replaces manual bucketing
         tombstone_deletes: bool = False,
+        merge_on_read: bool = False,  # parity; on Delta the equivalent
+        # write-optimized path is deletion vectors + OPTIMIZE — the
+        # transactional MERGE below is already log-scoped per commit
+        compact_threshold: int = 8,
     ) -> None:
         try:
             from delta.tables import DeltaTable  # noqa: F401

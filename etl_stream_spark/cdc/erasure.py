@@ -33,6 +33,16 @@ Two pieces:
 Run :func:`forget_keys` between micro-batches (the same single-writer
 contract as the merge engine's commit); the ErasureList append itself
 is safe at any time and is what guarantees convergence.
+
+Keyed STREAMING state (``streaming/cep.py``, ``streaming/trending.py``)
+is the one store this module cannot reach directly — Structured
+Streaming checkpoints are engine-private. The pinned contract
+(``tests/test_erasure.py::TestStreamingStateErasure``): restart the
+stateful query passing the erasure list to its ``suppressed_keys`` /
+``suppressed_items`` hook — arriving events for forgotten keys are
+dropped, retained state purges the next time the key/shard fires, and
+the residue (state of keys that never fire again) leaves at checkpoint
+rollover.
 """
 
 from __future__ import annotations

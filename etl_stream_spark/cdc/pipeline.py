@@ -76,6 +76,11 @@ class CdcTableConfig:
     #: repair, DLQ replay) cannot re-insert a deleted key — see
     #: ParquetMergeTable.tombstone_deletes
     tombstone_deletes: bool = False
+    #: write-optimized LSM target for trickle micro-batches: merges
+    #: append delta files, reads resolve, compaction drains — see
+    #: ParquetMergeTable.merge_on_read
+    merge_on_read: bool = False
+    compact_threshold: int = 8
 
 
 class CdcBatchApplier:
@@ -121,6 +126,8 @@ class CdcBatchApplier:
                 cfg.keys,
                 cfg.num_buckets,
                 tombstone_deletes=cfg.tombstone_deletes,
+                merge_on_read=cfg.merge_on_read,
+                compact_threshold=cfg.compact_threshold,
             )
         return self._targets[name]
 

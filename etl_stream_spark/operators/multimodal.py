@@ -3,10 +3,15 @@
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct (modality, byte length, content hash). Decoding /
 feature extraction / resizing / frame sampling run as Arrow-batched
-``mapInPandas`` operators — the decode kernels themselves are stubbed
-(image/audio libraries are not in this container; see
-``decode_image_stub``) but the Spark-side plumbing — schema, batch
-shape, partitioning — is real and tested.
+``mapInPandas`` operators.
+
+Decode kernels: **PPM (P6) images decode for real** — a pure-numpy
+parser (``decode_ppm``) reads the container header and the raw RGB
+plane, no external library needed — so dimensions and pixel statistics
+for that format are actual decoded values, oracle-checked end-to-end.
+Compressed formats (JPEG/PNG/MP4) would need PIL/ffmpeg, which are not
+in this container; those payloads fall back to the documented
+deterministic stub (``decode_image_stub``) so the plumbing still runs.
 
 Scale notes: payloads never pass through a Python row loop — they move
 as Arrow buffers into pandas batches; per-batch processing amortizes
@@ -20,6 +25,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -32,7 +38,8 @@ MEDIA_SCHEMA = (
 
 FEATURE_SCHEMA = (
     "doc_id long, modality string, n_bytes long, content_md5 string, "
-    "width long, height long, n_channels long, feature_norm double"
+    "width long, height long, n_channels long, pixel_sum long, "
+    "feature_norm double"
 )
 
 
@@ -53,23 +60,110 @@ def to_media_column(
 
 
 def decode_image_stub(payload: bytes) -> dict:
-    """STUB decode: a real deployment would use PIL/ffmpeg here (not in
-    this container). Produces deterministic fake dimensions from the
-    payload hash so the downstream plumbing is exercised end-to-end."""
+    """STUB decode for COMPRESSED formats: a real deployment would use
+    PIL/ffmpeg here (not in this container). Produces deterministic fake
+    dimensions from the payload hash so the downstream plumbing is
+    exercised end-to-end. Uncompressed PPM decodes for real — see
+    :func:`decode_ppm`."""
     digest = hashlib.md5(payload).digest()
     return {
         "width": 64 + digest[0] % 64,
         "height": 64 + digest[1] % 64,
         "n_channels": 3,
+        "pixel_sum": None,
     }
 
 
+def encode_ppm(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Render each document as a REAL binary P6 PPM image (pure bytes,
+    no library): dimensions and a gradient seed derive from md5(text)
+    (engine-portable, so the oracle can predict the decoded statistics
+    analytically), pixel ``i`` is ``(seed + i) mod 256``. The point is
+    not the picture — it is a payload whose container a real parser
+    must actually decode to get the right answer."""
+
+    def _render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, md5s, nbytes = [], [], []
+            for text in pdf[text_col]:
+                digest = hashlib.md5(text.encode()).digest()
+                w = 8 + digest[0] % 32
+                h = 8 + digest[1] % 32
+                seed = digest[2]
+                pixels = ((seed + np.arange(w * h * 3)) % 256).astype(np.uint8)
+                payload = f"P6\n{w} {h}\n255\n".encode() + pixels.tobytes()
+                payloads.append(payload)
+                md5s.append(hashlib.md5(text.encode()).hexdigest())
+                nbytes.append(len(payload))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": payloads,
+                    "modality": "image",
+                    "n_bytes": nbytes,
+                    "content_md5": md5s,
+                }
+            )
+
+    return ensure_parallelism(df).mapInPandas(_render, schema=MEDIA_SCHEMA)
+
+
+def decode_ppm(payload: bytes) -> dict | None:
+    """REAL pure-numpy P6 decoder: parse the ASCII header (magic,
+    width, height, maxval — comments and arbitrary whitespace per the
+    netpbm spec), then read the raw interleaved RGB plane. Returns None
+    when the payload is not a (valid) P6 container. ``pixel_sum`` is an
+    exact integer so downstream comparisons are float-free."""
+    if not payload.startswith(b"P6"):
+        return None
+    pos, fields = 2, []
+    n = len(payload)
+    while len(fields) < 3 and pos < n:
+        while pos < n and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end-of-line
+            while pos < n and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < n and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start or not payload[start:pos].isdigit():
+            return None
+        fields.append(int(payload[start:pos]))
+    if len(fields) < 3 or pos >= n:
+        return None
+    pos += 1  # exactly one whitespace byte after maxval, per spec
+    width, height, maxval = fields
+    if maxval != 255:
+        return None  # 2-byte samples out of scope
+    raster = payload[pos:]
+    if len(raster) != width * height * 3:
+        return None
+    pixels = np.frombuffer(raster, dtype=np.uint8)
+    return {
+        "width": width,
+        "height": height,
+        "n_channels": 3,
+        "pixel_sum": int(pixels.sum(dtype=np.int64)),
+    }
+
+
+def decode_media(payload: bytes) -> dict:
+    """Format dispatch: real decoders first, stub for formats whose
+    codecs are not in this container."""
+    real = decode_ppm(payload)
+    return real if real is not None else decode_image_stub(payload)
+
+
 def extract_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched decode + feature extraction over binary payloads."""
+    """Arrow-batched decode + feature extraction over binary payloads.
+    PPM payloads decode for real (container dims + exact pixel sum);
+    other formats get the stub's fake dims and a NULL pixel_sum."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = [decode_image_stub(bytes(p)) for p in pdf["payload"]]
+            meta = [decode_media(bytes(p)) for p in pdf["payload"]]
             out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -79,6 +173,9 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "width": [m["width"] for m in meta],
                     "height": [m["height"] for m in meta],
                     "n_channels": [m["n_channels"] for m in meta],
+                    "pixel_sum": pd.array(
+                        [m["pixel_sum"] for m in meta], dtype="Int64"
+                    ),
                 }
             )
             # deterministic stand-in for an embedding norm
@@ -99,13 +196,15 @@ RESIZED_SCHEMA = (
 def resize_media(media: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
     """Arrow-batched resize: 1:1 row transform re-emitting the payload
     with target dimensions and the scale factors a real kernel would
-    apply. STUB: the pixel resample itself would be PIL/ffmpeg (not in
-    this container); payload passes through unchanged, dimensions come
-    from the deterministic stub decode."""
+    apply. Source dimensions come from the real PPM decode where the
+    container is PPM (stub dims otherwise); the pixel RESAMPLE itself is
+    still stubbed — payload passes through unchanged (nearest-neighbor /
+    bilinear kernels would be numpy-expressible but are not what this
+    operator oracle-checks)."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = [decode_image_stub(bytes(p)) for p in pdf["payload"]]
+            meta = [decode_media(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -46,6 +46,7 @@ def pattern_matches(
     patterns: Mapping[str, str],
     other: str = "o",
     max_buffer: int | None = None,
+    suppressed_keys: frozenset | None = None,
 ) -> DataFrame:
     """Per-key running pattern-match counts over a stream.
 
@@ -62,7 +63,17 @@ def pattern_matches(
     state CEP makes (Flink CEP's ``within`` clause is the same trade
     in time units). Size it ≥ the longest pattern span you care
     about. Default None keeps everything: exact counts, state = the
-    key's event count (the MATCH_RECOGNIZE partition-fits contract)."""
+    key's event count (the MATCH_RECOGNIZE partition-fits contract).
+
+    ``suppressed_keys`` is the right-to-be-forgotten hook (pass the
+    current ``cdc.erasure.ErasureList`` keys at query (re)start): a
+    suppressed key's arriving events are not buffered, its EXISTING
+    state is removed the first time the key fires, and it never emits
+    again. Residual contract (pinned in ``tests/test_erasure.py``):
+    state of a suppressed key that never appears again lives in the
+    checkpoint until rollover — full erasure is suppression + a
+    checkpoint rotation, or one replayed event per forgotten key to
+    trigger the in-operator purge."""
     key_dt = stream.schema[key_col].dataType.simpleString()
     names = list(patterns)
     out_schema = ", ".join(
@@ -84,6 +95,14 @@ def pattern_matches(
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if suppressed_keys is not None and key[0] in suppressed_keys:
+            # erasure purge: drop the buffered history AND the incoming
+            # events; emit nothing so the key leaves no fresh output
+            for _ in pdfs:
+                pass
+            if state.exists:
+                state.remove()
+            return
         if state.exists:
             orders, syms, seen = state.get
             orders, syms = list(orders), list(syms)

@@ -43,6 +43,7 @@ def trending_items(
     item_col: str,
     capacity: int = 256,
     num_shards: int = 8,
+    suppressed_items: frozenset | None = None,
 ) -> DataFrame:
     """Per-micro-batch trending summaries over ``stream[item_col]``.
 
@@ -50,6 +51,13 @@ def trending_items(
     batch touched: ``est`` is the MG lower-bound count (= exact while a
     shard tracks ≤ ``capacity`` distinct items), ``shard_rows`` the
     shard's total rows absorbed so far.
+
+    ``suppressed_items`` is the right-to-be-forgotten hook: suppressed
+    items are neither counted from new batches nor RETAINED — any
+    counter a shard already holds for one is dropped the next time the
+    shard updates (shards update constantly, so retained counters decay
+    out quickly; the formal completion point is still checkpoint
+    rollover, same contract as ``streaming/cep.pattern_matches``).
     """
     items = stream.select(F.col(item_col).cast("string").alias("item")).filter(
         F.col("item").isNotNull()
@@ -64,7 +72,15 @@ def trending_items(
             counters = dict(zip(s_items, s_counts))
         else:
             counters, n = {}, 0
+        if suppressed_items:
+            # erasure purge: retained counters for forgotten items drop
+            # on the shard's next update (n keeps its historical total —
+            # the MG error bound must not shrink retroactively)
+            for doomed in suppressed_items.intersection(counters):
+                del counters[doomed]
         for pdf in pdfs:
+            if suppressed_items:
+                pdf = pdf[~pdf["item"].isin(suppressed_items)]
             n += len(pdf)
             for item, w in pdf["item"].value_counts().items():
                 _mg_update(counters, item, capacity, int(w))

@@ -453,3 +453,105 @@ class TestTombstonePayload:
         assert len(raw) == 1
         assert raw[0]["name"] is None and raw[0]["qty"] is None
         assert state_dict(t) == {}
+
+
+class TestMergeOnRead:
+    """merge_on_read=True: L0 delta appends + read-time resolution must
+    be observationally identical to the eager engine."""
+
+    def _mor(self, spark, tmp_path, threshold=3, tomb=False):
+        return ParquetMergeTable(
+            spark,
+            str(tmp_path / f"mor_{threshold}_{tomb}"),
+            keys=["id"],
+            num_buckets=4,
+            merge_on_read=True,
+            compact_threshold=threshold,
+            tombstone_deletes=tomb,
+        )
+
+    def test_within_batch_duplicates_resolve_like_window(self, spark, tmp_path):
+        t = self._mor(spark, tmp_path)
+        t.merge(
+            make_batch(
+                spark, [ev(1, "a", 1, OP_INSERT, 0), ev(1, "b", 2, OP_UPDATE, 1)]
+            )
+        )
+        assert state_dict(t) == {1: ("b", 2)}
+
+    def test_stale_cross_batch_event_loses_without_state_read(self, spark, tmp_path):
+        t = self._mor(spark, tmp_path)
+        t.merge(make_batch(spark, [ev(1, "new", 9, OP_UPDATE, 10)]))
+        t.merge(make_batch(spark, [ev(1, "old", 1, OP_UPDATE, 3)]))
+        assert state_dict(t) == {1: ("new", 9)}
+
+    def test_delete_marker_holds_until_compaction(self, spark, tmp_path):
+        t = self._mor(spark, tmp_path, threshold=50)
+        t.merge(make_batch(spark, [ev(1, "a", 1, OP_INSERT, 0)]))
+        t.merge(make_batch(spark, [ev(1, None, None, OP_DELETE, 5)]))
+        assert state_dict(t) == {}
+        # pre-compaction, a stale replay loses to the L0 delete marker
+        t.merge(make_batch(spark, [ev(1, "a", 1, OP_INSERT, 0)]))
+        assert state_dict(t) == {}
+        # post-compaction (non-tombstone) the marker drops — eager contract
+        t.compact()
+        assert state_dict(t) == {}
+
+    def test_narrow_batch_falls_back_and_keeps_target_columns(self, spark, tmp_path):
+        t = self._mor(spark, tmp_path, threshold=50)
+        t.merge(make_batch(spark, [ev(1, "a", 7, OP_INSERT, 0)]))
+        narrow = spark.createDataFrame(
+            [(1, "b", OP_UPDATE, make_sequence(1_700_000_000_000_000, 5))],
+            "id long, name string, operation string, sequence string",
+        )
+        t.merge(narrow)  # qty absent from batch schema → eager fallback
+        assert state_dict(t) == {1: ("b", 7)}  # qty kept from target
+        # the fallback drained L0: no deltas left to resurrect anything
+        assert t._delta_files() == []
+
+    def test_compaction_bounds_files_and_preserves_state(self, spark, tmp_path):
+        t = self._mor(spark, tmp_path, threshold=2)
+        for i in range(7):
+            t.merge(make_batch(spark, [ev(1 + i % 3, f"v{i}", i, OP_UPDATE, i)]))
+        assert state_dict(t) == {1: ("v6", 6), 2: ("v4", 4), 3: ("v5", 5)}
+        # the counter-gated sweep kept L0 bounded
+        assert len(t._delta_files()) <= 2 * (t.compact_threshold + 1)
+
+    def test_purge_keys_covers_pending_deltas(self, spark, tmp_path):
+        t = self._mor(spark, tmp_path, threshold=50)
+        t.merge(
+            make_batch(
+                spark, [ev(1, "pii", 1, OP_INSERT, 0), ev(2, "keep", 2, OP_INSERT, 1)]
+            )
+        )
+        removed = t.purge_keys(spark.createDataFrame([(1,)], "id long"))
+        assert removed == 1
+        assert state_dict(t) == {2: ("keep", 2)}
+        assert t._delta_files() == []  # drained, nothing to resurrect
+
+    def test_adopts_pre_mor_table(self, spark, tmp_path):
+        eager = ParquetMergeTable(
+            spark, str(tmp_path / "adopt"), keys=["id"], num_buckets=4
+        )
+        eager.merge(make_batch(spark, [ev(1, "a", 1, OP_INSERT, 0)]))
+        mor = ParquetMergeTable(
+            spark,
+            str(tmp_path / "adopt"),
+            keys=["id"],
+            num_buckets=4,
+            merge_on_read=True,
+            compact_threshold=50,
+        )
+        mor.merge(make_batch(spark, [ev(2, "b", 2, OP_INSERT, 1)]))
+        mor.merge(make_batch(spark, [ev(1, "a2", 3, OP_UPDATE, 2)]))
+        assert state_dict(mor) == {1: ("a2", 3), 2: ("b", 2)}
+
+    def test_tombstone_mode_keeps_markers_through_compaction(self, spark, tmp_path):
+        t = self._mor(spark, tmp_path, threshold=50, tomb=True)
+        t.merge(make_batch(spark, [ev(1, "a", 1, OP_INSERT, 0)]))
+        t.merge(make_batch(spark, [ev(1, None, None, OP_DELETE, 5)]))
+        t.compact()
+        assert state_dict(t) == {}
+        # marker survived compaction: stale replay still loses
+        t.merge(make_batch(spark, [ev(1, "a", 1, OP_INSERT, 0)]))
+        assert state_dict(t) == {}

@@ -611,3 +611,125 @@ class TestPrimitives:
         assert {r.id for r in el.read().collect()} == {1, 2, 3}
         df = spark.createDataFrame([(1, "a"), (4, "d")], "id long, v string")
         assert {r.id for r in el.suppress(df).collect()} == {4}
+
+
+class TestStreamingStateErasure:
+    """Erasure × keyed streaming state (round-3 verdict #6): the
+    pipeline's upstream suppression keeps forgotten keys out of NEW
+    state, and the operators' ``suppressed_*`` hooks purge EXISTING
+    state the next time the key/shard fires. The pinned residual
+    contract: state for a key that never fires again lives in the
+    checkpoint until rollover — full erasure = suppression + checkpoint
+    rotation (or one replayed event to trigger the in-operator purge)."""
+
+    def test_cep_suppressed_key_purges_state_and_emits_nothing(self, spark, tmp_path):
+        import json
+
+        from etl_stream_spark.sources.file_source import read_cdc_file_stream
+        from etl_stream_spark.streaming.cep import pattern_matches
+
+        syms = {"signup": "s", "purchase": "p"}
+        pats = {"conv": "sp"}
+        schema = "uid long, seq long, et string"
+        src = tmp_path / "ev"
+        src.mkdir()
+        (src / "a.json").write_text(
+            "\n".join(
+                json.dumps(d)
+                for d in [
+                    {"uid": 1, "seq": 1, "et": "signup"},
+                    {"uid": 2, "seq": 1, "et": "signup"},
+                ]
+            )
+        )
+
+        def run(suppressed):
+            # foreachBatch sink: the one sink shape that RECOVERS from a
+            # checkpoint, which is the whole point — the suppression list
+            # changes across restarts of the same stateful query
+            out: list = []
+            stream = read_cdc_file_stream(spark, str(src), schema)
+            q = (
+                pattern_matches(
+                    stream, "uid", "seq", "et", syms, pats,
+                    suppressed_keys=suppressed,
+                )
+                .writeStream.outputMode("append")
+                .foreachBatch(lambda df, _eid: out.extend(df.collect()))
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(120)
+            return out
+
+        out1 = run(None)
+        assert {r.uid for r in out1} == {1, 2}
+
+        # uid 1 is forgotten; a replayed/late event arrives for both keys
+        (src / "b.json").write_text(
+            "\n".join(
+                json.dumps(d)
+                for d in [
+                    {"uid": 1, "seq": 2, "et": "purchase"},
+                    {"uid": 2, "seq": 2, "et": "purchase"},
+                ]
+            )
+        )
+        out2 = {r.uid: r for r in run(frozenset([1]))}
+        assert set(out2) == {2}  # the forgotten key emits nothing
+        assert out2[2].conv_matches == 1
+
+        # the purge removed uid 1's buffer: un-suppressing and replaying
+        # shows state rebuilt from scratch (events_seen restarts), not
+        # the pre-erasure history
+        (src / "c.json").write_text(json.dumps({"uid": 1, "seq": 3, "et": "signup"}))
+        out3 = [r for r in run(None) if r.uid == 1]
+        assert len(out3) == 1
+        assert out3[0].events_seen == 1  # history was purged, not retained
+        assert out3[0].conv_matches == 0
+
+    def test_trending_suppressed_item_drops_retained_counter(self, spark, tmp_path):
+        import json
+
+        from etl_stream_spark.sources.file_source import read_cdc_file_stream
+        from etl_stream_spark.streaming.trending import trending_items
+
+        schema = "tok string"
+        src = tmp_path / "toks"
+        src.mkdir()
+        (src / "a.json").write_text(
+            "\n".join(json.dumps({"tok": t}) for t in ["pii", "pii", "keep", "keep"])
+        )
+
+        def run(suppressed):
+            out: list = []
+            stream = read_cdc_file_stream(spark, str(src), schema)
+            q = (
+                trending_items(
+                    stream, "tok", capacity=8, num_shards=1,
+                    suppressed_items=suppressed,
+                )
+                .writeStream.outputMode("append")
+                .foreachBatch(lambda df, _eid: out.extend(df.collect()))
+                .option("checkpointLocation", str(tmp_path / "ckpt_t"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(120)
+            return out
+
+        first = {r.item: r.est for r in run(None)}
+        assert first == {"pii": 2, "keep": 2}
+
+        # forget 'pii'; the next batch touching the shard purges its
+        # retained counter and never re-counts it
+        (src / "b.json").write_text(
+            "\n".join(json.dumps({"tok": t}) for t in ["keep", "pii"])
+        )
+        latest = {}
+        for r in run(frozenset(["pii"])):
+            if r.item not in latest or r.shard_rows > latest[r.item].shard_rows:
+                latest[r.item] = r
+        assert "pii" not in latest
+        assert latest["keep"].est == 3

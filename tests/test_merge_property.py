@@ -117,3 +117,55 @@ def test_lww_agg_matches_window_form(spark, rows):
     win = {tuple(r) for r in last_writer_wins(df, ["id"]).collect()}
     agg = {tuple(r) for r in last_writer_wins_agg(df, ["id"]).collect()}
     assert agg == win
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(log=log_st, cuts=cuts_st, threshold=st.integers(min_value=1, max_value=4))
+def test_merge_on_read_random_log_converges(
+    spark, tmp_path_factory, log, cuts, threshold
+):
+    """The merge-on-read engine must converge to the same sequential
+    oracle state as the eager engine for ANY log, batch cut, and
+    compaction cadence — interleaved compactions (including the
+    truncate-barrier path) may never change the visible state."""
+    events = [
+        (op, key, payload, make_sequence(1_700_000_000_000_000 + i, i))
+        for i, (op, key, payload) in enumerate(log)
+    ]
+    expected = oracle_replay(events)
+
+    table = ParquetMergeTable(
+        spark,
+        str(tmp_path_factory.mktemp("morprop") / f"t_{uuid.uuid4().hex[:8]}"),
+        keys=["id"],
+        num_buckets=4,
+        merge_on_read=True,
+        compact_threshold=threshold,
+    )
+    bounds = sorted({c for c in cuts if c < len(events)})
+    batches, start = [], 0
+    for b in [*bounds, len(events)]:
+        if b > start:
+            batches.append(events[start:b])
+            start = b
+    for batch in batches:
+        df = spark.createDataFrame(
+            [
+                (key, payload if op != "DELETE" else None, op, seq)
+                for op, key, payload, seq in batch
+            ],
+            "id long, payload long, operation string, sequence string",
+        ).withColumn("cdc_timestamp", F.current_timestamp())
+        apply_with_truncate_barrier(table, df)
+
+    got = {r["id"]: r["payload"] for r in table.read().collect()}
+    assert got == {k: p for k, (p, _) in expected.items()}
+    # a final drain changes nothing
+    table.compact()
+    got2 = {r["id"]: r["payload"] for r in table.read().collect()}
+    assert got2 == got

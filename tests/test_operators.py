@@ -151,6 +151,39 @@ class TestMultimodal:
         # payload passes through (stub) so content addressing is stable
         assert r.content_md5 == f.content_md5
 
+    def test_ppm_real_decode_roundtrip(self, docs):
+        """encode_ppm renders a real P6 container; extract_features must
+        get dims from the HEADER and pixel_sum from the RASTER — checked
+        against an independent pure-python render of the same spec."""
+        import hashlib
+
+        import numpy as np
+
+        media = mm.encode_ppm(docs)
+        feats = {r.doc_id: r for r in mm.extract_features(media).collect()}
+        for doc_id, text, _src in DOCS:
+            d = hashlib.md5(text.encode()).digest()
+            w, h, seed = 8 + d[0] % 32, 8 + d[1] % 32, d[2]
+            r = feats[doc_id]
+            assert (r.width, r.height, r.n_channels) == (w, h, 3)
+            expected = int(((seed + np.arange(w * h * 3)) % 256).sum())
+            assert r.pixel_sum == expected
+            assert r.n_bytes == 9 + len(str(w)) + len(str(h)) + w * h * 3
+
+    def test_ppm_decoder_rejects_malformed(self):
+        assert mm.decode_ppm(b"P5\n2 2\n255\n" + b"\x00" * 4) is None
+        assert mm.decode_ppm(b"not an image") is None
+        assert mm.decode_ppm(b"P6\n2 2\n255\n" + b"\x00" * 11) is None
+        ok = mm.decode_ppm(b"P6\n# c\n2 2\n255\n" + b"\x01" * 12)
+        assert ok == {"width": 2, "height": 2, "n_channels": 3, "pixel_sum": 12}
+
+    def test_stub_fallback_for_undecodable_payloads(self, docs):
+        media = mm.to_media_column(docs)  # raw utf-8 text, not a container
+        feats = mm.extract_features(media)
+        rows = {r.doc_id: r for r in feats.collect()}
+        assert all(r.pixel_sum is None for r in rows.values())
+        assert all(64 <= r.width < 128 for r in rows.values())
+
     def test_frame_sampling_fans_out(self, docs):
         media = mm.to_media_column(docs, modality="video")
         frames = mm.sample_frames(media).collect()

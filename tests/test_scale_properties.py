@@ -239,6 +239,43 @@ _BOUNDED_HINT_ALLOWLIST = {
 }
 
 
+_SENTINELS = {
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def _hinted_scaling_tables(tree: str) -> set[str]:
+    """Tables (by sentinel column) scanned under a ResolvedHint subtree
+    of an analyzed-plan treeString."""
+    import re
+
+    def name_start(line: str) -> int:
+        m = re.search(r"[A-Za-z]", line)
+        return m.start() if m else 0
+
+    lines = tree.splitlines()
+    tabs: set[str] = set()
+    for i, ln in enumerate(lines):
+        if "ResolvedHint" not in ln:
+            continue
+        depth = name_start(ln)
+        for nxt in lines[i + 1 :]:
+            if name_start(nxt) <= depth:
+                break
+            if "Relation" in nxt:
+                for tab, col in _SENTINELS.items():
+                    if col in nxt:
+                        tabs.add(tab)
+    return tabs
+
+
 def test_no_broadcast_hints_on_sf_scaling_tables(spark):
     """Round-3 regression tripwire: a hard ``F.broadcast`` hint whose
     subtree scans an SF-scaling base table overrides Spark's size check
@@ -247,21 +284,12 @@ def test_no_broadcast_hints_on_sf_scaling_tables(spark):
     broadcasts small sides WITHOUT the hint, so the only hints allowed
     over scaling-table-derived frames are the audited bounded shapes in
     ``_BOUNDED_HINT_ALLOWLIST``; anything new must be audited in (or,
-    usually, the hint just dropped)."""
-    import re
-
+    usually, the hint just dropped). The streaming/stateful entries this
+    sweep skips (their plans exist only inside foreachBatch) are covered
+    at runtime by
+    ``test_streaming_entries_no_scaling_broadcasts_in_executed_plans``."""
     from etl_stream_spark.catalog import CATALOG
 
-    sentinels = {
-        "customer": "c_custkey",
-        "supplier": "s_suppkey",
-        "part": "p_partkey",
-        "orders": "o_orderkey",
-        "lineitem": "l_orderkey",
-        "events": "event_id",
-        "documents": "doc_id",
-        "embeddings": "vec_id",
-    }
     skip = {
         "streaming_hourly_rollup",
         "streaming_session_windows",
@@ -277,33 +305,113 @@ def test_no_broadcast_hints_on_sf_scaling_tables(spark):
         "wal_size_monitor",
     }
 
-    def name_start(line: str) -> int:
-        m = re.search(r"[A-Za-z]", line)
-        return m.start() if m else 0
-
     offenders = {}
     for name, qd in CATALOG.items():
         if name in skip:
             continue
         df = qd.fn(spark, "/root/testdata/sf0.001")
-        lines = df._jdf.queryExecution().analyzed().treeString().splitlines()
-        tabs = set()
-        for i, ln in enumerate(lines):
-            if "ResolvedHint" not in ln:
-                continue
-            depth = name_start(ln)
-            for nxt in lines[i + 1 :]:
-                if name_start(nxt) <= depth:
-                    break
-                if "Relation" in nxt:
-                    for tab, col in sentinels.items():
-                        if col in nxt:
-                            tabs.add(tab)
+        tabs = _hinted_scaling_tables(
+            df._jdf.queryExecution().analyzed().treeString()
+        )
         if tabs and name not in _BOUNDED_HINT_ALLOWLIST:
             offenders[name] = sorted(tabs)
     assert not offenders, (
         f"broadcast hints over SF-scaling tables (audit + allowlist or "
         f"drop the hint): {offenders}"
+    )
+
+
+#: Streaming entries whose CAPTURED per-batch plans carry a hint over a
+#: sentinel-columned relation that is bounded by construction — audited:
+#:   streaming_vector_search — broadcasts the micro-batch of QUERY
+#:       vectors (≤1 source file per trigger of a 5-row query set); the
+#:       temp parquet carries vec_id, tripping the sentinel
+#:   cdc_gold_rollup — broadcasts the micro-batch's DISTINCT silver
+#:       keys for the pre-image group probe (rollup.py touched_groups);
+#:       bounded by the per-trigger batch key count
+_STREAMING_HINT_ALLOWLIST = {
+    "streaming_vector_search",
+    "cdc_gold_rollup",
+}
+
+
+def test_streaming_entries_no_scaling_broadcasts_in_executed_plans(spark):
+    """Round-3 verdict hole: the static hint sweep above skips the
+    streaming/stateful entries because their plans only exist inside
+    ``foreachBatch``. This closes it at RUNTIME: every DataFrame action
+    and write executed while a streaming entry runs (the foreachBatch
+    bodies included — merge jobs, enrichment joins, alert sinks) has its
+    analyzed plan captured and swept with the same ResolvedHint-over-
+    scaling-relation detector."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from etl_stream_spark.catalog import CATALOG
+
+    entries = [
+        "streaming_hourly_rollup",
+        "streaming_session_windows",
+        "streaming_sustained_alerts",
+        "streaming_enrichment",
+        "streaming_stream_join",
+        "streaming_dedup",
+        "streaming_vector_search",
+        "streaming_trending_tokens",
+        "streaming_pattern_match",
+        "cdc_streaming_merge",
+        "cdc_gold_rollup",
+        "cdc_schema_evolution",
+        "cdc_quarantine_repair",
+        "wal_size_monitor",
+    ]
+    captured: list[str] = []
+
+    def record(df) -> None:
+        try:
+            captured.append(df._jdf.queryExecution().analyzed().treeString())
+        except Exception:  # noqa: BLE001 — plan capture must never fail a job
+            pass
+
+    DF = type(spark.range(1))
+    patched = []
+
+    def wrap_action(cls, name):
+        orig = getattr(cls, name)
+
+        def wrapper(self, *a, **kw):
+            record(self if isinstance(self, DF) else self._df)
+            return orig(self, *a, **kw)
+
+        setattr(cls, name, wrapper)
+        patched.append((cls, name, orig))
+
+    for action in ("count", "collect", "isEmpty", "first", "take", "toPandas"):
+        wrap_action(DF, action)
+    for sink in ("parquet", "json", "csv", "save"):
+        wrap_action(DataFrameWriter, sink)
+
+    per_entry: dict[str, set[str]] = {}
+    try:
+        for name in entries:
+            start = len(captured)
+            CATALOG[name].fn(spark, "/root/testdata/sf0.001")
+            tabs: set[str] = set()
+            for tree in captured[start:]:
+                tabs |= _hinted_scaling_tables(tree)
+            if tabs:
+                per_entry[name] = tabs
+    finally:
+        for cls, name, orig in patched:
+            setattr(cls, name, orig)
+
+    assert captured, "runtime plan capture recorded nothing — patch broken"
+    offenders = {
+        n: sorted(t)
+        for n, t in per_entry.items()
+        if n not in _STREAMING_HINT_ALLOWLIST
+    }
+    assert not offenders, (
+        f"streaming per-batch plans hint-broadcast SF-scaling relations "
+        f"(audit + allowlist or drop the hint): {offenders}"
     )
 
 
