@@ -3460,6 +3460,46 @@ FROM documents
 """
 
 
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: each document renders as a binary
+    RIFF/WAVE container (PCM 16-bit mono @16 kHz; sample count + phase
+    from md5(text)), then the pure-numpy chunk-walking WAV parser
+    (`operators/multimodal.py decode_wav`) reads it back. Sample rate /
+    count come from the CONTAINER, sample_sum from the DECODED plane —
+    the oracle's closed form only matches if the parser is correct."""
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.encode_wav(docs)
+    return mm.extract_audio_features(media)
+
+
+# Decoded-plane closed form: sample i is ((s0+i) % 4096) - 2048 with
+# n = 256 + 4·b0 ≤ 1276 < 4096 samples (no full cycle), s0 = 16·b1 —
+# one possible wrap at 4096. Exact BIGINT arithmetic throughout.
+MULTIMODAL_AUDIO_SQL = """
+WITH g AS (
+  SELECT doc_id, md5(text) AS content_md5,
+         256 + 4 * ('0x' || substr(md5(text), 1, 2))::BIGINT AS n,
+         16 * ('0x' || substr(md5(text), 3, 2))::BIGINT AS s0
+  FROM documents
+),
+d AS (
+  SELECT doc_id, content_md5, n, s0, 4096 - s0 AS a FROM g
+)
+SELECT doc_id, 'audio' AS modality,
+       CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+       content_md5,
+       CAST(16000 AS BIGINT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST((CASE WHEN n <= a THEN n * s0 + (n * (n - 1)) // 2
+                  ELSE a * s0 + (a * (a - 1)) // 2
+                       + ((n - a) * (n - a - 1)) // 2
+             END) - 2048 * n AS BIGINT) AS sample_sum,
+       CAST((n * 1000) // 16000 AS BIGINT) AS duration_ms
+FROM d
+"""
+
+
 # --------------------------------------------------------------------------
 # Source & monitoring layer (S1 envelope decode, S6/G7 WAL aggregation)
 # --------------------------------------------------------------------------
@@ -6211,6 +6251,9 @@ CATALOG: dict[str, QueryDef] = {
     # multimodal
     "multimodal_features": QueryDef(multimodal_features, MULTIMODAL_SQL),
     "multimodal_frame_sample": QueryDef(multimodal_frame_sample, FRAMES_SQL),
+    "multimodal_audio_features": QueryDef(
+        multimodal_audio_features, MULTIMODAL_AUDIO_SQL
+    ),
     "multimodal_resize": QueryDef(multimodal_resize, RESIZE_SQL),
     # source & monitoring layer
     "wal_size_monitor": QueryDef(wal_size_monitor, WAL_SIZE_SQL),

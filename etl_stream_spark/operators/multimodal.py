@@ -149,6 +149,130 @@ def decode_ppm(payload: bytes) -> dict | None:
     }
 
 
+def encode_wav(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Render each document as a REAL RIFF/WAVE container (PCM 16-bit
+    mono, 16 kHz): sample count and a phase seed derive from md5(text)
+    so the oracle can predict the decoded statistics analytically;
+    sample ``i`` is ``((seed*16 + i) mod 4096) - 2048``. Pure bytes —
+    the decoder must walk the chunk structure to answer correctly."""
+    import struct
+
+    rate = 16000
+
+    def _render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, md5s, nbytes = [], [], []
+            for text in pdf[text_col]:
+                digest = hashlib.md5(text.encode()).digest()
+                n = 256 + digest[0] * 4
+                seed = digest[1] * 16
+                samples = (((seed + np.arange(n)) % 4096) - 2048).astype("<i2")
+                data = samples.tobytes()
+                header = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(data))
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                )
+                payload = header + data
+                payloads.append(payload)
+                md5s.append(hashlib.md5(text.encode()).hexdigest())
+                nbytes.append(len(payload))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": payloads,
+                    "modality": "audio",
+                    "n_bytes": nbytes,
+                    "content_md5": md5s,
+                }
+            )
+
+    return ensure_parallelism(df).mapInPandas(_render, schema=MEDIA_SCHEMA)
+
+
+def decode_wav(payload: bytes) -> dict | None:
+    """REAL pure-numpy RIFF/WAVE decoder: validate the RIFF header, walk
+    the chunk list for ``fmt `` and ``data`` (chunks may appear in any
+    order, with pad bytes), require PCM 16-bit mono, then read the
+    sample plane. ``sample_sum`` is an exact integer."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, n = 12, len(payload)
+    fmt, data = None, None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            return None  # truncated chunk
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_format, channels, rate, _br, _ba, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if audio_format != 1 or channels != 1 or bits != 16 or len(data) % 2:
+        return None  # only PCM 16-bit mono in scope
+    samples = np.frombuffer(data, dtype="<i2")
+    return {
+        "sample_rate": int(rate),
+        "n_samples": int(samples.size),
+        "n_channels": 1,
+        "sample_sum": int(samples.sum(dtype=np.int64)),
+        "duration_ms": int(samples.size) * 1000 // int(rate),
+    }
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, modality string, n_bytes long, content_md5 string, "
+    "sample_rate long, n_samples long, n_channels long, sample_sum long, "
+    "duration_ms long"
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL WAV decode: chunk-walked container metadata +
+    exact sample sums. Non-WAV payloads yield NULL features (kept, so
+    the operator is total over mixed-modality tables)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [decode_wav(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": pdf["n_bytes"],
+                    "content_md5": pdf["content_md5"],
+                    "sample_rate": pd.array(
+                        [m["sample_rate"] if m else None for m in meta], dtype="Int64"
+                    ),
+                    "n_samples": pd.array(
+                        [m["n_samples"] if m else None for m in meta], dtype="Int64"
+                    ),
+                    "n_channels": pd.array(
+                        [m["n_channels"] if m else None for m in meta], dtype="Int64"
+                    ),
+                    "sample_sum": pd.array(
+                        [m["sample_sum"] if m else None for m in meta], dtype="Int64"
+                    ),
+                    "duration_ms": pd.array(
+                        [m["duration_ms"] if m else None for m in meta], dtype="Int64"
+                    ),
+                }
+            )
+
+    return ensure_parallelism(media).mapInPandas(_extract, schema=AUDIO_FEATURE_SCHEMA)
+
+
 def decode_media(payload: bytes) -> dict:
     """Format dispatch: real decoders first, stub for formats whose
     codecs are not in this container."""

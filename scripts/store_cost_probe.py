@@ -70,7 +70,7 @@ def main() -> int:
             F.concat(F.lit(f"v{i}_"), F.col("id").cast("string")).alias("v"),
             (F.col("id") + i).cast("double").alias("x"),
             F.lit("UPDATE").alias("operation"),
-            F.lpad(F.lit(i * R).cast("string") + F.col("id").cast("string"), 20, "0").alias(
+            F.lpad((F.lit(i * R) + F.col("id")).cast("string"), 20, "0").alias(
                 "sequence"
             ),
         )

@@ -177,6 +177,52 @@ class TestMultimodal:
         ok = mm.decode_ppm(b"P6\n# c\n2 2\n255\n" + b"\x01" * 12)
         assert ok == {"width": 2, "height": 2, "n_channels": 3, "pixel_sum": 12}
 
+    def test_wav_real_decode_roundtrip(self, docs):
+        """encode_wav renders a real RIFF container; the chunk-walking
+        decoder must recover rate/count from fmt/data chunks and the
+        exact sample sum from the PCM plane."""
+        import hashlib
+
+        import numpy as np
+
+        media = mm.encode_wav(docs)
+        feats = {r.doc_id: r for r in mm.extract_audio_features(media).collect()}
+        for doc_id, text, _src in DOCS:
+            d = hashlib.md5(text.encode()).digest()
+            n, s0 = 256 + d[0] * 4, d[1] * 16
+            r = feats[doc_id]
+            assert (r.sample_rate, r.n_samples, r.n_channels) == (16000, n, 1)
+            expected = int((((s0 + np.arange(n)) % 4096) - 2048).sum())
+            assert r.sample_sum == expected
+            assert r.duration_ms == n * 1000 // 16000
+            assert r.n_bytes == 44 + 2 * n
+
+    def test_wav_decoder_walks_chunks_and_rejects_malformed(self):
+        import struct
+
+        import numpy as np
+
+        samples = np.array([100, -100, 2047], dtype="<i2")
+        data = samples.tobytes()
+        base = (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        got = mm.decode_wav(base)
+        assert got["sample_sum"] == 2047 and got["n_samples"] == 3
+        assert got["sample_rate"] == 8000
+        # an odd-sized LIST chunk (word-aligned pad) before data
+        extra = b"LIST" + struct.pack("<I", 5) + b"INFOX" + b"\x00"
+        assert mm.decode_wav(base[:12] + extra + base[12:]) == got
+        assert mm.decode_wav(b"RIFFxxxxWAVE") is None  # no chunks
+        assert mm.decode_wav(base[:40]) is None  # truncated data chunk
+        stereo = base.replace(
+            struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16),
+            struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16),
+        )
+        assert mm.decode_wav(stereo) is None  # only mono in scope
+
     def test_stub_fallback_for_undecodable_payloads(self, docs):
         media = mm.to_media_column(docs)  # raw utf-8 text, not a container
         feats = mm.extract_features(media)
