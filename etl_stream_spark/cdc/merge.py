@@ -83,6 +83,34 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return p.getFileSystem(conf), p
 
 
+def read_small_text(spark: SparkSession, path: str) -> str | None:
+    """Driver-side read of a small metadata file (None if absent).
+
+    For store bookkeeping — generation counters, column sidecars — a
+    Spark job per read/write costs more than the operation it
+    bookkeeps; these go straight through the Hadoop FS client."""
+    fs, p = _hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        return spark.sparkContext._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
+def write_small_text(spark: SparkSession, path: str, text: str) -> None:
+    """Driver-side overwrite of a small metadata file."""
+    fs, p = _hadoop_fs(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(text.encode("utf-8"))
+    finally:
+        out.close()
+
+
 class ParquetMergeTable:
     """A PK-keyed, hash-bucketed parquet table supporting CDC MERGE.
 
@@ -180,21 +208,11 @@ class ParquetMergeTable:
     def _load_stored_cols(self) -> list[str] | None:
         if self._stored_cols is not None:
             return self._stored_cols
-        fs, _ = _hadoop_fs(self.spark, self.path)
-        p = _hadoop_path(self.spark, self._cols_path)
-        if not fs.exists(p):
-            return None
-        # driver-side FS read — column NAMES only, never row data; a
-        # Spark job here would cost more than the merge it bookkeeps
-        stream = fs.open(p)
-        try:
-            text = self.spark.sparkContext._jvm.org.apache.commons.io.IOUtils.toString(
-                stream, "UTF-8"
-            )
-        finally:
-            stream.close()
         import json
 
+        text = read_small_text(self.spark, self._cols_path)
+        if text is None:
+            return None
         self._stored_cols = sorted(json.loads(text))
         return self._stored_cols
 
@@ -202,12 +220,7 @@ class ParquetMergeTable:
         import json
 
         self._stored_cols = sorted(set(cols))
-        fs, _ = _hadoop_fs(self.spark, self.path)
-        out = fs.create(_hadoop_path(self.spark, self._cols_path), True)
-        try:
-            out.write(json.dumps(self._stored_cols).encode("utf-8"))
-        finally:
-            out.close()
+        write_small_text(self.spark, self._cols_path, json.dumps(self._stored_cols))
 
     def _resolve(self, raw: DataFrame) -> DataFrame:
         """Collapse delta generations to the current row per key — the

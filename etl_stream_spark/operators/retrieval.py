@@ -174,7 +174,7 @@ class PostingsIndex:
 
     @property
     def _meta_path(self) -> str:
-        return self.path + "/meta.parquet"
+        return self.path + "/meta.json"
 
     def _fwd(self) -> "ParquetMergeTable":
         from etl_stream_spark.cdc.merge import ParquetMergeTable
@@ -188,15 +188,17 @@ class PostingsIndex:
         )
 
     def _gen(self) -> int:
-        try:
-            return int(self.spark.read.parquet(self._meta_path).first()["gen"])
-        except Exception:
-            return 0
+        # driver-side FS file, not a parquet dataset: a Spark job per
+        # generation read/bump would dominate small upserts
+        from etl_stream_spark.cdc.merge import read_small_text
+
+        text = read_small_text(self.spark, self._meta_path)
+        return 0 if text is None else int(text)
 
     def _set_gen(self, g: int) -> None:
-        self.spark.createDataFrame([(g,)], "gen long").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(self._meta_path)
+        from etl_stream_spark.cdc.merge import write_small_text
+
+        write_small_text(self.spark, self._meta_path, str(int(g)))
 
     def _term_bucket(self):
         return F.pmod(F.xxhash64("t"), F.lit(self.num_term_buckets)).cast("int")

@@ -94,7 +94,7 @@ class IvfIndex:
 
     @property
     def _meta_path(self) -> str:
-        return os.path.join(self.path, "meta.parquet")
+        return os.path.join(self.path, "meta.json")
 
     def _id_map(self, id_col: str) -> ParquetMergeTable:
         """id → (cell, generation), bucket-pruned lookups by id."""
@@ -106,15 +106,17 @@ class IvfIndex:
         )
 
     def _gen(self) -> int:
-        try:
-            return int(self.spark.read.parquet(self._meta_path).first()["gen"])
-        except Exception:
-            return 0
+        # driver-side FS file, not a parquet dataset: a Spark job per
+        # generation read/bump would dominate small upserts
+        from etl_stream_spark.cdc.merge import read_small_text
+
+        text = read_small_text(self.spark, self._meta_path)
+        return 0 if text is None else int(text)
 
     def _set_gen(self, g: int) -> None:
-        self.spark.createDataFrame([(g,)], "gen long").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(self._meta_path)
+        from etl_stream_spark.cdc.merge import write_small_text
+
+        write_small_text(self.spark, self._meta_path, str(int(g)))
 
     @staticmethod
     def _seq(g: int) -> F.Column:
