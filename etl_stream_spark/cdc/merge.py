@@ -256,12 +256,13 @@ class ParquetMergeTable:
         if not self.merge_on_read:
             return raw
         l0 = self._read_l0(buckets)
-        if l0 is not None:
-            raw = l0 if raw is None else raw.unionByName(
-                l0, allowMissingColumns=True
-            )
-        if raw is None:
-            return None
+        if l0 is None:
+            # multi-generation rows exist ONLY in L0: bucket directories
+            # are written resolved (one generation per key) and a key
+            # hashes to exactly one bucket — so a drained table reads
+            # with NO resolution shuffle, same cost as the eager engine
+            return raw
+        raw = l0 if raw is None else raw.unionByName(l0, allowMissingColumns=True)
         return self._resolve(raw)
 
     def _read_files(self, buckets: list[int] | None = None) -> DataFrame | None:
