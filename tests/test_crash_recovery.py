@@ -103,3 +103,54 @@ def test_partially_swapped_commit_repaired_by_replay(spark, tmp_path):
     t.merge(batch)  # recovery
     assert state(t)[ka] == ("a-v2", 11)  # stale replay: no double-apply
     assert state(t)[kb] == ("b-v2", 22)  # missed swap: applied
+
+
+def test_mor_compaction_crash_window_is_idempotent(spark, tmp_path):
+    """Merge-on-read compaction deletes consumed L0 files AFTER the
+    bucket rewrite commits. A crash in between leaves every consumed row
+    twice (bucket dir + L0). Reads must resolve to the identical state
+    (same sequence, same body → same winner), and the next compaction
+    heals the duplication."""
+    import shutil
+
+    from etl_stream_spark.cdc import ParquetMergeTable, make_sequence
+    from etl_stream_spark.cdc.envelope import OP_INSERT, OP_UPDATE
+
+    t = ParquetMergeTable(
+        spark,
+        str(tmp_path / "t"),
+        keys=["id"],
+        num_buckets=4,
+        merge_on_read=True,
+        compact_threshold=50,
+    )
+    schema = "id long, v string, operation string, sequence string"
+    t.merge(
+        spark.createDataFrame(
+            [(k, f"a{k}", OP_INSERT, make_sequence(1, k)) for k in range(6)], schema
+        )
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(k, f"b{k}", OP_UPDATE, make_sequence(2, k)) for k in range(3)], schema
+        )
+    )
+    want = {r.id: r.v for r in t.read().collect()}
+    assert want == {0: "b0", 1: "b1", 2: "b2", 3: "a3", 4: "a4", 5: "a5"}
+
+    # snapshot L0, compact, then restore L0 — the exact crash window
+    l0_dir = tmp_path / "t" / "_delta"
+    stash = tmp_path / "stash"
+    shutil.copytree(l0_dir, stash)
+    t.compact()
+    assert t._delta_files() == []
+    for f in stash.iterdir():
+        shutil.copy(f, l0_dir / f.name)
+    assert t._delta_files() != []
+
+    # every consumed row exists twice; the read still resolves identically
+    assert {r.id: r.v for r in t.read().collect()} == want
+    # recovery is simply the next compaction
+    t.compact()
+    assert t._delta_files() == []
+    assert {r.id: r.v for r in t.read().collect()} == want
