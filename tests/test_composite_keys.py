@@ -83,3 +83,22 @@ def test_scd2_composite_pk(spark, tmp_path):
         ("b", 1, seq(2)): (seq(4), False),  # closed by its tenant's delete
         ("a", 2, seq(5)): (None, True),
     }
+
+
+def test_merge_on_read_composite_pk(spark, tmp_path):
+    """MOR engine with a composite key: L0 resolution keys on the full
+    tuple (id alone must not collide tenants), across compactions."""
+    t = ParquetMergeTable(
+        spark,
+        str(tmp_path / "mor"),
+        keys=["tenant", "id"],
+        num_buckets=4,
+        merge_on_read=True,
+        compact_threshold=1,
+    )
+    for row in ROWS:  # one batch per event → maximal generation count
+        t.merge(spark.createDataFrame([row], SCHEMA))
+    got = {(r["tenant"], r["id"]): r["v"] for r in t.read().collect()}
+    assert got == {("a", 1): 11, ("a", 2): 30}
+    t.compact()
+    assert {(r["tenant"], r["id"]): r["v"] for r in t.read().collect()} == got
