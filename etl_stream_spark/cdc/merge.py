@@ -409,10 +409,12 @@ class ParquetMergeTable:
     def _maybe_compact(self) -> None:
         """Counter-gated compaction: once ``compact_threshold`` appends
         have accumulated since the last sweep, ONE listing of the L0
-        directory decides whether to drain it — the listing RPC
-        amortizes to ~1/threshold per batch. An instance restart resets
-        the counter; the sweep is late by at most one threshold's worth
-        of files, never wrong."""
+        directory decides whether to drain it (threshold is in FILES —
+        an append adds one file per batch partition, so wide batches
+        drain sooner; the listing is ground truth either way). The
+        listing RPC amortizes to ~1/threshold per batch. An instance
+        restart resets the counter; the sweep is late by at most one
+        threshold's worth of appends, never wrong."""
         self._appends_since_sweep = getattr(self, "_appends_since_sweep", 0) + 1
         if self._appends_since_sweep < self.compact_threshold:
             return

@@ -699,3 +699,51 @@ class TestFuzzyBlockMatches:
         )
         out = fuzzy_block_matches(records, probes, block_len=5, max_distance=2)
         assert out.count() == 0
+
+
+class TestDecoderFuzz:
+    """Container parsers are exposed to arbitrary payload bytes: they
+    must parse or return None — never raise, never loop."""
+
+    def test_ppm_decoder_total_on_arbitrary_bytes(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.binary(max_size=200))
+        def fuzz(payload):
+            assert mm.decode_ppm(payload) is None or isinstance(
+                mm.decode_ppm(payload), dict
+            )
+            # prefix-corrupted real containers too
+            assert mm.decode_ppm(b"P6" + payload) is None or True
+
+        fuzz()
+
+    def test_wav_decoder_total_on_arbitrary_bytes(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.binary(max_size=200))
+        def fuzz(payload):
+            out = mm.decode_wav(b"RIFF" + payload)
+            assert out is None or isinstance(out, dict)
+            assert mm.decode_wav(payload) is None or isinstance(
+                mm.decode_wav(payload), dict
+            )
+
+        fuzz()
+
+    def test_truncated_real_containers_reject_cleanly(self):
+        import hashlib
+
+        import numpy as np
+
+        d = hashlib.md5(b"x").digest()
+        w, h, seed = 8 + d[0] % 32, 8 + d[1] % 32, d[2]
+        px = ((seed + np.arange(w * h * 3)) % 256).astype(np.uint8)
+        ppm = f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+        assert mm.decode_ppm(ppm) is not None
+        for cut in (1, 5, len(ppm) // 2, len(ppm) - 1):
+            assert mm.decode_ppm(ppm[:cut]) is None
