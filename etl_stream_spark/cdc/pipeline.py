@@ -131,6 +131,20 @@ class CdcBatchApplier:
             )
         return self._targets[name]
 
+    def _epoch_path(self, name: str) -> str:
+        return f"{self.base_path}/{name}/_meta_epoch.json"
+
+    def _last_epoch(self, name: str) -> int | None:
+        from etl_stream_spark.cdc.merge import read_small_text
+
+        text = read_small_text(self.spark, self._epoch_path(name))
+        return None if text is None else int(text)
+
+    def _set_last_epoch(self, name: str, epoch_id: int) -> None:
+        from etl_stream_spark.cdc.merge import write_small_text
+
+        write_small_text(self.spark, self._epoch_path(name), str(int(epoch_id)))
+
     def read_quarantine(self, name: str) -> DataFrame | None:
         """Rows parked by the expectation gate for ``name`` (with their
         ``_violations``), or None when nothing is parked. The repair
@@ -164,6 +178,19 @@ class CdcBatchApplier:
             return
 
         def run(name: str) -> None:
+            # Exactly-once replay guard (the standard foreachBatch
+            # idempotency pattern): Structured Streaming re-delivers a
+            # whole epoch after a crash; an epoch at or below the last
+            # one COMMITTED for this table is skipped. The eager merge
+            # is already idempotent through the stale-sequence guard —
+            # this spares the re-run entirely and, for merge-on-read
+            # targets, the duplicate delta files a replay would append.
+            # The watermark is written AFTER the apply: a crash in
+            # between re-runs the epoch, which both engines tolerate.
+            if epoch_id is not None:
+                applied = self._last_epoch(name)
+                if applied is not None and epoch_id <= applied:
+                    return
             per_table = events.filter(F.col(self.table_col) == name).drop(self.table_col)
             # Right-to-be-forgotten suppression: erased keys never reach
             # the merge, the history, OR the quarantine — even on replays
@@ -214,6 +241,8 @@ class CdcBatchApplier:
                     # state instead of trusting the touched set
                     rollup.gold.truncate()
                 rollup.refresh_groups(touched)
+            if epoch_id is not None:
+                self._set_last_epoch(name, epoch_id)
             if self.metrics is not None:
                 self.metrics.inc("cdc_batches_applied_total", labels={"table": name})
 

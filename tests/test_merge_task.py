@@ -280,3 +280,57 @@ class TestPurgeConcurrencyAndParity:
         )
         rollup.merge_and_refresh(b3)
         assert {(r["grp"], r["n"]) for r in rollup.read().collect()} == {("g2", 1)}
+
+
+class TestEpochReplayGuard:
+    """foreachBatch redelivers whole epochs after a crash; an epoch at
+    or below the table's committed watermark must be a no-op (and a
+    merge-on-read target must not re-append duplicate delta files)."""
+
+    def _applier(self, spark, tmp_path, mor=False):
+        from etl_stream_spark.cdc.pipeline import CdcBatchApplier, CdcTableConfig
+
+        return CdcBatchApplier(
+            spark,
+            str(tmp_path / "s"),
+            {"t1": CdcTableConfig(keys=["id"], merge_on_read=mor)},
+        )
+
+    def test_replayed_epoch_is_skipped(self, spark, tmp_path):
+        applier = self._applier(spark, tmp_path)
+        b1 = _events(spark, [(1, "a", "INSERT", "01")]).withColumn("table", F.lit("t1"))
+        applier.apply_batch(b1, epoch_id=0)
+        # crash-replay of epoch 0 with a would-be-newer row: skipped
+        b1_replay = _events(spark, [(1, "z", "UPDATE", "09")]).withColumn(
+            "table", F.lit("t1")
+        )
+        applier.apply_batch(b1_replay, epoch_id=0)
+        state = {r["id"]: r["name"] for r in applier.target("t1").read().collect()}
+        assert state == {1: "a"}
+        # the next epoch applies normally
+        applier.apply_batch(b1_replay, epoch_id=1)
+        state = {r["id"]: r["name"] for r in applier.target("t1").read().collect()}
+        assert state == {1: "z"}
+
+    def test_mor_replay_appends_no_duplicate_deltas(self, spark, tmp_path):
+        applier = self._applier(spark, tmp_path, mor=True)
+        b = _events(spark, [(1, "a", "INSERT", "01")]).withColumn("table", F.lit("t1"))
+        applier.apply_batch(b, epoch_id=5)
+        n_files = len(applier.target("t1")._delta_files())
+        applier.apply_batch(b, epoch_id=5)  # replay
+        assert len(applier.target("t1")._delta_files()) == n_files
+        applier.apply_batch(b, epoch_id=4)  # older epoch replays too
+        assert len(applier.target("t1")._delta_files()) == n_files
+
+    def test_epochless_callers_are_unguarded(self, spark, tmp_path):
+        """Repair/resubmission paths pass no epoch — they must always
+        apply (the stale-sequence guard is their protection)."""
+        applier = self._applier(spark, tmp_path)
+        b = _events(spark, [(1, "a", "INSERT", "01")]).withColumn("table", F.lit("t1"))
+        applier.apply_batch(b, epoch_id=3)
+        fix = _events(spark, [(1, "fixed", "UPDATE", "07")]).withColumn(
+            "table", F.lit("t1")
+        )
+        applier.apply_batch(fix)  # no epoch: applies
+        state = {r["id"]: r["name"] for r in applier.target("t1").read().collect()}
+        assert state == {1: "fixed"}
