@@ -3868,6 +3868,48 @@ def streaming_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def streaming_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous INDEX-BACKED vector serving: the production shape
+    where the corpus lives in the persisted IVF index (built once,
+    partition-pruned per probe) and only the bounded query batch moves
+    per trigger. Served with ``nprobe == nlist`` so the approximate
+    index is exact and the oracle is the same brute-force kNN SQL as
+    the scan-based twin — any row the index layout loses fails the
+    hash. Swap in ``nprobe < nlist`` for the recall/latency trade at
+    scale (audited separately by ``ann_recall_audit``/``ivf_topk``)."""
+    from etl_stream_spark.operators.vector_index import IvfIndex
+
+    _ensure_utc(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="stream_ivf_")
+    idx = IvfIndex(spark, os.path.join(root, "idx"), nlist=8)
+    idx.build(emb.select("vec_id", "embedding"), rounds=2)
+    src = os.path.join(root, "queries")
+    out = os.path.join(root, "results")
+    emb.filter(F.col("vec_id") < 5).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def serve(batch: DataFrame, _eid: int) -> None:
+        if batch.isEmpty():
+            return
+        idx.search(batch, k=5, nprobe=8).select(
+            "query_id", "neighbor_id", "cos_sim", "rank"
+        ).write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(serve)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_raise(q, 300)
+    return spark.read.parquet(out)
+
+
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-window aggregation as a real stateful stream
     (``F.session_window`` with a 30-minute gap + watermark): per-user
@@ -6264,6 +6306,7 @@ CATALOG: dict[str, QueryDef] = {
     "streaming_enrichment": QueryDef(streaming_enrichment, ENRICH_SQL),
     "streaming_stream_join": QueryDef(streaming_stream_join, SSJOIN_SQL),
     "streaming_vector_search": QueryDef(streaming_vector_search, KNN_SQL),
+    "streaming_ivf_search": QueryDef(streaming_ivf_search, KNN_SQL),
     "cdc_streaming_merge": QueryDef(cdc_streaming_merge, CDC_STREAM_SQL),
     "cdc_quarantine_repair": QueryDef(cdc_quarantine_repair, CDC_REPAIR_SQL),
     "cdc_forget_keys": QueryDef(cdc_forget_keys, CDC_FORGET_SQL),

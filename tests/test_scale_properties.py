@@ -177,6 +177,7 @@ def test_no_cartesian_product_in_any_batch_plan(spark):
         "streaming_stream_join",
         "streaming_dedup",
         "streaming_vector_search",
+        "streaming_ivf_search",
         "cdc_streaming_merge",
         "cdc_gold_rollup",
         "cdc_schema_evolution",
@@ -298,6 +299,7 @@ def test_no_broadcast_hints_on_sf_scaling_tables(spark):
         "streaming_stream_join",
         "streaming_dedup",
         "streaming_vector_search",
+        "streaming_ivf_search",
         "cdc_streaming_merge",
         "cdc_gold_rollup",
         "cdc_schema_evolution",
@@ -326,11 +328,16 @@ def test_no_broadcast_hints_on_sf_scaling_tables(spark):
 #:   streaming_vector_search — broadcasts the micro-batch of QUERY
 #:       vectors (≤1 source file per trigger of a 5-row query set); the
 #:       temp parquet carries vec_id, tripping the sentinel
+#:   streaming_ivf_search — broadcasts the k centroids and the probed
+#:       (query × nprobe) cell map per micro-batch; both bounded by the
+#:       per-trigger query batch, but the query temp parquet carries
+#:       vec_id, tripping the sentinel
 #:   cdc_gold_rollup — broadcasts the micro-batch's DISTINCT silver
 #:       keys for the pre-image group probe (rollup.py touched_groups);
 #:       bounded by the per-trigger batch key count
 _STREAMING_HINT_ALLOWLIST = {
     "streaming_vector_search",
+    "streaming_ivf_search",
     "cdc_gold_rollup",
 }
 
@@ -355,6 +362,7 @@ def test_streaming_entries_no_scaling_broadcasts_in_executed_plans(spark):
         "streaming_stream_join",
         "streaming_dedup",
         "streaming_vector_search",
+        "streaming_ivf_search",
         "streaming_trending_tokens",
         "streaming_pattern_match",
         "cdc_streaming_merge",
