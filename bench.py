@@ -94,6 +94,9 @@ BENCH_QUERIES = [
     # CEP row-pattern matching + exact-integer trajectory similarity
     "events_pattern_match",
     "user_trajectory_topk",
+    # round-4: real container decodes (pure-numpy PPM raster sums ride
+    # in multimodal_features above; this adds the RIFF/WAV plane)
+    "multimodal_audio_features",
 ]
 
 
