@@ -3814,6 +3814,9 @@ def cdc_streaming_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 keys=["user_id"], num_buckets=8, merge_on_read=True
             )
         },
+        # epoch replay guard, scoped to this (query, checkpoint)
+        # lifetime — root is unique per invocation, like the checkpoint
+        txn_app_id=root,
     )
     stream = spark.readStream.schema(
         spark.read.parquet(src).schema

@@ -143,13 +143,19 @@ class DeltaMergeTable:
     def _ensure_tombstone_column(self) -> None:
         """Add a nullable boolean ``_deleted`` to a pre-tombstone table
         (no-op when present). NULL reads as not-deleted, so existing
-        rows keep their semantics — parity with the parquet engine."""
+        rows keep their semantics — parity with the parquet engine.
+        The check is cached: a Delta snapshot load per micro-batch just
+        to re-verify a column that can only be added once would tax the
+        hot streaming path (per-batch job-count rule)."""
+        if getattr(self, "_tombstone_col_ensured", False):
+            return
         cols = self.spark.read.format("delta").load(self.path).columns
         if DELETED_COL not in cols:
             self.spark.sql(
                 f"ALTER TABLE delta.`{self.path}` "
                 f"ADD COLUMNS ({DELETED_COL} boolean)"
             )
+        self._tombstone_col_ensured = True
 
     def merge(self, batch: DataFrame) -> None:
         from delta.tables import DeltaTable

@@ -263,7 +263,18 @@ class ParquetMergeTable:
             # with NO resolution shuffle, same cost as the eager engine
             return raw
         raw = l0 if raw is None else raw.unionByName(l0, allowMissingColumns=True)
-        return self._resolve(raw)
+        resolved = self._resolve(raw)
+        if not self.tombstone_deletes and DELETED_COL in resolved.columns:
+            # Eager-contract equivalence for every _read_state consumer
+            # (rollups, join views, checksums): a non-tombstone table's
+            # state never contains delete-marker rows, so un-drained L0
+            # markers must not surface as live rows. The marker still
+            # WINS resolution before being filtered, so a stale replay
+            # stays suppressed until compaction physically drops it.
+            resolved = resolved.filter(
+                ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+            ).drop(DELETED_COL)
+        return resolved
 
     def _read_files(self, buckets: list[int] | None = None) -> DataFrame | None:
         """Read target incl. bookkeeping cols, pruned to ``buckets``.
@@ -362,9 +373,15 @@ class ParquetMergeTable:
         """Merge-on-read fast path: ONE Spark job — project the raw
         batch to the stored shape (data cols + ``_seq`` + ``_deleted``
         marker + bucket) and append it. No state read, no join, no
-        within-batch dedup (read-time resolution collapses generations
-        with the same sequence ordering + md5 tie-break, so duplicate
-        keys in one batch resolve exactly like the window form).
+        within-batch dedup: read-time resolution collapses generations
+        by the same sequence ordering, with an md5 tie-break over the
+        STORED columns. Winners match the eager engine whenever
+        sequences are unique per key (the construction guarantee) and
+        for identical-body redeliveries; on the pathological
+        same-sequence-DIFFERENT-body collision each mode is internally
+        deterministic but they may install different survivors (the
+        eager tie-break hashes the raw batch columns, op/timestamp
+        included, which the stored shape no longer carries).
 
         Returns False — caller runs the eager join — when the batch
         schema is NARROWER than the stored one: column-absent-keeps-
@@ -532,14 +549,19 @@ class ParquetMergeTable:
             # match or the documented drop-in swap would change results.
             # (A NULL *value* in a present column still overwrites.)
             #
-            # A WINNING DELETE also takes the batch side (NULL for
-            # PK-only deletes): the Delta twin's tombstone_assignments
-            # sets every data column from b, and retention demands the
-            # pre-image not linger on the tombstone until compaction —
-            # Kafka-tombstone semantics. (Only reachable in tombstone
-            # mode; winning deletes are filtered out otherwise.)
+            # A WINNING DELETE also takes the batch side — and when the
+            # column is ABSENT from a PK-only delete's schema, a typed
+            # NULL, never the keeps-target fallback: the Delta twin's
+            # tombstone_assignments sets every data column from b, and
+            # retention demands the pre-image not linger on the
+            # tombstone until compaction — Kafka-tombstone semantics.
+            # (Only reachable in tombstone mode; winning deletes are
+            # filtered out otherwise.)
             t_side = F.col(f"t.{col}") if col in t_data else F.lit(None)
-            b_side = F.col(f"b.{col}") if col in b_data else t_side
+            if col in b_data:
+                b_side = F.col(f"b.{col}")
+            else:
+                b_side = F.when(is_delete, F.lit(None)).otherwise(t_side)
             return F.when(src_wins, b_side).otherwise(t_side).alias(col)
 
         key_exprs = [

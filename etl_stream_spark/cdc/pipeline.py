@@ -98,9 +98,20 @@ class CdcBatchApplier:
         rollups: dict[str, "IncrementalRollup"] | None = None,
         histories: dict[str, "Scd2Table"] | None = None,
         join_views: list[tuple["IncrementalJoinView", str, str]] | None = None,
+        txn_app_id: str | None = None,
     ) -> None:
+        """``txn_app_id`` arms the exactly-once epoch replay guard (the
+        Delta ``txnAppId``/``txnVersion`` pattern): epoch watermarks are
+        scoped to this id, because Structured Streaming batch numbers
+        restart at 0 with a NEW checkpoint — an unscoped watermark would
+        silently discard every batch after a checkpoint reset until the
+        numbering caught up. Use one id per (query, checkpoint)
+        lifetime; change it whenever the checkpoint is recreated. None
+        (default) disables the guard — replays then rely on the merge
+        engine's stale-sequence idempotency, exactly as before."""
         self.spark = spark
         self.base_path = base_path.rstrip("/")
+        self.txn_app_id = txn_app_id
         self.table_col = table_col
         self.max_parallel_tables = max_parallel_tables
         self.metrics = metrics  # optional MetricsRegistry
@@ -132,7 +143,12 @@ class CdcBatchApplier:
         return self._targets[name]
 
     def _epoch_path(self, name: str) -> str:
-        return f"{self.base_path}/{name}/_meta_epoch.json"
+        import hashlib
+
+        # scoped by txn_app_id: watermarks from a previous query
+        # lifetime (different checkpoint) must never gate this one
+        tag = hashlib.md5(self.txn_app_id.encode()).hexdigest()[:12]
+        return f"{self.base_path}/{name}/_meta_epoch_{tag}.json"
 
     def _last_epoch(self, name: str) -> int | None:
         from etl_stream_spark.cdc.merge import read_small_text
@@ -181,13 +197,14 @@ class CdcBatchApplier:
             # Exactly-once replay guard (the standard foreachBatch
             # idempotency pattern): Structured Streaming re-delivers a
             # whole epoch after a crash; an epoch at or below the last
-            # one COMMITTED for this table is skipped. The eager merge
-            # is already idempotent through the stale-sequence guard —
-            # this spares the re-run entirely and, for merge-on-read
-            # targets, the duplicate delta files a replay would append.
-            # The watermark is written AFTER the apply: a crash in
-            # between re-runs the epoch, which both engines tolerate.
-            if epoch_id is not None:
+            # one COMMITTED for this table under this txn_app_id is
+            # skipped. The eager merge is already idempotent through
+            # the stale-sequence guard — this spares the re-run
+            # entirely and, for merge-on-read targets, the duplicate
+            # delta files a replay would append. The watermark is
+            # written AFTER the apply: a crash in between re-runs the
+            # epoch, which both engines tolerate.
+            if epoch_id is not None and self.txn_app_id is not None:
                 applied = self._last_epoch(name)
                 if applied is not None and epoch_id <= applied:
                     return
@@ -241,7 +258,7 @@ class CdcBatchApplier:
                     # state instead of trusting the touched set
                     rollup.gold.truncate()
                 rollup.refresh_groups(touched)
-            if epoch_id is not None:
+            if epoch_id is not None and self.txn_app_id is not None:
                 self._set_last_epoch(name, epoch_id)
             if self.metrics is not None:
                 self.metrics.inc("cdc_batches_applied_total", labels={"table": name})

@@ -454,6 +454,28 @@ class TestTombstonePayload:
         assert raw[0]["name"] is None and raw[0]["qty"] is None
         assert state_dict(t) == {}
 
+    def test_pk_only_schema_delete_also_drops_pre_image(self, spark, tmp_path):
+        """A delete whose SCHEMA carries only the key (no nulled data
+        columns) must scrub too — the column-absent keeps-target
+        fallback applies to updates, never to winning deletes."""
+        t = ParquetMergeTable(
+            spark,
+            str(tmp_path / "t2"),
+            keys=["id"],
+            num_buckets=4,
+            tombstone_deletes=True,
+        )
+        t.merge(make_batch(spark, [ev(1, "secret", 42, OP_INSERT, 0)]))
+        pk_only = spark.createDataFrame(
+            [(1, OP_DELETE, make_sequence(1_700_000_000_000_000, 5))],
+            "id long, operation string, sequence string",
+        )
+        t.merge(pk_only)
+        raw = t._read_state().filter(F.col("id") == 1).collect()
+        assert len(raw) == 1
+        assert raw[0]["name"] is None and raw[0]["qty"] is None
+        assert state_dict(t) == {}
+
 
 class TestMergeOnRead:
     """merge_on_read=True: L0 delta appends + read-time resolution must
@@ -555,3 +577,63 @@ class TestMergeOnRead:
         # marker survived compaction: stale replay still loses
         t.merge(make_batch(spark, [ev(1, "a", 1, OP_INSERT, 0)]))
         assert state_dict(t) == {}
+
+
+class TestMorStateConsumers:
+    """_read_state consumers (rollups, join views, checksums) were
+    written against the eager contract: a non-tombstone table's state
+    never contains delete-marker rows. The MOR read path must uphold
+    that — un-drained L0 markers may suppress replays but never surface
+    as live rows."""
+
+    def test_non_tombstone_state_has_no_marker_rows(self, spark, tmp_path):
+        t = ParquetMergeTable(
+            spark,
+            str(tmp_path / "t"),
+            keys=["id"],
+            num_buckets=4,
+            merge_on_read=True,
+            compact_threshold=50,
+        )
+        t.merge(
+            make_batch(
+                spark, [ev(1, "a", 1, OP_INSERT, 0), ev(2, "b", 2, OP_INSERT, 1)]
+            )
+        )
+        t.merge(make_batch(spark, [ev(2, None, None, OP_DELETE, 5)]))
+        state = t._read_state()
+        from etl_stream_spark.cdc.merge import DELETED_COL
+
+        assert DELETED_COL not in state.columns
+        assert {r["id"] for r in state.collect()} == {1}
+        # the marker still suppresses a stale replay until compaction
+        t.merge(make_batch(spark, [ev(2, "b", 2, OP_INSERT, 1)]))
+        assert state_dict(t) == {1: ("a", 1)}
+
+    def test_rollup_over_mor_silver_ignores_deleted_keys(self, spark, tmp_path):
+        from etl_stream_spark.cdc.rollup import IncrementalRollup
+
+        silver = ParquetMergeTable(
+            spark,
+            str(tmp_path / "silver"),
+            keys=["id"],
+            num_buckets=4,
+            merge_on_read=True,
+            compact_threshold=50,
+        )
+        rollup = IncrementalRollup(
+            spark,
+            silver,
+            str(tmp_path / "gold"),
+            group_cols=["name"],
+            aggs={"n": lambda: F.count(F.lit(1)).cast("long")},
+        )
+        b1 = make_batch(
+            spark, [ev(1, "g", 1, OP_INSERT, 0), ev(2, "g", 2, OP_INSERT, 1)]
+        )
+        rollup.merge_and_refresh(b1)
+        # replica-identity-full delete of k2 → fast-path L0 marker
+        b2 = make_batch(spark, [ev(2, "g", None, OP_DELETE, 5)])
+        rollup.merge_and_refresh(b2)
+        gold = {r["name"]: r["n"] for r in rollup.read().collect()}
+        assert gold == {"g": 1}  # marker row must not count as live

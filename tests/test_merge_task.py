@@ -287,13 +287,14 @@ class TestEpochReplayGuard:
     or below the table's committed watermark must be a no-op (and a
     merge-on-read target must not re-append duplicate delta files)."""
 
-    def _applier(self, spark, tmp_path, mor=False):
+    def _applier(self, spark, tmp_path, mor=False, app_id="query-A"):
         from etl_stream_spark.cdc.pipeline import CdcBatchApplier, CdcTableConfig
 
         return CdcBatchApplier(
             spark,
             str(tmp_path / "s"),
             {"t1": CdcTableConfig(keys=["id"], merge_on_read=mor)},
+            txn_app_id=app_id,
         )
 
     def test_replayed_epoch_is_skipped(self, spark, tmp_path):
@@ -334,3 +335,29 @@ class TestEpochReplayGuard:
         applier.apply_batch(fix)  # no epoch: applies
         state = {r["id"]: r["name"] for r in applier.target("t1").read().collect()}
         assert state == {1: "fixed"}
+
+
+    def test_new_app_id_is_not_gated_by_old_watermark(self, spark, tmp_path):
+        """A checkpoint reset restarts epoch numbering at 0; the guard is
+        scoped by txn_app_id so the new query lifetime must apply from
+        its first epoch instead of silently discarding batches until the
+        numbering catches up."""
+        a1 = self._applier(spark, tmp_path, app_id="run-1")
+        b = _events(spark, [(1, "a", "INSERT", "01")]).withColumn("table", F.lit("t1"))
+        a1.apply_batch(b, epoch_id=1500)
+        a2 = self._applier(spark, tmp_path, app_id="run-2")  # fresh checkpoint
+        fix = _events(spark, [(1, "b", "UPDATE", "05")]).withColumn(
+            "table", F.lit("t1")
+        )
+        a2.apply_batch(fix, epoch_id=0)  # epochs restart at 0
+        state = {r["id"]: r["name"] for r in a2.target("t1").read().collect()}
+        assert state == {1: "b"}
+
+    def test_guard_disabled_without_app_id(self, spark, tmp_path):
+        a = self._applier(spark, tmp_path, app_id=None)
+        b1 = _events(spark, [(1, "a", "INSERT", "01")]).withColumn("table", F.lit("t1"))
+        a.apply_batch(b1, epoch_id=0)
+        b2 = _events(spark, [(1, "b", "UPDATE", "05")]).withColumn("table", F.lit("t1"))
+        a.apply_batch(b2, epoch_id=0)  # same epoch but unguarded: applies
+        state = {r["id"]: r["name"] for r in a.target("t1").read().collect()}
+        assert state == {1: "b"}
