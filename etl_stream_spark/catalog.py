@@ -2502,6 +2502,52 @@ FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
 """
 
 
+def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup detection against the persisted LSH band
+    store (`operators/incremental_dedup.py::LshBandStore`): the corpus
+    arrives as three ascending-id shards; each shard's documents are
+    flagged iff they share a MinHash band with ANY lower-id document —
+    earlier shards via the bucket-pruned store probe, the same shard via
+    an in-batch window. With ordered shards that equals the one-shot
+    banded self-join predicate, so the oracle is the global EXISTS."""
+    import tempfile
+
+    from etl_stream_spark.operators.incremental_dedup import LshBandStore
+
+    docs = _t(spark, sf_dir, "documents")
+    hi = docs.agg(F.max("doc_id")).first()[0]  # 1-row aggregate, bounded
+    cuts = [0, (hi + 1) // 3, 2 * (hi + 1) // 3, hi + 1]
+    store = LshBandStore(
+        spark,
+        os.path.join(tempfile.mkdtemp(prefix="lsh_inc_"), "bands"),
+        num_buckets=16,
+        num_hashes=_NUM_HASHES,
+        band_size=2,
+    )
+    parts = []
+    for lo, up in zip(cuts, cuts[1:]):
+        shard = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < up))
+        parts.append(store.check_and_register(shard))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(F.col("doc_id").cast("long"), "is_near_dup")
+
+
+def _lsh_incremental_sql() -> str:
+    bands = _bands_sql()
+    return f"""
+WITH {SIG_CTES}, bands AS ({bands}),
+hit AS (
+  SELECT DISTINCT b.doc_id
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT d.doc_id, (h.doc_id IS NOT NULL) AS is_near_dup
+FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
+"""
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → duplicate clusters: connected components by
     iterative min-label propagation; every document labeled with the
@@ -6268,6 +6314,7 @@ CATALOG: dict[str, QueryDef] = {
     "dedup_bloom_incremental": QueryDef(dedup_bloom_incremental, BLOOM_INCR_SQL),
     "corpus_forget_documents": QueryDef(corpus_forget_documents, CORPUS_FORGET_SQL),
     "dedup_lsh_pairs": QueryDef(dedup_lsh_pairs, _lsh_pairs_sql()),
+    "dedup_lsh_incremental": QueryDef(dedup_lsh_incremental, _lsh_incremental_sql()),
     "dedup_clusters": QueryDef(dedup_clusters, _clusters_sql()),
     "dedup_survivors": QueryDef(dedup_survivors, _survivors_sql()),
     "dedup_survivors_quality": QueryDef(

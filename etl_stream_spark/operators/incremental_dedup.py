@@ -141,3 +141,147 @@ class FingerprintStore:
         out = self.novel(docs, id_col, text_col).localCheckpoint(eager=True)
         self.register(docs, id_col, text_col)
         return out
+
+
+BAND_ID_COL = "band_id"
+BAND_KEY_COL = "band_key"
+
+
+class LshBandStore:
+    """Incremental NEAR-duplicate detection against a persisted banded-
+    MinHash membership store — the fuzzy twin of :class:`FingerprintStore`.
+
+    The batch LSH join (``operators/dedup.py::minhash_lsh_pairs``)
+    answers "which documents in THIS corpus are near-duplicates"; a
+    continuously-ingesting pipeline needs "which documents in this NEW
+    shard are near-duplicates of ANYTHING seen before" — without
+    re-banding history. The store persists every (band_id, band_key)
+    bucket ever claimed, keyed by the band tuple in the engine's own
+    bucketed merge table, so membership probes prune to the batch's
+    hash buckets and registration is an idempotent MERGE.
+
+    Contract: with shards processed in ascending ``id_col`` order,
+    ``check_and_register`` marks a document near-dup **iff it shares at
+    least one LSH band with some lower-id document** (earlier shards via
+    the store, the same shard via an in-batch window) — the exact global
+    predicate a one-shot banded self-join computes, so the oracle is
+    SQL-expressible. LSH semantics carry over unchanged: a band match is
+    a CANDIDATE signal (tune bands/rows for the target Jaccard curve);
+    pair it with an exact-verify stage when false positives matter.
+
+    At 100 TB the store holds ``bands-per-doc`` ~50-byte rows per
+    distinct document — still corpus-scale-free — and each shard touches
+    only the buckets its band keys hash into.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        num_buckets: int = 64,
+        num_hashes: int = 8,
+        band_size: int = 2,
+    ) -> None:
+        self.spark = spark
+        self.num_hashes = num_hashes
+        self.band_size = band_size
+        self.table = ParquetMergeTable(
+            spark, path, keys=[BAND_ID_COL, BAND_KEY_COL], num_buckets=num_buckets
+        )
+        self._epoch = 0
+
+    def _bands(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        from etl_stream_spark.operators.dedup import (
+            lsh_band_keys,
+            minhash_signatures,
+        )
+
+        sig = minhash_signatures(
+            docs, id_col=id_col, text_col=text_col, num_hashes=self.num_hashes
+        )
+        return lsh_band_keys(
+            sig, id_col=id_col, num_hashes=self.num_hashes, band_size=self.band_size
+        )
+
+    def check_and_register(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """One shard through the ingest protocol: verdicts computed
+        against the PRE-registration store plus same-shard lower ids,
+        then ALL of the shard's bands are registered (a near-dup's bands
+        claim buckets too — a later doc matching only the near-dup must
+        still flag). Returns ``(id_col, is_near_dup)``, lineage-cut so
+        the verdict can never observe its own registration."""
+        bands = self._bands(docs, id_col, text_col).persist()
+        try:
+            w = Window.partitionBy(BAND_ID_COL, BAND_KEY_COL)
+            in_batch_hit = (
+                bands.withColumn("_min_id", F.min(F.col(id_col)).over(w))
+                .filter(F.col("_min_id") < F.col(id_col))
+                .select(id_col)
+            )
+            bucket = self.table._bucket_expr()
+            store_hit = None
+            if self.table.exists():
+                touched = [
+                    r[0]
+                    for r in bands.select(bucket.alias(BUCKET_COL))
+                    .distinct()
+                    .collect()
+                ]
+                state = self.table._read_state(buckets=touched)
+                if state is not None:
+                    store_hit = bands.join(
+                        state.select(BAND_ID_COL, BAND_KEY_COL),
+                        [BAND_ID_COL, BAND_KEY_COL],
+                        "left_semi",
+                    ).select(id_col)
+            near = (
+                in_batch_hit
+                if store_hit is None
+                else in_batch_hit.unionByName(store_hit)
+            ).distinct().withColumn("is_near_dup", F.lit(True))
+            verdict = (
+                docs.select(id_col)
+                .join(near, id_col, "left")
+                .select(
+                    id_col,
+                    F.coalesce(F.col("is_near_dup"), F.lit(False)).alias(
+                        "is_near_dup"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+            self._register(bands, id_col)
+            return verdict
+        finally:
+            bands.unpersist()
+
+    def _register(self, bands: DataFrame, id_col: str) -> None:
+        self._epoch += 1
+        rows = (
+            bands.groupBy(BAND_ID_COL, BAND_KEY_COL)
+            .agg(F.min(F.col(id_col)).alias("first_doc"))
+            .select(
+                BAND_ID_COL,
+                BAND_KEY_COL,
+                "first_doc",
+                F.lit("INSERT").alias(OPERATION_COL),
+                F.lit(make_sequence(self._epoch, 0)).alias(SEQUENCE_COL),
+            )
+        )
+        self.table.merge(rows)
+
+    def purge(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> None:
+        """Right-to-be-forgotten propagation: remove the erased
+        documents' band claims (derived data). Shared-band caveat as
+        :meth:`FingerprintStore.purge`: a surviving near-identical
+        document re-registers the bucket on its next ingest."""
+        self.table.purge_keys(
+            self._bands(docs, id_col, text_col).select(
+                BAND_ID_COL, BAND_KEY_COL
+            ).distinct()
+        )

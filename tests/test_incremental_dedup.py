@@ -82,3 +82,66 @@ def test_purge_forgets_content_and_reingest_recovers(spark, tmp_path):
     # re-registering converges back to fully-seen
     store.register(corpus)
     assert ids(store.novel(corpus)) == []
+
+
+class TestLshBandStore:
+    """Incremental NEAR-dup detection: band matches across shards,
+    same-shard lower-id matches, near-dup bands still claim buckets,
+    and erasure purges claims."""
+
+    def _texts(self):
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        near = "the quick brown fox jumps over the lazy dog again and again today"
+        other = "completely different words about spark shuffle exchanges here"
+        return base, near, other
+
+    def test_cross_and_within_shard_near_dups(self, spark, tmp_path):
+        from etl_stream_spark.operators.incremental_dedup import LshBandStore
+
+        base, near, other = self._texts()
+        store = LshBandStore(spark, str(tmp_path / "lsh"), num_buckets=4)
+        v1 = {
+            r.doc_id: r.is_near_dup
+            for r in store.check_and_register(
+                docs(spark, [(1, base), (2, other), (3, base)])
+            ).collect()
+        }
+        assert v1 == {1: False, 2: False, 3: True}  # 3 matches 1 in-shard
+
+        # shard 2: 10 near-dups the STORE's doc 1; 11 matches doc 3 —
+        # a doc that was itself a near-dup must still have claimed bands
+        v2 = {
+            r.doc_id: r.is_near_dup
+            for r in store.check_and_register(
+                docs(spark, [(10, near), (11, base), (12, "unrelated novel text entirely")])
+            ).collect()
+        }
+        assert v2[10] is True and v2[11] is True and v2[12] is False
+
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        from etl_stream_spark.operators.incremental_dedup import LshBandStore
+
+        base, _near, other = self._texts()
+        store = LshBandStore(spark, str(tmp_path / "lsh2"), num_buckets=4)
+        shard = docs(spark, [(1, base), (2, other)])
+        store.check_and_register(shard)
+        # crash-replay of the same shard: ITS OWN bands are in the store
+        # now, so verdicts flip to near-dup (claimed by "an earlier
+        # document" — itself); the store's membership is unchanged
+        before = store.table.read().count()
+        store.check_and_register(shard)
+        assert store.table.read().count() == before
+
+    def test_purge_removes_claims(self, spark, tmp_path):
+        from etl_stream_spark.operators.incremental_dedup import LshBandStore
+
+        base, near, other = self._texts()
+        store = LshBandStore(spark, str(tmp_path / "lsh3"), num_buckets=4)
+        store.check_and_register(docs(spark, [(1, base), (2, other)]))
+        store.purge(docs(spark, [(1, base)]))
+        # doc 1's claims are gone: a near-dup of it now reads novel
+        v = {
+            r.doc_id: r.is_near_dup
+            for r in store.check_and_register(docs(spark, [(10, near)])).collect()
+        }
+        assert v == {10: False}
