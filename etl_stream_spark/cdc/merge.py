@@ -102,13 +102,33 @@ def read_small_text(spark: SparkSession, path: str) -> str | None:
 
 
 def write_small_text(spark: SparkSession, path: str, text: str) -> None:
-    """Driver-side overwrite of a small metadata file."""
+    """Driver-side overwrite of a small metadata file — ATOMICALLY.
+
+    A plain truncate-then-write (``fs.create(p, True)``) leaves an
+    empty/partial file if the writer dies between create and close, and
+    the readers of these files parse unguarded (``int(text)`` for
+    generation counters, ``json.loads`` for the column sidecar). For the
+    epoch guard and the sidecar an unparseable file could be treated as
+    absent, but a generation counter reading 0 on a populated index
+    silently corrupts the next upsert — so every metadata write goes
+    through write-temp-then-rename. The rename is atomic on local FS and
+    HDFS; where rename-onto-existing is refused, the fallback window is
+    delete→rename, which a reader sees as absent (never partial).
+    """
     fs, p = _hadoop_fs(spark, path)
-    out = fs.create(p, True)
+    tmp = _hadoop_path(spark, path + ".tmp")
+    out = fs.create(tmp, True)
     try:
         out.write(text.encode("utf-8"))
     finally:
         out.close()
+    if not fs.rename(tmp, p):
+        # HDFS-style rename refuses an existing destination: remove the
+        # old file and retry. Crash between the two calls reads as
+        # "absent", never as a torn write.
+        fs.delete(p, False)
+        if not fs.rename(tmp, p):
+            raise IOError(f"could not commit metadata file {path}")
 
 
 class ParquetMergeTable:
@@ -477,9 +497,14 @@ class ParquetMergeTable:
         )
         resolved = self._resolve(raw)
         if not self.tombstone_deletes and DELETED_COL in resolved.columns:
+            # drop the marker column too, not just the marker rows:
+            # compacted bucket dirs must stay column-identical to the
+            # eager engine (and to the drained-L0 raw read path), or
+            # _read_state consumers would see _deleted=false appear and
+            # vanish depending on whether L0 happened to be drained
             resolved = resolved.filter(
                 ~F.coalesce(F.col(DELETED_COL), F.lit(False))
-            )
+            ).drop(DELETED_COL)
         self._write(resolved, full_overwrite=False, touched=touched)
         fs, _ = _hadoop_fs(self.spark, self.path)
         for f in l0_files:

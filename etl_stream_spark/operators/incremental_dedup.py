@@ -27,10 +27,53 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_stream_spark.cdc.envelope import OPERATION_COL, SEQUENCE_COL, make_sequence
-from etl_stream_spark.cdc.merge import BUCKET_COL, ParquetMergeTable
+from etl_stream_spark.cdc.envelope import OPERATION_COL, SEQUENCE_COL
+from etl_stream_spark.cdc.merge import (
+    BUCKET_COL,
+    ParquetMergeTable,
+    read_small_text,
+    write_small_text,
+)
 
 FP_COL = "fp"
+
+
+class _PersistedEpoch:
+    """Monotone registration counter stored NEXT TO the table (driver-
+    side FS file — a Spark job per bump would dominate small shards).
+
+    Instance-local counters reset to 0 on restart, so a new instance
+    over an existing store would register with sequences BELOW the
+    stored ones: matched re-registrations get vetoed by the merge
+    engine's stale-sequence guard, leaving ``first_doc`` stale after
+    purge/re-ingest cycles. Persisting the counter keeps restarts
+    monotone. Underscore-prefixed file → hidden from parquet listings;
+    ``write_small_text`` commits via atomic rename, and an absent /
+    unreadable file is safe here (0 only under-orders a brand-new
+    store, whose table is empty)."""
+
+    def __init__(self, spark, table_path: str) -> None:
+        self.spark = spark
+        self.path = table_path.rstrip("/") + "/_epoch.txt"
+        self._cached: int | None = None
+
+    def next(self) -> int:
+        if self._cached is None:
+            text = read_small_text(self.spark, self.path)
+            try:
+                self._cached = int(text) if text is not None else 0
+            except ValueError:
+                self._cached = 0
+        self._cached += 1
+        write_small_text(self.spark, self.path, str(self._cached))
+        return self._cached
+
+    def next_sequence(self) -> str:
+        """Zero-padded merge sequence for the next registration. Padding
+        matters: raw small-int epochs invert under the merge engine's
+        lexicographic compare at 10 vs 9, silently vetoing every
+        re-registration from then on."""
+        return f"{self.next():020d}_00000000"
 
 
 def _fingerprint(text_col: str) -> F.Column:
@@ -52,7 +95,7 @@ class FingerprintStore:
         self.table = ParquetMergeTable(
             spark, path, keys=[FP_COL], num_buckets=num_buckets
         )
-        self._epoch = 0
+        self._epoch = _PersistedEpoch(spark, path)
 
     def novel(
         self,
@@ -98,7 +141,6 @@ class FingerprintStore:
     ) -> None:
         """Record a shard's fingerprints (idempotent — re-registering a
         replayed shard changes nothing; the fingerprint is the PK)."""
-        self._epoch += 1
         fp = _fingerprint(text_col).alias(FP_COL)
         rows = (
             docs.select(fp, F.col(id_col).alias("first_doc"))
@@ -108,7 +150,7 @@ class FingerprintStore:
                 FP_COL,
                 "first_doc",
                 F.lit("INSERT").alias(OPERATION_COL),
-                F.lit(make_sequence(self._epoch, 0)).alias(SEQUENCE_COL),
+                F.lit(self._epoch.next_sequence()).alias(SEQUENCE_COL),
             )
         )
         self.table.merge(rows)
@@ -188,7 +230,7 @@ class LshBandStore:
         self.table = ParquetMergeTable(
             spark, path, keys=[BAND_ID_COL, BAND_KEY_COL], num_buckets=num_buckets
         )
-        self._epoch = 0
+        self._epoch = _PersistedEpoch(spark, path)
 
     def _bands(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         from etl_stream_spark.operators.dedup import (
@@ -261,7 +303,6 @@ class LshBandStore:
             bands.unpersist()
 
     def _register(self, bands: DataFrame, id_col: str) -> None:
-        self._epoch += 1
         rows = (
             bands.groupBy(BAND_ID_COL, BAND_KEY_COL)
             .agg(F.min(F.col(id_col)).alias("first_doc"))
@@ -270,7 +311,7 @@ class LshBandStore:
                 BAND_KEY_COL,
                 "first_doc",
                 F.lit("INSERT").alias(OPERATION_COL),
-                F.lit(make_sequence(self._epoch, 0)).alias(SEQUENCE_COL),
+                F.lit(self._epoch.next_sequence()).alias(SEQUENCE_COL),
             )
         )
         self.table.merge(rows)

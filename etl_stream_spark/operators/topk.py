@@ -60,9 +60,14 @@ def partial_topk(
         # Nullable int64 → float64 at the Arrow→pandas boundary loses
         # exactness above 2^53, corrupting both the k-head selection and
         # the emitted values. Ship a non-null pair instead and rebuild
-        # the column JVM-side after the reduction.
+        # the column JVM-side after the reduction. When order_col is ALSO
+        # a group/tie column (degenerate but valid — "top k per value"),
+        # it must survive the projection: the pandas stage groups and
+        # tie-breaks by name, and as a GROUP key a huge nullable int is
+        # already documented-unsupported, so keeping it is safe here.
+        keep_order = order_col in group_cols or order_col == tie_col
         df = df.select(
-            *[c for c in cols if c != order_col],
+            *[c for c in cols if c != order_col or keep_order],
             F.col(order_col).isNull().alias("_ord_null"),
             F.coalesce(F.col(order_col), F.lit(0).cast(dtypes[order_col])).alias(
                 "_ord_filled"

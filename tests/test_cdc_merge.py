@@ -477,6 +477,40 @@ class TestTombstonePayload:
         assert state_dict(t) == {}
 
 
+class TestSmallTextAtomicity:
+    """Metadata files (generation counters, column sidecars, epoch
+    guards) commit via write-temp-then-rename: readers parse them
+    unguarded, so a torn write must be impossible — they see either the
+    old content or the new, never a partial file."""
+
+    def test_overwrite_roundtrip_and_no_tmp_residue(self, spark, tmp_path):
+        from etl_stream_spark.cdc.merge import read_small_text, write_small_text
+
+        p = str(tmp_path / "meta" / "gen.txt")
+        assert read_small_text(spark, p) is None
+        write_small_text(spark, p, "7")
+        assert read_small_text(spark, p) == "7"
+        write_small_text(spark, p, "8")  # overwrite an existing file
+        assert read_small_text(spark, p) == "8"
+        import os
+
+        assert not os.path.exists(p + ".tmp")
+
+    def test_crash_before_rename_preserves_old_content(self, spark, tmp_path):
+        """Simulate dying after the temp write: the destination keeps
+        its committed content; a later successful write supersedes the
+        orphaned temp file rather than tripping over it."""
+        from etl_stream_spark.cdc.merge import read_small_text, write_small_text
+
+        p = str(tmp_path / "gen.txt")
+        write_small_text(spark, p, "42")
+        with open(p + ".tmp", "w") as fh:  # orphan from a crashed writer
+            fh.write("tor")  # torn partial content
+        assert read_small_text(spark, p) == "42"
+        write_small_text(spark, p, "43")
+        assert read_small_text(spark, p) == "43"
+
+
 class TestMergeOnRead:
     """merge_on_read=True: L0 delta appends + read-time resolution must
     be observationally identical to the eager engine."""
@@ -608,6 +642,35 @@ class TestMorStateConsumers:
         assert {r["id"] for r in state.collect()} == {1}
         # the marker still suppresses a stale replay until compaction
         t.merge(make_batch(spark, [ev(2, "b", 2, OP_INSERT, 1)]))
+        assert state_dict(t) == {1: ("a", 1)}
+
+    def test_compacted_buckets_are_column_identical_to_eager(self, spark, tmp_path):
+        """compact() must not leave a _deleted column behind in
+        non-tombstone mode: bucket dirs are the long-lived layout, and a
+        schema that flips between having and lacking the marker column
+        depending on whether L0 happened to be drained is an asymmetry
+        every _read_state consumer would have to defend against."""
+        from etl_stream_spark.cdc.merge import DELETED_COL
+
+        t = ParquetMergeTable(
+            spark,
+            str(tmp_path / "cc"),
+            keys=["id"],
+            num_buckets=4,
+            merge_on_read=True,
+            compact_threshold=50,
+        )
+        t.merge(
+            make_batch(
+                spark, [ev(1, "a", 1, OP_INSERT, 0), ev(2, "b", 2, OP_INSERT, 1)]
+            )
+        )
+        t.merge(make_batch(spark, [ev(2, None, None, OP_DELETE, 5)]))
+        t.compact()
+        assert t._delta_files() == []
+        # drained-L0 raw passthrough: same columns the eager engine writes
+        raw = t._read_state()
+        assert DELETED_COL not in raw.columns
         assert state_dict(t) == {1: ("a", 1)}
 
     def test_rollup_over_mor_silver_ignores_deleted_keys(self, spark, tmp_path):

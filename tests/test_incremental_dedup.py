@@ -84,6 +84,47 @@ def test_purge_forgets_content_and_reingest_recovers(spark, tmp_path):
     assert ids(store.novel(corpus)) == []
 
 
+class TestPersistedEpoch:
+    """Registration sequences must stay monotone across instance
+    restarts AND across the 9→10 digit boundary — otherwise matched
+    re-registrations are silently vetoed by the merge engine's
+    stale-sequence guard and first_doc goes stale."""
+
+    def test_sequences_are_lexicographically_monotone(self, spark, tmp_path):
+        from etl_stream_spark.operators.incremental_dedup import _PersistedEpoch
+
+        ep = _PersistedEpoch(spark, str(tmp_path / "tbl"))
+        seqs = [ep.next_sequence() for _ in range(12)]
+        assert seqs == sorted(seqs)  # raw ints would invert at 10 vs 9
+        assert len(set(seqs)) == 12
+
+    def test_restart_continues_monotonically(self, spark, tmp_path):
+        from etl_stream_spark.operators.incremental_dedup import _PersistedEpoch
+
+        path = str(tmp_path / "tbl")
+        a = _PersistedEpoch(spark, path)
+        last = [a.next() for _ in range(3)][-1]
+        b = _PersistedEpoch(spark, path)  # restart
+        assert b.next() == last + 1
+
+    def test_restarted_store_re_registration_wins(self, spark, tmp_path):
+        """A restarted instance's registrations carry HIGHER sequences
+        than anything stored, so a matched band updates first_doc
+        instead of being vetoed by the stale guard (the pre-fix bug:
+        instance-local epochs reset to 0 on restart)."""
+        from etl_stream_spark.operators.incremental_dedup import LshBandStore
+
+        path = str(tmp_path / "lsh_restart")
+        text = "the quick brown fox jumps over the lazy dog again and again"
+        store = LshBandStore(spark, path, num_buckets=4)
+        store.check_and_register(docs(spark, [(5, text)]))
+        restarted = LshBandStore(spark, path, num_buckets=4)
+        out = restarted.check_and_register(docs(spark, [(9, text)]))
+        assert {r.doc_id: r.is_near_dup for r in out.collect()} == {9: True}
+        first = {r.first_doc for r in restarted.table.read().collect()}
+        assert first == {9}  # re-registration applied, not vetoed
+
+
 class TestLshBandStore:
     """Incremental NEAR-dup detection: band matches across shards,
     same-shard lower-id matches, near-dup bands still claim buckets,

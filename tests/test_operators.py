@@ -584,6 +584,49 @@ class TestPartialTopk:
             }
             assert got == want, asc
 
+    def test_order_col_shared_with_group_or_tie_col(self, spark):
+        """Degenerate-but-valid shapes: an integral order_col that is
+        ALSO a group column (top-k per value) or the tie column must
+        survive the nullable-int split projection — the pandas stage
+        groups and tie-breaks by name."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from etl_stream_spark.operators.topk import partial_topk
+
+        rows = [("a", 1, 5), ("a", 2, 5), ("a", 3, 7), ("b", 4, 5), ("b", 5, 9)]
+        df = spark.createDataFrame(rows, "g string, id long, v long").repartition(3)
+
+        # order_col in group_cols: top-1 per (g, v) group ordered by v
+        got = {
+            (r.g, r.id, r.v, r.rank)
+            for r in partial_topk(df, ["g", "v"], "v", "id", k=1).collect()
+        }
+        w = Window.partitionBy("g", "v").orderBy(F.col("v").desc(), F.col("id").asc())
+        want = {
+            (r.g, r.id, r.v, r.rank)
+            for r in df.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 1)
+            .collect()
+        }
+        assert got == want
+
+        # order_col == tie_col: ordering and tie-break on the same column
+        got2 = {
+            (r.g, r.id, r.v, r.rank)
+            for r in partial_topk(df, ["g"], "v", "v", k=2).collect()
+        }
+        w2 = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("v").asc())
+        want2 = {
+            (r.g, r.id, r.v, r.rank)
+            for r in df.withColumn("rank", F.row_number().over(w2).cast("long"))
+            .filter(F.col("rank") <= 2)
+            .collect()
+        }
+        assert {(g, v, rk) for (g, _i, v, rk) in got2} == {
+            (g, v, rk) for (g, _i, v, rk) in want2
+        }
+
     def test_nullable_bigint_order_keeps_exactness_above_2p53(self, spark):
         """A NULL in an integral order column must not degrade the
         column to float64 at the Arrow boundary: values above 2^53
