@@ -44,6 +44,7 @@ def last_writer_wins(
     keys: Sequence[str],
     seq_col: str = SEQUENCE_COL,
     keep_rank_col: bool = False,
+    tie_break: F.Column | None = None,
 ) -> DataFrame:
     """Keep only the highest-sequence row per key.
 
@@ -54,11 +55,15 @@ def last_writer_wins(
     A content hash over all non-window columns breaks ties
     deterministically (repo rule: explicit tie-breaks under every
     row_number), so replaying the same batch always installs the same
-    survivor.
+    survivor. Callers that must agree on the survivor with a DIFFERENT
+    physical shape of the same rows (the merge engine's eager vs
+    merge-on-read modes) pass an explicit ``tie_break`` column computed
+    over the shared logical shape.
     """
     if not keys:
         raise ValueError("last_writer_wins requires at least one key column")
-    tie_break = content_tie_break(df.columns)
+    if tie_break is None:
+        tie_break = content_tie_break(df.columns)
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
         F.col(seq_col).desc(), tie_break.desc()
     )
@@ -71,6 +76,7 @@ def last_writer_wins_agg(
     df: DataFrame,
     keys: Sequence[str],
     seq_col: str = SEQUENCE_COL,
+    tie_break: F.Column | None = None,
 ) -> DataFrame:
     """Aggregation-based LWW: picks the same survivor as
     :func:`last_writer_wins` (same sequence ordering, same md5
@@ -90,7 +96,8 @@ def last_writer_wins_agg(
     """
     if not keys:
         raise ValueError("last_writer_wins_agg requires at least one key column")
-    tie_break = content_tie_break(df.columns)
+    if tie_break is None:
+        tie_break = content_tie_break(df.columns)
     packed = F.struct(
         F.col(seq_col).alias("_seq"),
         tie_break.alias("_tie"),

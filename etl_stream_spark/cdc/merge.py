@@ -72,6 +72,27 @@ def bucket_expr_for(cols: Sequence[str], num_buckets: int):
     )
 
 
+def stored_shape_tie_break(
+    values: Sequence[F.Column],
+    seq_expr: F.Column,
+    deleted_expr: F.Column,
+) -> F.Column:
+    """THE same-sequence tie-break of the merge engine, shared by the
+    eager and merge-on-read modes: md5 over the data-column values (in
+    sorted column-name order — callers pass them that way), the
+    sequence, and the delete flag. Both engines hashing the same
+    LOGICAL shape is what makes ``merge_on_read`` a true drop-in: on a
+    pathological same-(key, sequence)-different-body collision, the
+    survivor is the global max by (sequence, this hash) — independent
+    of batch arrival order, batch cuts, or which engine resolved it.
+    md5 (not xxhash64) per the repo's engine-portable hashing rule, so
+    a DuckDB oracle can mirror the pick."""
+    parts = [F.coalesce(v.cast("string"), F.lit("\x00")) for v in values]
+    parts.append(F.coalesce(seq_expr.cast("string"), F.lit("\x00")))
+    parts.append(F.coalesce(deleted_expr.cast("boolean"), F.lit(False)).cast("string"))
+    return F.md5(F.concat_ws("\x1f", *parts))
+
+
 def _hadoop_path(spark: SparkSession, path: str):
     jvm = spark.sparkContext._jvm
     return jvm.org.apache.hadoop.fs.Path(path)
@@ -168,8 +189,10 @@ class ParquetMergeTable:
         APPENDS the batch's LWW winners as delta files to the touched
         buckets — no state read, no join, no partition-overwrite commit
         — and reads resolve generations with the map-side-combinable
-        LWW aggregation (same sequence ordering + md5 tie-break as the
-        eager path, so the visible state is identical). A bucket whose
+        LWW aggregation (same sequence ordering + the same stored-shape
+        md5 tie-break as the eager path, so the visible state is
+        identical — including under same-(key, sequence) collisions;
+        see :func:`stored_shape_tie_break`). A bucket whose
         delta-file count exceeds ``compact_threshold`` is compacted in
         place on the next merge that touches it. Semantics notes vs the
         eager default: delete markers persist until compaction even with
@@ -245,11 +268,20 @@ class ParquetMergeTable:
     def _resolve(self, raw: DataFrame) -> DataFrame:
         """Collapse delta generations to the current row per key — the
         merge-on-read read path. Same winner as the eager merge: max by
-        (sequence, md5 tie-break), partial-aggregatable so the shuffle
-        carries ~|keys| rows, not the delta log."""
+        (sequence, stored-shape md5 tie-break), partial-aggregatable so
+        the shuffle carries ~|keys| rows, not the delta log."""
         from etl_stream_spark.cdc.dedup import last_writer_wins_agg
 
-        return last_writer_wins_agg(raw, self.keys, SEQ_STATE_COL)
+        data = sorted(c for c in raw.columns if c not in _META_COLS)
+        deleted = (
+            F.col(DELETED_COL)
+            if DELETED_COL in raw.columns
+            else F.lit(False)
+        )
+        tie = stored_shape_tie_break(
+            [F.col(c) for c in data], F.col(SEQ_STATE_COL), deleted
+        )
+        return last_writer_wins_agg(raw, self.keys, SEQ_STATE_COL, tie_break=tie)
 
     @property
     def _delta_path(self) -> str:
@@ -371,7 +403,20 @@ class ParquetMergeTable:
             # and any un-drained delta row it consumed would otherwise
             # survive in L0 and resurrect dropped keys at read time
             self.compact()
-        deduped = last_writer_wins(batch, self.keys, SEQUENCE_COL).drop(TIMESTAMP_COL)
+        # within-batch winners picked by the SHARED stored-shape
+        # tie-break (not a hash of the raw batch columns): the
+        # merge-on-read path appends colliding rows unresolved and
+        # picks at read time, so both engines must hash the same
+        # logical shape or they could install different survivors
+        data = sorted(c for c in batch.columns if c not in _META_COLS)
+        tie = stored_shape_tie_break(
+            [F.col(c) for c in data],
+            F.col(SEQUENCE_COL),
+            F.col(OPERATION_COL) == OP_DELETE,
+        )
+        deduped = last_writer_wins(
+            batch, self.keys, SEQUENCE_COL, tie_break=tie
+        ).drop(TIMESTAMP_COL)
         # Persist the per-batch winners: both the bucket probe and the
         # state write consume them, and without the cache each action
         # re-runs the LWW shuffle AND the batch's upstream lineage. The
@@ -394,14 +439,17 @@ class ParquetMergeTable:
         batch to the stored shape (data cols + ``_seq`` + ``_deleted``
         marker + bucket) and append it. No state read, no join, no
         within-batch dedup: read-time resolution collapses generations
-        by the same sequence ordering, with an md5 tie-break over the
-        STORED columns. Winners match the eager engine whenever
-        sequences are unique per key (the construction guarantee) and
-        for identical-body redeliveries; on the pathological
-        same-sequence-DIFFERENT-body collision each mode is internally
-        deterministic but they may install different survivors (the
-        eager tie-break hashes the raw batch columns, op/timestamp
-        included, which the stored shape no longer carries).
+        by the same sequence ordering, with the SHARED stored-shape
+        md5 tie-break (:func:`stored_shape_tie_break`) both engines
+        use. The survivor of any same-(key, sequence) collision is
+        therefore the global max by (sequence, tie) in BOTH modes —
+        ``merge_on_read`` is a drop-in under arbitrary inputs in
+        tombstone mode (property-tested). The one remaining asymmetry
+        is inherent to non-tombstone deletes: a physically-removed row
+        leaves no tie state, so an equal-sequence replay arriving
+        AFTER the eager engine dropped the row re-inserts, while an
+        un-drained L0 marker may still out-hash it — the documented
+        non-tombstone replay window, unchanged.
 
         Returns False — caller runs the eager join — when the batch
         schema is NARROWER than the stored one: column-absent-keeps-
@@ -545,16 +593,43 @@ class ParquetMergeTable:
 
         matched = F.col(f"t.{SEQ_STATE_COL}").isNotNull()
         has_src = F.col(f"b.{SEQUENCE_COL}").isNotNull()
-        # Stale guard: a matched source row wins only with a newer sequence
-        # (zero-padded strings → lexicographic order == event order).
-        src_wins = has_src & (
-            ~matched | (F.col(f"b.{SEQUENCE_COL}") > F.col(f"t.{SEQ_STATE_COL}"))
-        )
         is_delete = F.col(f"b.{OPERATION_COL}") == OP_DELETE
         t_deleted = (
             F.coalesce(F.col(f"t.{DELETED_COL}"), F.lit(False))
             if DELETED_COL in target.columns
             else F.lit(False)
+        )
+        # Stale guard: a matched source row wins with a newer sequence
+        # (zero-padded strings → lexicographic order == event order).
+        # On an EQUAL sequence — an at-least-once redelivery, possibly
+        # with a different body — the stored-shape tie-break decides, so
+        # the installed survivor is the global max by (sequence, tie)
+        # regardless of which batch carried it: the same pick the
+        # merge-on-read resolution makes, and replay-order independent.
+        all_sorted = sorted(all_data)
+        tie_t = stored_shape_tie_break(
+            [
+                F.col(f"t.{c}") if c in t_data else F.lit(None)
+                for c in all_sorted
+            ],
+            F.col(f"t.{SEQ_STATE_COL}"),
+            t_deleted,
+        )
+        tie_b = stored_shape_tie_break(
+            [
+                F.col(f"b.{c}") if c in b_data else F.lit(None)
+                for c in all_sorted
+            ],
+            F.col(f"b.{SEQUENCE_COL}"),
+            is_delete,
+        )
+        src_wins = has_src & (
+            ~matched
+            | (F.col(f"b.{SEQUENCE_COL}") > F.col(f"t.{SEQ_STATE_COL}"))
+            | (
+                (F.col(f"b.{SEQUENCE_COL}") == F.col(f"t.{SEQ_STATE_COL}"))
+                & (tie_b > tie_t)
+            )
         )
 
         if self.tombstone_deletes:

@@ -119,6 +119,98 @@ def test_lww_agg_matches_window_form(spark, rows):
     assert agg == win
 
 
+def _collision_tie(key: int, payload: int | None, seq: str, is_delete: bool) -> str:
+    """Python mirror of merge.stored_shape_tie_break for the collision
+    oracle: md5 over sorted data-column values (id, payload), the
+    sequence, and the delete flag — NULLs as the \\x00 sentinel."""
+    import hashlib
+
+    parts = [
+        str(key),
+        "\x00" if payload is None else str(payload),
+        seq,
+        "true" if is_delete else "false",
+    ]
+    return hashlib.md5("\x1f".join(parts).encode()).hexdigest()
+
+
+collision_event_st = st.tuples(
+    st.sampled_from(["INSERT", "UPDATE", "DELETE"]),
+    st.sampled_from([1, 2]),                    # few keys → collisions likely
+    st.integers(min_value=0, max_value=1),      # sequence slot (ties likely)
+    st.integers(min_value=0, max_value=3),      # payload (bodies differ)
+)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    log=st.lists(collision_event_st, min_size=1, max_size=10),
+    cuts=cuts_st,
+    threshold=st.integers(min_value=1, max_value=3),
+)
+def test_modes_agree_under_sequence_collisions(
+    spark, tmp_path_factory, log, cuts, threshold
+):
+    """Same-(key, sequence)-DIFFERENT-body collisions — outside the
+    construction guarantee — must still install the SAME survivor in
+    the eager and merge-on-read engines: the global max by (sequence,
+    stored-shape tie-break), independent of batch cuts. Tombstone mode,
+    where even winning deletes leave comparable tie state; the
+    non-tombstone physical-delete replay window is documented
+    separately."""
+    events = [
+        (op, key, payload, make_sequence(1_700_000_000_000_000, slot))
+        for op, key, slot, payload in log
+    ]
+    # oracle: per key, max by (sequence, tie); delete winner → absent
+    winners: dict[int, tuple[str, str, str, int | None]] = {}
+    for op, key, payload, seq in events:
+        body = None if op == "DELETE" else payload
+        tie = _collision_tie(key, body, seq, op == "DELETE")
+        cur = winners.get(key)
+        if cur is None or (seq, tie) > (cur[0], cur[1]):
+            winners[key] = (seq, tie, op, body)
+    expected = {
+        k: body for k, (_s, _t, op, body) in winners.items() if op != "DELETE"
+    }
+
+    bounds = sorted({c for c in cuts if c < len(events)})
+    batches, start = [], 0
+    for b in [*bounds, len(events)]:
+        if b > start:
+            batches.append(events[start:b])
+            start = b
+
+    states = []
+    for mor in (False, True):
+        table = ParquetMergeTable(
+            spark,
+            str(tmp_path_factory.mktemp("tie") / f"t_{uuid.uuid4().hex[:8]}"),
+            keys=["id"],
+            num_buckets=4,
+            tombstone_deletes=True,
+            merge_on_read=mor,
+            compact_threshold=threshold,
+        )
+        for batch in batches:
+            df = spark.createDataFrame(
+                [
+                    (key, payload if op != "DELETE" else None, op, seq)
+                    for op, key, payload, seq in batch
+                ],
+                "id long, payload long, operation string, sequence string",
+            ).withColumn("cdc_timestamp", F.current_timestamp())
+            table.merge(df)
+        states.append({r["id"]: r["payload"] for r in table.read().collect()})
+    assert states[0] == expected  # eager matches the (seq, tie) oracle
+    assert states[1] == expected  # merge-on-read installs the same survivors
+
+
 @pytest.mark.slow
 @settings(
     max_examples=10,
