@@ -137,7 +137,13 @@ class PostingsIndex:
     * ``postings/`` — (doc_id, t, tf, generation) rows partitioned by a
       TERM hash bucket (``_tb=NN``): a search lists only the buckets its
       query terms hash to — partition pruning before IO, so per-batch
-      read cost is bounded by |query terms|, never the corpus;
+      read cost is bounded by |query terms|, never the corpus. Upserts
+      do NOT pay the partitionBy committer: they append one flat file
+      set to ``postings/_l0/`` (the merge-on-read L0 recipe — measured
+      ~4× cheaper than a many-directory committer for identical bytes),
+      and a counter-gated drain folds L0 into the bucket layout every
+      ``compact_threshold`` appends. Readers union the pruned bucket
+      dirs with the (bounded, ≤ threshold appends) L0 scan;
     * ``fwd/`` — the forward index (doc_id → dl, doc_gen) on the
       bucket-pruned :class:`~etl_stream_spark.cdc.merge.ParquetMergeTable`
       with delete tombstones. It is the source of truth for liveness:
@@ -161,16 +167,28 @@ class PostingsIndex:
         num_term_buckets: int = 64,
         id_col: str = "doc_id",
         text_col: str = "text",
+        compact_threshold: int = 8,
     ) -> None:
         self.spark = spark
         self.path = path.rstrip("/")
         self.num_term_buckets = num_term_buckets
         self.id_col = id_col
         self.text_col = text_col
+        self.compact_threshold = compact_threshold
+        #: cached so the forward table's MOR compaction counter survives
+        #: across upserts (a fresh instance per call would never reach
+        #: its threshold and L0 would grow unbounded)
+        self._fwd_table: "ParquetMergeTable | None" = None
+        self._appends_since_sweep = 0
 
     @property
     def _post_path(self) -> str:
         return self.path + "/postings"
+
+    @property
+    def _l0_path(self) -> str:
+        # underscore prefix → hidden from the bucket-layout parquet read
+        return self._post_path + "/_l0"
 
     @property
     def _meta_path(self) -> str:
@@ -179,13 +197,20 @@ class PostingsIndex:
     def _fwd(self) -> "ParquetMergeTable":
         from etl_stream_spark.cdc.merge import ParquetMergeTable
 
-        return ParquetMergeTable(
-            self.spark,
-            self.path + "/fwd",
-            keys=[self.id_col],
-            num_buckets=32,
-            tombstone_deletes=True,
-        )
+        if self._fwd_table is None:
+            # merge_on_read: each upsert/removal is ONE shuffle-free L0
+            # append instead of an eager join + partitioned rewrite —
+            # the fwd merge was most of the upsert's per-batch constant
+            self._fwd_table = ParquetMergeTable(
+                self.spark,
+                self.path + "/fwd",
+                keys=[self.id_col],
+                num_buckets=32,
+                tombstone_deletes=True,
+                merge_on_read=True,
+                compact_threshold=self.compact_threshold,
+            )
+        return self._fwd_table
 
     def _gen(self) -> int:
         # driver-side FS file, not a parquet dataset: a Spark job per
@@ -213,6 +238,87 @@ class PostingsIndex:
 
     def _term_bucket(self):
         return F.pmod(F.xxhash64("t"), F.lit(self.num_term_buckets)).cast("int")
+
+    # -- postings storage: bucket layout + L0 append log ---------------------
+
+    def _l0_files(self) -> list[str]:
+        from etl_stream_spark.cdc.merge import _hadoop_fs, _hadoop_path
+
+        fs, _ = _hadoop_fs(self.spark, self.path)
+        p = _hadoop_path(self.spark, self._l0_path)
+        if not fs.exists(p):
+            return []
+        return [
+            st.getPath().toString()
+            for st in fs.listStatus(p)
+            if st.getPath().getName().endswith(".parquet")
+        ]
+
+    def _read_postings(self, buckets: list[int] | None = None) -> DataFrame | None:
+        """All postings rows: the partitioned bucket layout (partition-
+        pruned when ``buckets`` is given) unioned with the un-drained L0
+        log (one flat directory, bounded by the compaction cadence —
+        the filter on its ``_tb`` DATA column is a scan of at most
+        ``compact_threshold`` appends, never the corpus)."""
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        parts = []
+        try:
+            main = self.spark.read.parquet(self._post_path)
+            if buckets is not None:
+                main = main.filter(F.col(TERM_BUCKET_COL).isin(buckets))
+            parts.append(main)
+        except AnalysisException:
+            pass  # nothing drained yet — L0-only index
+        l0_files = self._l0_files()
+        if l0_files:
+            l0 = self.spark.read.parquet(*l0_files)
+            if buckets is not None:
+                l0 = l0.filter(F.col(TERM_BUCKET_COL).isin(buckets))
+            parts.append(l0)
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _maybe_drain_l0(self) -> None:
+        """Counter-gated drain (the merge-on-read recipe): every
+        ``compact_threshold`` appends, one listing decides whether to
+        fold L0 into the bucket layout — so the partitionBy committer
+        runs once per threshold, not per batch."""
+        self._appends_since_sweep += 1
+        if self._appends_since_sweep < self.compact_threshold:
+            return
+        self._appends_since_sweep = 0
+        if len(self._l0_files()) > self.compact_threshold:
+            self._drain_l0()
+
+    def _drain_l0(self) -> None:
+        """Fold the L0 log into the partitioned layout, then delete the
+        consumed files. Crash window (after the append, before the
+        deletes): consumed rows exist twice; the read-side
+        (doc, term, generation) collapse in :meth:`_live` makes the
+        duplication invisible, and the next drain removes it."""
+        from etl_stream_spark.cdc.merge import _hadoop_fs, _hadoop_path
+
+        files = self._l0_files()
+        if not files:
+            return
+        l0 = self.spark.read.parquet(*files)
+        l0.write.mode("append").partitionBy(TERM_BUCKET_COL).parquet(self._post_path)
+        fs, _ = _hadoop_fs(self.spark, self.path)
+        for f in files:
+            fs.delete(_hadoop_path(self.spark, f), False)
+
+    def _clear_l0(self) -> None:
+        from etl_stream_spark.cdc.merge import _hadoop_fs, _hadoop_path
+
+        fs, _ = _hadoop_fs(self.spark, self.path)
+        p = _hadoop_path(self.spark, self._l0_path)
+        if fs.exists(p):
+            fs.delete(p, True)
 
     def _rows(self, docs: DataFrame, g: int) -> tuple[DataFrame, DataFrame]:
         toks = docs.select(
@@ -252,6 +358,10 @@ class PostingsIndex:
         tf.write.mode("overwrite").partitionBy(TERM_BUCKET_COL).parquet(
             self._post_path
         )
+        # no stale generation may survive a rebuild: drop any L0 rows
+        # the overwrite did not already remove, and reset the sweep
+        self._clear_l0()
+        self._appends_since_sweep = 0
         self._fwd().truncate()
         self._merge_fwd(dl, 0, OP_UPDATE)
         self._set_gen(0)
@@ -259,14 +369,20 @@ class PostingsIndex:
     def upsert(self, docs: DataFrame) -> None:
         """Add new documents or re-index changed ones: postings append
         at the next generation; the forward index advances the docs'
-        current generation, instantly invalidating their old postings."""
+        current generation, instantly invalidating their old postings.
+
+        Per-batch cost is TWO shuffle-free append jobs (flat postings-L0
+        write + the forward table's MOR delta write) plus amortized
+        1/threshold drains — not a partitionBy committer and an eager
+        join per batch (the round-4 job-count lesson applied here)."""
         from etl_stream_spark.cdc.envelope import OP_UPDATE
 
         g = self._gen() + 1
         tf, dl = self._rows(docs, g)
-        tf.write.mode("append").partitionBy(TERM_BUCKET_COL).parquet(self._post_path)
+        tf.write.mode("append").parquet(self._l0_path)
         self._merge_fwd(dl, g, OP_UPDATE)
         self._set_gen(g)
+        self._maybe_drain_l0()
 
     def remove(self, ids: DataFrame) -> None:
         """Delete documents: a fwd tombstone is enough — their postings
@@ -287,7 +403,18 @@ class PostingsIndex:
 
     def _live(self, postings: DataFrame) -> DataFrame:
         """Join postings to the forward index and keep rows whose
-        generation matches the doc's current one (live docs only)."""
+        generation matches the doc's current one (live docs only).
+
+        The (doc, term, generation) collapse first makes the store
+        idempotent under at-least-once duplication — a crashed L0 drain
+        or a replayed upsert leaves byte-identical rows twice, and
+        ``max`` (not an arbitrary pick) keeps the collapse deterministic
+        even for the pathological retry-with-different-content. On the
+        search path the collapse runs on the query-pruned set (bounded
+        by the query footprint), not the corpus."""
+        postings = postings.groupBy(
+            self.id_col, "t", GEN_COL, TERM_BUCKET_COL
+        ).agg(F.max("tf").alias("tf"))
         fwd = self._fwd().read().select(self.id_col, "dl", "doc_gen")
         return (
             postings.join(fwd, self.id_col)
@@ -297,17 +424,19 @@ class PostingsIndex:
 
     def search(self, queries: DataFrame, k: int = 10) -> DataFrame:
         """BM25 top-k per query over the CURRENT corpus: postings pruned
-        to the query terms' buckets, liveness-joined, then scored by the
+        to the query terms' buckets (bucket dirs by partition pruning,
+        L0 by its bounded scan), liveness-joined, then scored by the
         same code path as :func:`bm25_topk`."""
         qterms = query_terms(queries, self.id_col, self.text_col)
         buckets = [
             r[0]
             for r in qterms.select(self._term_bucket().alias("_b")).distinct().collect()
         ]
-        post = (
-            self.spark.read.parquet(self._post_path)
-            .filter(F.col(TERM_BUCKET_COL).isin(buckets))
-            .join(F.broadcast(qterms.select("t").distinct()), "t", "left_semi")
+        post = self._read_postings(buckets)
+        if post is None:
+            raise ValueError(f"PostingsIndex at {self.path} holds no postings")
+        post = post.join(
+            F.broadcast(qterms.select("t").distinct()), "t", "left_semi"
         )
         live = self._live(post)
         tf = live.select(self.id_col, "t", "tf")
@@ -315,8 +444,13 @@ class PostingsIndex:
         return _bm25_rank(qterms, tf, dl, k, self.id_col)
 
     def compact(self) -> None:
-        """Rewrite postings to live current-generation rows only."""
-        live = self._live(self.spark.read.parquet(self._post_path))
+        """Rewrite postings to live current-generation rows only (L0
+        drained into the rewrite, so the result is one clean bucket
+        layout)."""
+        all_posts = self._read_postings()
+        if all_posts is None:
+            return
+        live = self._live(all_posts)
         current_gen = F.col("_cur_gen")
         fwd = self._fwd().read().select(
             F.col(self.id_col), F.col("doc_gen").alias("_cur_gen")
@@ -333,6 +467,9 @@ class PostingsIndex:
         survivors.write.mode("overwrite").partitionBy(TERM_BUCKET_COL).parquet(
             self._post_path
         )
+        # survivors were checkpointed, so consumed L0 rows (now folded
+        # into the rewrite) can be dropped
+        self._clear_l0()
 
 
 def rrf_fuse(

@@ -195,3 +195,88 @@ def test_build_over_existing_index_resets(spark, tmp_path):
     # the previously-removed doc is alive again after the rebuild
     fwd = idx._fwd().read()
     assert fwd.filter(F.col("doc_id") == 2).count() == 1
+
+
+class TestPostingsL0:
+    """Upserts append to a flat L0 log (no partitionBy committer per
+    batch); a counter-gated drain folds it into the bucket layout. The
+    index must rank identically at EVERY point of that lifecycle."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+    def test_search_correct_with_undrained_l0(self, spark, tmp_path):
+        docs = self._docs(spark)
+        idx = rtr.PostingsIndex(
+            spark, str(tmp_path / "lex"), num_term_buckets=16, compact_threshold=50
+        )
+        idx.build(docs.filter("doc_id < 3"))
+        idx.upsert(docs.filter("doc_id >= 3"))
+        assert idx._l0_files()  # the upsert stayed in L0 (no drain yet)
+        queries = docs.filter(F.col("doc_id") == 0)
+        got = _ranks(idx.search(queries, k=5))
+        want = _ranks(rtr.bm25_topk(docs, queries, k=5))
+        assert got == want and len(got) > 0
+
+    def test_drain_folds_l0_and_preserves_ranking(self, spark, tmp_path):
+        docs = self._docs(spark)
+        idx = rtr.PostingsIndex(
+            spark, str(tmp_path / "lex"), num_term_buckets=16, compact_threshold=1
+        )
+        idx.build(docs.filter("doc_id < 3"))
+        idx.upsert(docs.filter("doc_id = 3"))
+        idx.upsert(docs.filter("doc_id = 4"))  # counter trips, L0 drains
+        assert idx._l0_files() == []
+        queries = docs.filter(F.col("doc_id") == 0)
+        got = _ranks(idx.search(queries, k=5))
+        want = _ranks(rtr.bm25_topk(docs, queries, k=5))
+        assert got == want and len(got) > 0
+
+    def test_crashed_drain_duplication_is_invisible(self, spark, tmp_path):
+        """A drain that dies between the fold-append and the L0 deletes
+        leaves every consumed row twice (bucket layout + L0). The
+        read-side (doc, term, generation) collapse must keep scores
+        byte-identical — duplication may never double a tf."""
+        docs = self._docs(spark)
+        idx = rtr.PostingsIndex(
+            spark, str(tmp_path / "lex"), num_term_buckets=16, compact_threshold=50
+        )
+        idx.build(docs.filter("doc_id < 3"))
+        idx.upsert(docs.filter("doc_id >= 3"))
+        queries = docs.filter(F.col("doc_id") == 0)
+        want = _ranks(idx.search(queries, k=5))
+        # simulate the crash: fold L0 into the layout but keep the files
+        l0 = spark.read.parquet(*idx._l0_files())
+        l0.write.mode("append").partitionBy(rtr.TERM_BUCKET_COL).parquet(
+            idx._post_path
+        )
+        assert idx._l0_files()  # consumed rows now exist twice
+        assert _ranks(idx.search(queries, k=5)) == want
+        # recovery is simply the next drain; ranking still unchanged
+        idx._drain_l0()
+        assert idx._l0_files() == []
+        assert _ranks(idx.search(queries, k=5)) == want
+
+    def test_restart_with_pending_l0_keeps_serving(self, spark, tmp_path):
+        docs = self._docs(spark)
+        path = str(tmp_path / "lex")
+        idx = rtr.PostingsIndex(
+            spark, path, num_term_buckets=16, compact_threshold=50
+        )
+        idx.build(docs.filter("doc_id < 3"))
+        idx.upsert(docs.filter("doc_id >= 3"))
+        restarted = rtr.PostingsIndex(
+            spark, path, num_term_buckets=16, compact_threshold=50
+        )
+        queries = docs.filter(F.col("doc_id") == 0)
+        got = _ranks(restarted.search(queries, k=5))
+        want = _ranks(rtr.bm25_topk(docs, queries, k=5))
+        assert got == want and len(got) > 0
+        # and the restarted instance keeps indexing correctly
+        extra = spark.createDataFrame(
+            [(9, "spark engine cluster data shuffles")], "doc_id long, text string"
+        )
+        restarted.upsert(extra)
+        got2 = _ranks(restarted.search(queries, k=5))
+        want2 = _ranks(rtr.bm25_topk(docs.unionByName(extra), queries, k=5))
+        assert got2 == want2
