@@ -3483,26 +3483,57 @@ FROM d
 
 
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched resize over REAL decoded source dimensions (the
-    P6 header read by the numpy parser): target dims + the exact scale
-    factors a resample kernel would apply — the binary payload stays
-    engine-side (dropped at the driver boundary, which allows no
-    BINARY). The pixel resample itself remains the documented stub."""
+    """REAL nearest-neighbor resample end-to-end: the P6 payload is
+    decoded (pure-numpy parser), index-mapped to 224×224 with the floor
+    NN map, and re-encoded; ``pixel_sum`` is the exact integer sum of
+    the RESAMPLED raster — the oracle's closed form (multiplicity-
+    weighted source sum) only matches if the kernel actually resampled.
+    The binary payload stays engine-side (dropped at the driver
+    boundary, which allows no BINARY)."""
     docs = _t(spark, sf_dir, "documents")
     media = mm.encode_ppm(docs)
     return mm.resize_media(media, target_w=224, target_h=224).select(
-        "doc_id", "modality", "content_md5", "width", "height", "scale_x", "scale_y"
+        "doc_id",
+        "modality",
+        "content_md5",
+        "width",
+        "height",
+        "scale_x",
+        "scale_y",
+        "pixel_sum",
     )
 
 
+# Resampled-raster closed form: output pixel (ty,tx) takes source pixel
+# (sy,sx) = (ty*h//224, tx*w//224), so each source cell contributes with
+# multiplicity m_y(sy)·m_x(sx) where m_y(sy) = ceil((sy+1)·224/h) −
+# ceil(sy·224/h) (the preimage size of the floor map). Source pixel
+# value is (seed + (sy·w+sx)·3 + c) mod 256 per channel c — all BIGINT.
 RESIZE_SQL = """
-SELECT doc_id, 'image' AS modality, md5(text) AS content_md5,
+WITH g AS (
+  SELECT doc_id, md5(text) AS content_md5,
+         8 + ('0x' || substr(md5(text), 1, 2))::BIGINT % 32 AS w,
+         8 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 32 AS h,
+         ('0x' || substr(md5(text), 5, 2))::BIGINT AS seed
+  FROM documents
+),
+rows_y AS (SELECT doc_id, w, h, seed, unnest(range(h)) AS sy FROM g),
+cells AS (SELECT doc_id, w, h, seed, sy, unnest(range(w)) AS sx FROM rows_y),
+wsum AS (
+  SELECT doc_id,
+         SUM( (((sy+1)*224 + h - 1)//h - (sy*224 + h - 1)//h)
+            * (((sx+1)*224 + w - 1)//w - (sx*224 + w - 1)//w)
+            * ( (seed + (sy*w+sx)*3    ) % 256
+              + (seed + (sy*w+sx)*3 + 1) % 256
+              + (seed + (sy*w+sx)*3 + 2) % 256 ) ) AS pixel_sum
+  FROM cells GROUP BY doc_id
+)
+SELECT g.doc_id AS doc_id, 'image' AS modality, content_md5,
        CAST(224 AS BIGINT) AS width, CAST(224 AS BIGINT) AS height,
-       ROUND(224.0 / (8 + ('0x' || substr(md5(text), 1, 2))::BIGINT % 32), 6)
-         AS scale_x,
-       ROUND(224.0 / (8 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 32), 6)
-         AS scale_y
-FROM documents
+       ROUND(224.0 / w, 6) AS scale_x,
+       ROUND(224.0 / h, 6) AS scale_y,
+       CAST(wsum.pixel_sum AS BIGINT) AS pixel_sum
+FROM g JOIN wsum ON g.doc_id = wsum.doc_id
 """
 
 

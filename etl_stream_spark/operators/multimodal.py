@@ -5,13 +5,16 @@ metadata struct (modality, byte length, content hash). Decoding /
 feature extraction / resizing / frame sampling run as Arrow-batched
 ``mapInPandas`` operators.
 
-Decode kernels: **PPM (P6) images decode for real** — a pure-numpy
-parser (``decode_ppm``) reads the container header and the raw RGB
-plane, no external library needed — so dimensions and pixel statistics
-for that format are actual decoded values, oracle-checked end-to-end.
-Compressed formats (JPEG/PNG/MP4) would need PIL/ffmpeg, which are not
-in this container; those payloads fall back to the documented
-deterministic stub (``decode_image_stub``) so the plumbing still runs.
+Decode kernels: **PPM (P6) images decode AND resample for real** — a
+pure-numpy parser (``decode_ppm``) reads the container header and the
+raw RGB plane, and ``resample_ppm_nearest`` applies a true
+nearest-neighbor index map and re-encodes the container — so
+dimensions, pixel statistics, and resized rasters for that format are
+actual computed values, oracle-checked end-to-end. Compressed formats
+(JPEG/PNG/MP4) would need PIL/ffmpeg, which are not in this container;
+those payloads fall back to the documented deterministic stub
+(``decode_image_stub``, pass-through resize) so the plumbing still
+runs.
 
 Scale notes: payloads never pass through a Python row loop — they move
 as Arrow buffers into pandas batches; per-batch processing amortizes
@@ -108,12 +111,11 @@ def encode_ppm(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     return ensure_parallelism(df).mapInPandas(_render, schema=MEDIA_SCHEMA)
 
 
-def decode_ppm(payload: bytes) -> dict | None:
-    """REAL pure-numpy P6 decoder: parse the ASCII header (magic,
-    width, height, maxval — comments and arbitrary whitespace per the
-    netpbm spec), then read the raw interleaved RGB plane. Returns None
-    when the payload is not a (valid) P6 container. ``pixel_sum`` is an
-    exact integer so downstream comparisons are float-free."""
+def _parse_ppm(payload: bytes) -> tuple[int, int, np.ndarray] | None:
+    """P6 container parse shared by decode and resample: ASCII header
+    (magic, width, height, maxval — comments and arbitrary whitespace
+    per the netpbm spec), then the raw interleaved RGB plane. Returns
+    ``(width, height, pixels)`` or None for a non-P6 payload."""
     if not payload.startswith(b"P6"):
         return None
     pos, fields = 2, []
@@ -140,13 +142,45 @@ def decode_ppm(payload: bytes) -> dict | None:
     raster = payload[pos:]
     if len(raster) != width * height * 3:
         return None
-    pixels = np.frombuffer(raster, dtype=np.uint8)
+    return width, height, np.frombuffer(raster, dtype=np.uint8)
+
+
+def decode_ppm(payload: bytes) -> dict | None:
+    """REAL pure-numpy P6 decoder (see :func:`_parse_ppm`). Returns
+    None when the payload is not a (valid) P6 container. ``pixel_sum``
+    is an exact integer so downstream comparisons are float-free."""
+    parsed = _parse_ppm(payload)
+    if parsed is None:
+        return None
+    width, height, pixels = parsed
     return {
         "width": width,
         "height": height,
         "n_channels": 3,
         "pixel_sum": int(pixels.sum(dtype=np.int64)),
     }
+
+
+def resample_ppm_nearest(
+    payload: bytes, target_w: int, target_h: int
+) -> tuple[bytes, int] | None:
+    """REAL nearest-neighbor resample for P6 payloads, pure numpy: the
+    output pixel at (ty, tx) takes the source pixel at
+    ``sy = ty*h // target_h``, ``sx = tx*w // target_w`` (the floor
+    index map — integer-exact, so an oracle can reproduce the resampled
+    statistics analytically). Returns the re-encoded P6 payload and the
+    exact int64 pixel sum of the RESAMPLED raster, or None for non-P6
+    input."""
+    parsed = _parse_ppm(payload)
+    if parsed is None:
+        return None
+    w, h, pixels = parsed
+    img = pixels.reshape(h, w, 3)
+    sy = (np.arange(target_h, dtype=np.int64) * h) // target_h
+    sx = (np.arange(target_w, dtype=np.int64) * w) // target_w
+    out = img[sy][:, sx]
+    header = f"P6\n{target_w} {target_h}\n255\n".encode()
+    return header + out.tobytes(), int(out.sum(dtype=np.int64))
 
 
 def encode_wav(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -313,32 +347,46 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 RESIZED_SCHEMA = (
     "doc_id long, payload binary, modality string, content_md5 string, "
-    "width long, height long, scale_x double, scale_y double"
+    "width long, height long, scale_x double, scale_y double, pixel_sum long"
 )
 
 
 def resize_media(media: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
-    """Arrow-batched resize: 1:1 row transform re-emitting the payload
-    with target dimensions and the scale factors a real kernel would
-    apply. Source dimensions come from the real PPM decode where the
-    container is PPM (stub dims otherwise); the pixel RESAMPLE itself is
-    still stubbed — payload passes through unchanged (nearest-neighbor /
-    bilinear kernels would be numpy-expressible but are not what this
-    operator oracle-checks)."""
+    """Arrow-batched resize: 1:1 row transform re-emitting each payload
+    at the target dimensions. PPM payloads are REALLY resampled
+    (pure-numpy nearest-neighbor, :func:`resample_ppm_nearest`): the
+    emitted payload is a valid P6 container at ``target_w × target_h``
+    and ``pixel_sum`` is the exact integer sum of the RESAMPLED raster
+    — the oracle-checkable proof the kernel ran. Compressed formats
+    (JPEG/PNG) would need PIL, which is not in this container: those
+    payloads pass through unresampled with the stub's dimensions and a
+    NULL pixel_sum (documented environment substitution)."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = [decode_media(bytes(p)) for p in pdf["payload"]]
+            payloads, sums = [], []
+            meta = []
+            for p in pdf["payload"]:
+                raw = bytes(p)
+                meta.append(decode_media(raw))
+                res = resample_ppm_nearest(raw, target_w, target_h)
+                if res is None:
+                    payloads.append(raw)  # stub path: unresampled bytes
+                    sums.append(None)
+                else:
+                    payloads.append(res[0])
+                    sums.append(res[1])
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "payload": pdf["payload"],  # stub: unresampled bytes
+                    "payload": payloads,
                     "modality": pdf["modality"],
                     "content_md5": pdf["content_md5"],
                     "width": target_w,
                     "height": target_h,
                     "scale_x": [round(target_w / m["width"], 6) for m in meta],
                     "scale_y": [round(target_h / m["height"], 6) for m in meta],
+                    "pixel_sum": pd.array(sums, dtype="Int64"),
                 }
             )
 

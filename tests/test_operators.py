@@ -148,8 +148,49 @@ class TestMultimodal:
         r, f = out[1], feats[1]
         assert abs(r.scale_x - round(224 / f.width, 6)) < 1e-9
         assert abs(r.scale_y - round(112 / f.height, 6)) < 1e-9
-        # payload passes through (stub) so content addressing is stable
+        # non-PPM payload passes through (stub) — no resampled statistic
         assert r.content_md5 == f.content_md5
+        assert r.pixel_sum is None
+
+    def test_ppm_nearest_resample_kernel(self):
+        """Hand-checked NN resample: a 2×1 image upscaled to 4×2 must
+        replicate each source pixel per the floor index map, and the
+        output is itself a valid P6 container."""
+        src = b"P6\n2 1\n255\n" + bytes([10, 11, 12, 200, 201, 202])
+        payload, psum = mm.resample_ppm_nearest(src, 4, 2)
+        decoded = mm.decode_ppm(payload)
+        assert decoded["width"] == 4 and decoded["height"] == 2
+        # sx map for w=2,tw=4: [0,0,1,1]; sy map for h=1,th=2: [0,0]
+        want = 2 * (2 * (10 + 11 + 12) + 2 * (200 + 201 + 202))
+        assert psum == want == decoded["pixel_sum"]
+        assert mm.resample_ppm_nearest(b"not a ppm", 4, 2) is None
+
+    def test_ppm_resize_real_resample_roundtrip(self, docs):
+        """resize_media emits a RESAMPLED container: decoding the output
+        payload must show the target dims and a pixel_sum equal to an
+        independent numpy nearest-neighbor of the source spec."""
+        import hashlib
+
+        import numpy as np
+
+        media = mm.encode_ppm(docs)
+        out = {r.doc_id: r for r in mm.resize_media(media, 16, 12).collect()}
+        for doc_id, text, _src in DOCS:
+            d = hashlib.md5(text.encode()).digest()
+            w, h, seed = 8 + d[0] % 32, 8 + d[1] % 32, d[2]
+            img = ((seed + np.arange(w * h * 3)) % 256).reshape(h, w, 3)
+            sy = (np.arange(12) * h) // 12
+            sx = (np.arange(16) * w) // 16
+            want = int(img[sy][:, sx].sum())
+            r = out[doc_id]
+            assert r.pixel_sum == want
+            redecoded = mm.decode_ppm(bytes(r.payload))
+            assert redecoded == {
+                "width": 16,
+                "height": 12,
+                "n_channels": 3,
+                "pixel_sum": want,
+            }
 
     def test_ppm_real_decode_roundtrip(self, docs):
         """encode_ppm renders a real P6 container; extract_features must
