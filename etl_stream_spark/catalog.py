@@ -5769,6 +5769,10 @@ def cdc_gold_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gold per-event-type rollup is maintained *incrementally*
     (IncrementalRollup — O(touched groups) per batch, group-extinction
     deletes), applied as two batches to exercise the incremental path.
+    Silver runs in MERGE-ON-READ mode (the round-4 streaming engine):
+    the rollup's refresh reads through un-drained L0 deltas, so this
+    entry driver-proves the MOR READER side — delete markers filtered,
+    generations resolved — not just the flagship write path.
     The oracle recomputes gold directly from the log's final state, so
     the incremental maintenance must equal the from-scratch aggregate."""
     ev = _t(spark, sf_dir, "events")
@@ -5782,7 +5786,17 @@ def cdc_gold_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_stream_spark.cdc import IncrementalRollup, ParquetMergeTable
 
     root = tempfile.mkdtemp(prefix="gold_rollup_")
-    silver = ParquetMergeTable(spark, os.path.join(root, "silver"), keys=["user_id"], num_buckets=8)
+    # compact_threshold above the batch count → L0 stays un-drained, so
+    # the refresh exercises read-time resolution, not the drained fast
+    # path
+    silver = ParquetMergeTable(
+        spark,
+        os.path.join(root, "silver"),
+        keys=["user_id"],
+        num_buckets=8,
+        merge_on_read=True,
+        compact_threshold=16,
+    )
     rollup = IncrementalRollup(
         spark,
         silver,
