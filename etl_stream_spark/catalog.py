@@ -6419,89 +6419,80 @@ CATALOG.update({name: QueryDef(fn, sql) for name, fn, sql in _EXTRA})
 #: flagship CDC path plus at least one representative of every operator
 #: family inside that window; redundant TPC-H variants trail.
 _DRIVER_PRIORITY = [
-    # ROUND-4 ROTATION: CORRECTNESS_r03 was 50/50 green, so (per the
-    # window-composition rule) proven entries rotate out for the 60
-    # never-driver-checked ones; ≥1 driver-proven representative per
-    # family stays as the regression canary, plus every entry whose
-    # CODE changed this round (MOR streaming merge, real PPM decode).
+    # ROUND-5 ROTATION: CORRECTNESS_r04 was 50/50 green; the final 30
+    # never-driver-checked entries enter so EVERY catalog entry has
+    # been driver-proven at least once. The other 20 slots hold one
+    # driver-proven canary per family (window-composition rule) plus
+    # every entry whose ENGINE changed this round: the unified
+    # stored-shape tie-break (merge engine → the four CDC reps), the
+    # postings L0 upsert path (lexical_incremental_search), the real
+    # NN resample (multimodal_resize), the partial-top-k degenerate-
+    # shape fix (top5_orders_partial), the persisted LSH epoch
+    # (dedup_lsh_incremental — in the 30), and the MOR silver switch
+    # (cdc_gold_rollup).
     #
-    # CDC family: cdc_final_state is the flagship canary;
-    # cdc_streaming_merge stays because its engine CHANGED this round
-    # (merge-on-read L0 target — first driver proof of the MOR path).
+    # CDC / merge engine (tie-break unified this round): eager flagship,
+    # MOR streaming path, MOR reader side, erasure rep.
     "cdc_final_state",
     "cdc_streaming_merge",
-    # erasure / retention family: the merge-side rep is proven
-    # (cdc_forget_keys r3); first-time: the corpus-side forget loop and
-    # SCD2 retention expiry
+    "cdc_gold_rollup",
     "cdc_forget_keys",
-    "corpus_forget_documents",
-    "cdc_scd2_retention",
-    # relational / TPC-H: q1 proven canary; the 13 never-checked
-    # adaptations get their first driver proof
-    "q1_pricing_summary",
-    "q2_cheapest_parts",
-    "q4_late_shipment_priority",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_priority_lines",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q20_heavy_suppliers",
-    "q22_idle_rich_customers",
-    # window / ranking / quantile family (never driver-checked):
-    # customer_order_history keeps the proven window-frame canary
-    "customer_order_history",
-    "order_value_rankings",
-    "order_price_quantiles",
-    "order_price_quantiles_sketch",
-    "customer_rolling_revenue",
-    "user_value_rolling_window",
-    "rollup_order_revenue",
-    # structured streaming: sustained_alerts proven canary; the
-    # never-checked remainder enters (stateful dedup, streaming CEP,
-    # session windows, stream-static enrichment, WAL monitor)
-    "streaming_sustained_alerts",
-    "streaming_dedup",
-    "streaming_pattern_match",
-    "streaming_session_windows",
-    "streaming_enrichment",
-    "wal_size_monitor",
-    # CEP: batch rep proven r3; session-scoped form first-time
-    "events_pattern_match",
-    "session_pattern_match",
-    # temporal / trajectory: as-of proven; trajectory top-k first-time
-    "asof_latest_purchase",
-    "user_trajectory_topk",
-    # skew handling: the MG-salted static form (skew-AWARE variant
-    # proven r3)
-    "events_salted_enrichment",
-    # similarity/ANN: recall-audit reps re-enter per the r3 verdict
-    # (ann proven r02; PQ side first-time); hybrid is the proven
-    # retrieval canary
-    "ann_recall_audit",
-    "pq_recall_audit",
-    "hybrid_search_rrf",
-    # dedup: clusters proven canary; prefix-filter ER + fuzzy blocking
-    # first-time
-    "dedup_clusters",
-    "part_fuzzy_name_match",
-    # two-phase partial top-k (shuffle-reducing form) first-time
-    "top5_orders_partial",
-    # robust statistics: winsorized aggregates first-time
-    "orders_price_winsorized",
-    # multimodal: features + resize CHANGED this round (real pure-numpy
-    # PPM decode — container dims + exact raster sums) → re-proof
-    "multimodal_features",
-    "multimodal_resize",
-    # text / corpus / sketch / DQ family canaries (all driver-proven)
-    "text_token_stats",
-    "corpus_curation_funnel",
-    "sketch_distinct_customers",
-    "dq_orders_report",
+    # family canaries (all driver-proven in r2-r4)
+    "q1_pricing_summary",          # TPC-H / relational
+    "customer_order_history",      # window frames / cube
+    "streaming_sustained_alerts",  # structured streaming
+    "events_pattern_match",        # batch CEP
+    "session_pattern_match",       # session-scoped CEP
+    "asof_latest_purchase",        # temporal joins
+    "text_token_stats",            # text analysis
+    "corpus_curation_funnel",      # corpus prep
+    "dedup_exact",                 # dedup
+    "ann_recall_audit",            # similarity + recall audit
+    "hybrid_search_rrf",           # hybrid retrieval
+    "sketch_distinct_customers",   # sketches
+    "dq_orders_report",            # data quality
+    # engine-changed re-proofs (round-5 code)
+    "lexical_incremental_search",  # postings L0 append engine
+    "multimodal_resize",           # real NN resample + resampled sum
+    "top5_orders_partial",         # shared-order-col projection fix
+    # --- the 30 never-driver-checked entries ---
+    # corpus analytics remainder
+    "corpus_source_report",
+    "corpus_bigram_surprisal",
+    "corpus_quality_model",
+    "corpus_quality_trained",
+    "corpus_difficulty_deciles",
+    "corpus_source_cap",
+    "corpus_source_budget",
+    "corpus_boilerplate_removal",
+    # embedding family
+    "embedding_neardup",
+    "embedding_centroids",
+    "embedding_quantize_int8",
+    "knn_bruteforce_pandas",
+    "user_profile_similarity",
+    # dedup extras (incl. the persisted LSH band store — epoch engine
+    # changed this round)
+    "dedup_ngram_jaccard",
+    "dedup_survivors",
+    "dedup_survivors_quality",
+    "dedup_prefix_filter_pairs",
+    "dedup_lsh_incremental",
+    # BPE
+    "bpe_learned_merges",
+    "bpe_encode_stats",
+    # events extras
+    "events_jsonl_roundtrip",
+    "events_sliding_window",
+    "events_value_imputed",
+    "user_value_zscores",
+    "segment_event_chisq",
+    "price_time_correlation",
+    "order_metrics_unpivot",
+    # singletons
+    "lineitem_moment_stats",
+    "streaming_ivf_search",
+    "multimodal_audio_features",
 ]
 
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)
