@@ -689,6 +689,74 @@ class TestStreamingStateErasure:
         assert out3[0].events_seen == 1  # history was purged, not retained
         assert out3[0].conv_matches == 0
 
+    def test_cep_suppression_holds_across_checkpoint_restarts(self, spark, tmp_path):
+        """The checkpoint-rollover leg of the erasure contract: a CEP
+        stream restarted from its checkpoint with a suppression list
+        must (a) keep the forgotten key's state dormant while the key
+        stays quiet (the documented residual), (b) purge it the first
+        time the key fires under suppression, and (c) never resurrect
+        the pre-erasure buffer from the state store — a later
+        unsuppressed run sees a FRESH key, whatever the checkpoint once
+        held."""
+        import json
+
+        from etl_stream_spark.sources.file_source import read_cdc_file_stream
+        from etl_stream_spark.streaming.cep import pattern_matches
+
+        syms = {"signup": "s", "purchase": "p"}
+        pats = {"conv": "sp"}
+        schema = "uid long, seq long, et string"
+        src = tmp_path / "ev_r"
+        src.mkdir()
+
+        def feed(name, rows):
+            (src / name).write_text("\n".join(json.dumps(d) for d in rows))
+
+        def run(suppressed):
+            out: list = []
+            stream = read_cdc_file_stream(spark, str(src), schema)
+            q = (
+                pattern_matches(
+                    stream, "uid", "seq", "et", syms, pats,
+                    suppressed_keys=suppressed,
+                )
+                .writeStream.outputMode("append")
+                .foreachBatch(lambda df, _eid: out.extend(df.collect()))
+                .option("checkpointLocation", str(tmp_path / "ckpt_r"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(120)
+            return out
+
+        feed("a.json", [
+            {"uid": 7, "seq": 1, "et": "signup"},
+            {"uid": 7, "seq": 2, "et": "purchase"},
+            {"uid": 8, "seq": 1, "et": "signup"},
+        ])
+        out1 = {r.uid: r for r in run(None)}
+        assert out1[7].conv_matches == 1 and out1[7].events_seen == 2
+
+        # restart 1, uid 7 suppressed but QUIET: only uid 8 fires; the
+        # forgotten key emits nothing and its state stays dormant
+        feed("b.json", [{"uid": 8, "seq": 2, "et": "purchase"}])
+        out2 = {r.uid: r for r in run(frozenset([7]))}
+        assert set(out2) == {8} and out2[8].conv_matches == 1
+
+        # restart 2, still suppressed, uid 7 finally fires: the purge
+        # runs inside the recovered stateful operator — no emission
+        feed("c.json", [{"uid": 7, "seq": 3, "et": "signup"}])
+        out3 = run(frozenset([7]))
+        assert all(r.uid != 7 for r in out3)
+
+        # restart 3, suppression lifted: the key rebuilds from scratch —
+        # events_seen 1 proves the checkpointed pre-erasure buffer
+        # (2 events, 1 match) did not resurrect from the state store
+        feed("d.json", [{"uid": 7, "seq": 4, "et": "signup"}])
+        out4 = [r for r in run(None) if r.uid == 7]
+        assert len(out4) == 1
+        assert (out4[0].events_seen, out4[0].conv_matches) == (1, 0)
+
     def test_trending_suppressed_item_drops_retained_counter(self, spark, tmp_path):
         import json
 
