@@ -51,6 +51,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, default=50)
     ap.add_argument("--rows", type=int, default=2000)
+    ap.add_argument(
+        "--deep-mor",
+        action="store_true",
+        help="depth probe: 500 batches into a 32-bucket merge-on-read "
+        "table only — shows whether the compaction sawtooth period and "
+        "drain cost stay bounded as bucket dirs accumulate generations",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -77,6 +84,47 @@ def main() -> int:
 
     # -- merge-on-read streaming engine -------------------------------------
     from etl_stream_spark.cdc import ParquetMergeTable
+
+    if args.deep_mor:
+        # 10× batch count, 2× buckets: does the drain stay a bounded
+        # sawtooth as every bucket dir accumulates compaction
+        # generations of files? Drain cost must track L0 volume
+        # (bounded by threshold × batch), not table age.
+        B = 500 if args.batches == 50 else args.batches
+        mor = ParquetMergeTable(
+            spark, os.path.join(root, "mor_deep"), keys=["id"], num_buckets=32,
+            merge_on_read=True, compact_threshold=8,
+        )
+        times = []
+        for i in range(B):
+            t0 = time.time()
+            mor.merge(batch_df(i))
+            times.append(time.time() - t0)
+        st = curve_stats(times)
+        # split the sawtooth: a drain batch pays the compaction rewrite
+        med = sorted(times)[len(times) // 2]
+        drains = [t for t in times if t > 3 * med]
+        appends = [t for t in times if t <= 3 * med]
+        half = len(times) // 2
+        st["drain_batches"] = len(drains)
+        st["drain_mean_s"] = round(sum(drains) / len(drains), 3) if drains else None
+        st["drain_mean_first_half_s"] = round(
+            sum(t for t in times[:half] if t > 3 * med)
+            / max(1, len([t for t in times[:half] if t > 3 * med])), 3)
+        st["drain_mean_second_half_s"] = round(
+            sum(t for t in times[half:] if t > 3 * med)
+            / max(1, len([t for t in times[half:] if t > 3 * med])), 3)
+        st["append_mean_s"] = round(sum(appends) / len(appends), 3)
+        results["merge_on_read_deep"] = st
+        print(json.dumps(results, indent=2))
+        print(
+            f"# merge_on_read_deep: {B} batches, 32 buckets — append mean "
+            f"{st['append_mean_s']}s, {st['drain_batches']} drains "
+            f"(1st-half mean {st['drain_mean_first_half_s']}s → 2nd-half "
+            f"{st['drain_mean_second_half_s']}s), overall ratio {st['growth_ratio']}",
+            file=sys.stderr,
+        )
+        return 0
 
     mor = ParquetMergeTable(
         spark, os.path.join(root, "mor"), keys=["id"], num_buckets=16,
