@@ -2517,6 +2517,9 @@ def dedup_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     hi = docs.agg(F.max("doc_id")).first()[0]  # 1-row aggregate, bounded
     cuts = [0, (hi + 1) // 3, 2 * (hi + 1) // 3, hi + 1]
+    # tempdir = this catalog call pays a full store build each run (fine
+    # at bench SF); a production pipeline passes its own persistent path
+    # and only ever pays per-shard probes + registrations
     store = LshBandStore(
         spark,
         os.path.join(tempfile.mkdtemp(prefix="lsh_inc_"), "bands"),
@@ -3961,6 +3964,9 @@ def streaming_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _ensure_utc(spark)
     emb = _t(spark, sf_dir, "embeddings")
+    # tempdir = this catalog call pays a full index build each run (fine
+    # at bench SF); a production server passes its own persistent index
+    # path and only ever pays the per-trigger probed-cell reads
     root = tempfile.mkdtemp(prefix="stream_ivf_")
     idx = IvfIndex(spark, os.path.join(root, "idx"), nlist=8)
     idx.build(emb.select("vec_id", "embedding"), rounds=2)
