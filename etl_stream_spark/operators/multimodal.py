@@ -175,6 +175,8 @@ def resample_ppm_nearest(
     if parsed is None:
         return None
     w, h, pixels = parsed
+    if w == 0 or h == 0:
+        return None  # no source pixel to map — treat like a bad container
     img = pixels.reshape(h, w, 3)
     sy = (np.arange(target_h, dtype=np.int64) * h) // target_h
     sx = (np.arange(target_w, dtype=np.int64) * w) // target_w

@@ -257,6 +257,23 @@ class TestPostingsL0:
         assert idx._l0_files() == []
         assert _ranks(idx.search(queries, k=5)) == want
 
+    def test_upsert_only_index_serves_from_l0(self, spark, tmp_path):
+        """An index populated purely by upserts (never built) has no
+        drained bucket layout at all — search must serve from the L0
+        log alone, and a later drain must not change rankings."""
+        docs = self._docs(spark)
+        idx = rtr.PostingsIndex(
+            spark, str(tmp_path / "lex"), num_term_buckets=16, compact_threshold=50
+        )
+        idx.upsert(docs.filter("doc_id < 3"))
+        idx.upsert(docs.filter("doc_id >= 3"))
+        queries = docs.filter(F.col("doc_id") == 0)
+        got = _ranks(idx.search(queries, k=5))
+        want = _ranks(rtr.bm25_topk(docs, queries, k=5))
+        assert got == want and len(got) > 0
+        idx._drain_l0()
+        assert _ranks(idx.search(queries, k=5)) == want
+
     def test_restart_with_pending_l0_keeps_serving(self, spark, tmp_path):
         docs = self._docs(spark)
         path = str(tmp_path / "lex")
