@@ -49,17 +49,47 @@ def merge_condition(keys: Sequence[str]) -> str:
     return " AND ".join(f"t.{k} <=> b.{k}" for k in keys)
 
 
-def newer_sequence_condition() -> str:
-    """Stale guard: a matched source row wins only with a newer sequence."""
-    return f"b.{SEQUENCE_COL} > t.{SEQ_STATE_COL}"
+def _stored_tie_sql(data_cols: Sequence[str], side: str, seq: str, deleted: str) -> str:
+    """SQL form of :func:`~etl_stream_spark.cdc.merge.stored_shape_tie_break`
+    for one MERGE alias: md5 over the sorted data-column values, the
+    sequence, and the delete flag — byte-identical to the parquet
+    engine's DataFrame expression (char(31)/char(0) are the same
+    separator/sentinel bytes), so the two storage forms install the
+    same survivor on a same-(key, sequence) collision."""
+    parts = [
+        f"coalesce(cast({side}.{c} as string), char(0))" for c in sorted(data_cols)
+    ]
+    parts.append(f"coalesce(cast({seq} as string), char(0))")
+    parts.append(f"cast(coalesce({deleted}, false) as string)")
+    return f"md5(concat_ws(char(31), {', '.join(parts)}))"
 
 
-def delete_condition() -> str:
-    return f"b.{OPERATION_COL} = '{OP_DELETE}' AND {newer_sequence_condition()}"
+def newer_sequence_condition(
+    data_cols: Sequence[str] | None = None, tombstone: bool = False
+) -> str:
+    """Stale guard: a matched source row wins with a newer sequence —
+    or, given ``data_cols``, on an EQUAL sequence when its stored-shape
+    tie hash is higher (the parquet engine's unified tie-break; without
+    ``data_cols`` the legacy strictly-newer form is returned)."""
+    newer = f"b.{SEQUENCE_COL} > t.{SEQ_STATE_COL}"
+    if data_cols is None:
+        return newer
+    t_del = f"t.{DELETED_COL}" if tombstone else "false"
+    b_del = f"b.{OPERATION_COL} = '{OP_DELETE}'"
+    tie_t = _stored_tie_sql(data_cols, "t", f"t.{SEQ_STATE_COL}", t_del)
+    tie_b = _stored_tie_sql(data_cols, "b", f"b.{SEQUENCE_COL}", b_del)
+    return (
+        f"({newer} OR (b.{SEQUENCE_COL} = t.{SEQ_STATE_COL} "
+        f"AND {tie_b} > {tie_t}))"
+    )
 
 
-def update_condition() -> str:
-    return f"b.{OPERATION_COL} <> '{OP_DELETE}' AND {newer_sequence_condition()}"
+def delete_condition(data_cols: Sequence[str] | None = None) -> str:
+    return f"b.{OPERATION_COL} = '{OP_DELETE}' AND {newer_sequence_condition(data_cols)}"
+
+
+def update_condition(data_cols: Sequence[str] | None = None) -> str:
+    return f"b.{OPERATION_COL} <> '{OP_DELETE}' AND {newer_sequence_condition(data_cols)}"
 
 
 def insert_condition() -> str:
@@ -161,7 +191,19 @@ class DeltaMergeTable:
         from delta.tables import DeltaTable
         from pyspark.sql import functions as F
 
-        deduped = last_writer_wins(batch, self.keys, SEQUENCE_COL).drop(TIMESTAMP_COL)
+        from etl_stream_spark.cdc.merge import _META_COLS, stored_shape_tie_break
+
+        # within-batch winners picked by the SHARED stored-shape
+        # tie-break (parity with both parquet modes)
+        batch_data = sorted(c for c in batch.columns if c not in _META_COLS)
+        tie = stored_shape_tie_break(
+            [F.col(c) for c in batch_data],
+            F.col(SEQUENCE_COL),
+            F.col(OPERATION_COL) == OP_DELETE,
+        )
+        deduped = last_writer_wins(
+            batch, self.keys, SEQUENCE_COL, tie_break=tie
+        ).drop(TIMESTAMP_COL)
         data_cols = [
             c for c in deduped.columns if c not in (OPERATION_COL, SEQUENCE_COL)
         ]
@@ -192,7 +234,7 @@ class DeltaMergeTable:
                 .alias("t")
                 .merge(deduped.alias("b"), merge_condition(self.keys))
                 .whenMatchedUpdate(
-                    condition=newer_sequence_condition(),
+                    condition=newer_sequence_condition(data_cols, tombstone=True),
                     set=tombstone_assignments(data_cols),
                 )
                 .whenNotMatchedInsert(values=tombstone_assignments(data_cols))
@@ -203,9 +245,9 @@ class DeltaMergeTable:
             DeltaTable.forPath(self.spark, self.path)
             .alias("t")
             .merge(deduped.alias("b"), merge_condition(self.keys))
-            .whenMatchedDelete(condition=delete_condition())
+            .whenMatchedDelete(condition=delete_condition(data_cols))
             .whenMatchedUpdate(
-                condition=update_condition(), set=column_assignments(data_cols)
+                condition=update_condition(data_cols), set=column_assignments(data_cols)
             )
             .whenNotMatchedInsert(
                 condition=insert_condition(), values=column_assignments(data_cols)

@@ -326,11 +326,43 @@ class TestDeltaMergeTwin:
         from etl_stream_spark.cdc import delta_merge as dm
 
         assert dm.merge_condition(["id", "ts"]) == "t.id <=> b.id AND t.ts <=> b.ts"
+        # legacy strictly-newer forms (no data_cols)
         assert dm.delete_condition() == "b.operation = 'DELETE' AND b.sequence > t._seq"
         assert dm.update_condition() == "b.operation <> 'DELETE' AND b.sequence > t._seq"
         assert dm.insert_condition() == "b.operation <> 'DELETE'"
         assign = dm.column_assignments(["id", "v"])
         assert assign == {"id": "b.id", "v": "b.v", "_seq": "b.sequence"}
+
+    def test_equal_sequence_tie_clause_matches_parquet_engine(self, spark):
+        """The generated MERGE condition must carry the SAME equal-
+        sequence tie-break as the parquet engine: newer sequence wins
+        outright; an equal sequence falls to the stored-shape md5
+        comparison. The SQL md5 must be byte-identical to the
+        DataFrame-side stored_shape_tie_break for the same row."""
+        from pyspark.sql import functions as F
+
+        from etl_stream_spark.cdc import delta_merge as dm
+        from etl_stream_spark.cdc.merge import stored_shape_tie_break
+
+        cond = dm.newer_sequence_condition(["v", "id"])
+        assert cond.startswith("(b.sequence > t._seq OR (b.sequence = t._seq AND ")
+        # sorted column order: id before v on both sides
+        assert cond.index("b.id") < cond.index("b.v")
+        tomb = dm.newer_sequence_condition(["id"], tombstone=True)
+        assert "t._deleted" in tomb
+        assert "t._deleted" not in cond  # non-tombstone hashes false
+
+        # byte-parity: evaluate the SQL hash and the DataFrame hash on
+        # the same row
+        row = spark.createDataFrame([(3, "x", "0005_00000001")], "id long, v string, s string")
+        sql_tie = dm._stored_tie_sql(["v", "id"], "b", "b.s", "false")
+        got_sql = row.alias("b").selectExpr(f"{sql_tie} AS h").first()["h"]
+        got_df = row.select(
+            stored_shape_tie_break(
+                [F.col("id"), F.col("v")], F.col("s"), F.lit(False)
+            ).alias("h")
+        ).first()["h"]
+        assert got_sql == got_df
 
     def test_api_parity_with_parquet_engine(self):
         from etl_stream_spark.cdc.delta_merge import DeltaMergeTable
