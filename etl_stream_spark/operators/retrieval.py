@@ -374,7 +374,10 @@ class PostingsIndex:
         Per-batch cost is TWO shuffle-free append jobs (flat postings-L0
         write + the forward table's MOR delta write) plus amortized
         1/threshold drains — not a partitionBy committer and an eager
-        join per batch (the round-4 job-count lesson applied here)."""
+        join per batch. This matches the reference's landing-append cost
+        model: one ``append_rows`` call per batch with deferred
+        server-side consolidation
+        (``/root/reference/etl-snowflake-py/etl_snowflake/client.py:573-685``)."""
         from etl_stream_spark.cdc.envelope import OP_UPDATE
 
         g = self._gen() + 1
