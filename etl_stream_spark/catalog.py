@@ -6447,8 +6447,7 @@ _DRIVER_PRIORITY = [
     "q1_pricing_summary",          # TPC-H / relational
     "customer_order_history",      # window frames / cube
     "streaming_sustained_alerts",  # structured streaming
-    "events_pattern_match",        # batch CEP
-    "session_pattern_match",       # session-scoped CEP
+    "session_pattern_match",       # CEP (batch rep proven r3/r4)
     "asof_latest_purchase",        # temporal joins
     "text_token_stats",            # text analysis
     "corpus_curation_funnel",      # corpus prep
@@ -6459,6 +6458,7 @@ _DRIVER_PRIORITY = [
     "dq_orders_report",            # data quality
     # engine-changed re-proofs (round-5 code)
     "lexical_incremental_search",  # postings L0 append engine
+    "ivf_incremental_search",      # MOR id-map engine
     "multimodal_resize",           # real NN resample + resampled sum
     "top5_orders_partial",         # shared-order-col projection fix
     # --- the 30 never-driver-checked entries ---

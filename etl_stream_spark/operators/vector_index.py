@@ -78,11 +78,17 @@ class IvfIndex:
         path: str,
         nlist: int = 8,
         scale: int = QUANT_SCALE,
+        compact_threshold: int = 8,
     ) -> None:
         self.spark = spark
         self.path = path.rstrip("/")
         self.nlist = nlist
         self.scale = scale
+        self.compact_threshold = compact_threshold
+        #: cached so the map's MOR compaction counter survives across
+        #: upserts (a fresh instance per call would never reach its
+        #: threshold and the map's L0 would grow unbounded)
+        self._map_table: ParquetMergeTable | None = None
 
     @property
     def _cent_path(self) -> str:
@@ -97,13 +103,22 @@ class IvfIndex:
         return os.path.join(self.path, "meta.json")
 
     def _id_map(self, id_col: str) -> ParquetMergeTable:
-        """id → (cell, generation), bucket-pruned lookups by id."""
-        return ParquetMergeTable(
-            self.spark,
-            os.path.join(self.path, "ids"),
-            keys=[id_col],
-            num_buckets=_MAP_BUCKETS,
-        )
+        """id → (cell, generation), bucket-pruned lookups by id.
+
+        merge_on_read: the per-upsert map maintenance is ONE shuffle-free
+        L0 append instead of an eager join + 32-directory partitioned
+        rewrite — the map merge was most of the upsert's per-batch
+        constant (the same job-count cut as the postings fwd table)."""
+        if self._map_table is None:
+            self._map_table = ParquetMergeTable(
+                self.spark,
+                os.path.join(self.path, "ids"),
+                keys=[id_col],
+                num_buckets=_MAP_BUCKETS,
+                merge_on_read=True,
+                compact_threshold=self.compact_threshold,
+            )
+        return self._map_table
 
     def _gen(self) -> int:
         # driver-side FS file, not a parquet dataset: a Spark job per
@@ -169,6 +184,10 @@ class IvfIndex:
         self._write_corpus(corpus, assigned, id_col, vec_col, g=0)
         self._id_map(id_col).truncate()
         self._write_map(assigned, id_col, 0, OP_UPDATE)
+        # drain the map's L0 now: build is the full-scan path, and a
+        # whole-corpus map sitting unresolved in the append log would
+        # tax every probe until enough upserts triggered a sweep
+        self._id_map(id_col).compact()
         self._set_gen(0)
 
     def rebuild_corpus(
@@ -183,6 +202,7 @@ class IvfIndex:
         self._write_corpus(corpus, assigned, id_col, vec_col, g=0)
         self._id_map(id_col).truncate()
         self._write_map(assigned, id_col, 0, OP_UPDATE)
+        self._id_map(id_col).compact()  # same full-scan-path drain as build
         self._set_gen(0)
 
     def _write_corpus(

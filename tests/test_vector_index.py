@@ -151,6 +151,14 @@ def test_upsert_map_lookup_is_bucket_pruned(spark, tmp_path):
     assert map_files, looked.inputFiles()
     assert all(f"_bucket={expected_bucket}/" in f for f in map_files), map_files
 
+    # after an upsert the map gains a bounded L0 append log: probes may
+    # read it (it is at most compact_threshold batches of map rows) plus
+    # the pruned bucket dirs — but never a FOREIGN bucket directory
+    idx.upsert(corpus.filter("vec_id = 8"))
+    looked2 = idx._old_cells(one.select("vec_id"), "vec_id")
+    for f in [f for f in looked2.inputFiles() if "/ids/" in f]:
+        assert f"_bucket={expected_bucket}/" in f or "/_delta/" in f, f
+
 
 def test_streaming_upsert_serves_fresh_vectors(spark, tmp_path):
     """The index is a valid sink for a vector stream: each micro-batch
