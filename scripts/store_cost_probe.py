@@ -170,6 +170,32 @@ def main() -> int:
         times.append(time.time() - t0)
     results["postings_upsert"] = curve_stats(times)
 
+    # -- incremental IVF vector index ------------------------------------------
+    from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+    from etl_stream_spark.operators.vector_index import IvfIndex
+
+    def vec_batch(i: int, n: int = 500, dims: int = 16):
+        # deterministic synthetic embeddings: churn the same id space so
+        # upserts exercise moved-cell tombstones, not only inserts
+        return spark.range(n).select(
+            (F.col("id") + (i % 4) * n).alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dims - 1)),
+                lambda p: ((F.col("id") * 31 + p * 17 + i * 7) % 97).cast("float") / 97,
+            ).alias("embedding"),
+        )
+
+    ivf = IvfIndex(spark, os.path.join(root, "ivf"), nlist=8)
+    ivf.build(vec_batch(0, n=2000), rounds=1)
+    times = []
+    for i in range(B):
+        b = vec_batch(i)
+        t0 = time.time()
+        ivf.upsert(b)
+        times.append(time.time() - t0)
+    results["ivf_upsert"] = curve_stats(times)
+
     # -- replication checksum store ------------------------------------------
     from etl_stream_spark.operators.checksum import ChecksumStore
 
