@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     # round-4: real container decodes (pure-numpy PPM raster sums ride
     # in multimodal_features above; this adds the RIFF/WAV plane)
     "multimodal_audio_features",
+    # round-5: real Y4M frame-seek (container walk + per-sample plane sums)
+    "multimodal_video_frames",
 ]
 
 

@@ -3580,6 +3580,55 @@ FROM d
 """
 
 
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame-seek end-to-end: each document renders as a
+    YUV4MPEG2 container (mono luma planes; dims/frame-count/fps/seed
+    from md5(text)), then the pure-python Y4M parser walks the FRAME
+    markers and a one-sample-per-second seek reads EXACTLY the frames
+    the timestamp→index arithmetic selects. ``luma_sum`` is the exact
+    integer sum of each SAMPLED frame's decoded plane — the oracle's
+    closed form only matches if the walker found the right offsets."""
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.encode_y4m(docs)
+    return mm.sample_frames_y4m(media, every_ms=1000)
+
+
+# Sampled-frame closed form: sample k (ts = 1000k ms) reads frame
+# idx = k·fps while idx < n_frames; that frame's luma j is
+# (seed + idx·w·h + j) mod 256 for j in [0, w·h) with w·h ≤ 121 < 256 —
+# at most one wrap, the same tail CASE as the image/audio oracles.
+MULTIMODAL_VIDEO_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         4 + ('0x' || substr(md5(text), 1, 2))::BIGINT % 8 AS w,
+         4 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 8 AS h,
+         2 + ('0x' || substr(md5(text), 5, 2))::BIGINT % 6 AS nf,
+         1 + ('0x' || substr(md5(text), 7, 2))::BIGINT % 3 AS fps,
+         ('0x' || substr(md5(text), 9, 2))::BIGINT AS seed
+  FROM documents
+),
+samp AS (
+  SELECT doc_id, w, h, nf, fps, seed, unnest(range(nf)) AS k FROM g
+),
+f AS (
+  SELECT doc_id, k, k * fps AS idx, w, h,
+         (seed + k * fps * w * h) % 256 AS s0,
+         w * h AS n
+  FROM samp WHERE k * fps < nf
+)
+SELECT doc_id,
+       CAST(idx AS BIGINT) AS frame_idx,
+       CAST(k * 1000 AS BIGINT) AS frame_ts_ms,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(CASE WHEN n <= 256 - s0 THEN n * s0 + (n * (n - 1)) // 2
+                 ELSE (256 - s0) * s0 + ((256 - s0) * (255 - s0)) // 2
+                      + ((n - 256 + s0) * (n - 257 + s0)) // 2
+            END AS BIGINT) AS luma_sum
+FROM f
+"""
+
+
 # --------------------------------------------------------------------------
 # Source & monitoring layer (S1 envelope decode, S6/G7 WAL aggregation)
 # --------------------------------------------------------------------------
@@ -6394,6 +6443,7 @@ CATALOG: dict[str, QueryDef] = {
     # multimodal
     "multimodal_features": QueryDef(multimodal_features, MULTIMODAL_SQL),
     "multimodal_frame_sample": QueryDef(multimodal_frame_sample, FRAMES_SQL),
+    "multimodal_video_frames": QueryDef(multimodal_video_frames, MULTIMODAL_VIDEO_SQL),
     "multimodal_audio_features": QueryDef(
         multimodal_audio_features, MULTIMODAL_AUDIO_SQL
     ),

@@ -10,11 +10,14 @@ pure-numpy parser (``decode_ppm``) reads the container header and the
 raw RGB plane, and ``resample_ppm_nearest`` applies a true
 nearest-neighbor index map and re-encodes the container — so
 dimensions, pixel statistics, and resized rasters for that format are
-actual computed values, oracle-checked end-to-end. Compressed formats
+actual computed values, oracle-checked end-to-end — and **Y4M
+(YUV4MPEG2) mono video parses and frame-seeks for real** (header +
+FRAME-marker walk, timestamp→index seek, exact sampled-plane sums;
+``decode_y4m`` / ``sample_frames_y4m``). Compressed formats
 (JPEG/PNG/MP4) would need PIL/ffmpeg, which are not in this container;
-those payloads fall back to the documented deterministic stub
-(``decode_image_stub``, pass-through resize) so the plumbing still
-runs.
+those payloads fall back to the documented deterministic stubs
+(``decode_image_stub``, pass-through resize, hash-derived
+``sample_frames``) so the plumbing still runs.
 
 Scale notes: payloads never pass through a Python row loop — they move
 as Arrow buffers into pandas batches; per-batch processing amortizes
@@ -423,3 +426,154 @@ def sample_frames(media: DataFrame) -> DataFrame:
             )
 
     return ensure_parallelism(media).mapInPandas(_frames, schema=FRAME_SCHEMA)
+
+
+def encode_y4m(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Render each document as a REAL YUV4MPEG2 (Y4M) video container —
+    plain-text stream header, per-frame ``FRAME`` markers, raw mono
+    luma planes (``Cmono``), pure bytes. Dimensions, frame count, frame
+    rate, and the gradient seed derive from md5(text) so the oracle can
+    predict per-frame statistics analytically; luma ``j`` of the
+    CONCATENATED frame stream is ``(seed + j) mod 256``. A frame-seek
+    kernel must actually walk the container to answer correctly."""
+
+    def _render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, md5s, nbytes = [], [], []
+            for text in pdf[text_col]:
+                digest = hashlib.md5(text.encode()).digest()
+                w = 4 + digest[0] % 8
+                h = 4 + digest[1] % 8
+                n_frames = 2 + digest[2] % 6
+                fps = 1 + digest[3] % 3
+                seed = digest[4]
+                luma = ((seed + np.arange(n_frames * w * h)) % 256).astype(np.uint8)
+                header = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 Cmono\n".encode()
+                body = b"".join(
+                    b"FRAME\n" + luma[f * w * h : (f + 1) * w * h].tobytes()
+                    for f in range(n_frames)
+                )
+                payload = header + body
+                payloads.append(payload)
+                md5s.append(hashlib.md5(text.encode()).hexdigest())
+                nbytes.append(len(payload))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": payloads,
+                    "modality": "video",
+                    "n_bytes": nbytes,
+                    "content_md5": md5s,
+                }
+            )
+
+    return ensure_parallelism(df).mapInPandas(_render, schema=MEDIA_SCHEMA)
+
+
+def decode_y4m(payload: bytes) -> dict | None:
+    """REAL pure-python Y4M parser: validate the ``YUV4MPEG2`` magic,
+    read the space-separated header parameters (W/H/F and colorspace),
+    then walk the ``FRAME`` markers (each may carry its own parameters
+    up to the newline, per the spec) recording every frame's byte
+    offset. Only mono (``Cmono``) streams are in scope — the plane size
+    arithmetic for subsampled YUV would be guesswork without a codec
+    reference payload to verify against. Returns None for anything
+    malformed or out of scope."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        return None
+    width = height = fps_num = fps_den = None
+    colorspace = "420"  # the format's default when C is absent
+    for tok in payload[9:nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        try:
+            if tag == b"W":
+                width = int(val)
+            elif tag == b"H":
+                height = int(val)
+            elif tag == b"F":
+                num, den = val.split(b":")
+                fps_num, fps_den = int(num), int(den)
+            elif tag == b"C":
+                colorspace = val.decode()
+        except (ValueError, UnicodeDecodeError):
+            return None
+    if not width or not height or not fps_num or not fps_den:
+        return None
+    if colorspace != "mono":
+        return None  # subsampled planes out of scope (no codec here)
+    frame_size = width * height
+    offsets, pos, n = [], nl + 1, len(payload)
+    while pos < n:
+        if payload[pos : pos + 5] != b"FRAME":
+            return None  # stream corrupt mid-walk
+        eol = payload.find(b"\n", pos)
+        if eol < 0 or eol + 1 + frame_size > n:
+            return None  # truncated frame
+        offsets.append(eol + 1)
+        pos = eol + 1 + frame_size
+    if not offsets:
+        return None
+    return {
+        "width": width,
+        "height": height,
+        "fps_num": fps_num,
+        "fps_den": fps_den,
+        "n_frames": len(offsets),
+        "frame_offsets": offsets,
+    }
+
+
+VIDEO_FRAME_SCHEMA = (
+    "doc_id long, frame_idx long, frame_ts_ms long, "
+    "width long, height long, luma_sum long"
+)
+
+
+def sample_frames_y4m(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL video frame sampling: seek into each Y4M payload at
+    ``every_ms`` intervals (frame index = timestamp × fps, the
+    arithmetic a container-aware reader does instead of decoding every
+    frame) and emit the SAMPLED frame's exact integer luma sum — the
+    oracle-checkable proof the right frame was read. flatMap shape:
+    each row fans out to its sample count; non-Y4M payloads emit
+    nothing (route those through the hash-stub :func:`sample_frames`)."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, ws, hs, sums = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                meta = decode_y4m(raw)
+                if meta is None:
+                    continue
+                fsize = meta["width"] * meta["height"]
+                k = 0
+                while True:
+                    ts = k * every_ms
+                    idx = (ts * meta["fps_num"]) // (1000 * meta["fps_den"])
+                    if idx >= meta["n_frames"]:
+                        break
+                    off = meta["frame_offsets"][idx]
+                    plane = np.frombuffer(raw[off : off + fsize], dtype=np.uint8)
+                    ids.append(doc_id)
+                    idxs.append(idx)
+                    tss.append(ts)
+                    ws.append(meta["width"])
+                    hs.append(meta["height"])
+                    sums.append(int(plane.sum(dtype=np.int64)))
+                    k += 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "frame_ts_ms": tss,
+                    "width": ws,
+                    "height": hs,
+                    "luma_sum": sums,
+                }
+            )
+
+    return ensure_parallelism(media).mapInPandas(_frames, schema=VIDEO_FRAME_SCHEMA)

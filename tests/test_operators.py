@@ -218,6 +218,61 @@ class TestMultimodal:
         ok = mm.decode_ppm(b"P6\n# c\n2 2\n255\n" + b"\x01" * 12)
         assert ok == {"width": 2, "height": 2, "n_channels": 3, "pixel_sum": 12}
 
+    def test_y4m_parser_and_frame_seek(self, spark):
+        """Hand-built 3-frame mono Y4M: the parser must recover the
+        header params and frame offsets, and the 1-per-second sampler
+        at 2 fps must read frames 0 and 2 (ts 0 ms and 1000 ms) with
+        their exact plane sums."""
+        w, h = 2, 2
+        frames = [bytes([i * 10 + j for j in range(w * h)]) for i in range(3)]
+        payload = b"YUV4MPEG2 W2 H2 F2:1 Ip A1:1 Cmono\n" + b"".join(
+            b"FRAME\n" + f for f in frames
+        )
+        meta = mm.decode_y4m(payload)
+        assert meta["width"] == 2 and meta["height"] == 2
+        assert meta["fps_num"] == 2 and meta["n_frames"] == 3
+        # malformed / out-of-scope containers are rejected, not guessed
+        assert mm.decode_y4m(b"YUV4MPEG2 W2 H2 F2:1\n" + b"FRAME\n" + b"\0" * 6) is None
+        assert mm.decode_y4m(payload[:-2]) is None  # truncated last frame
+        assert mm.decode_y4m(b"not video") is None
+
+        media = spark.createDataFrame(
+            [(1, payload, "video", len(payload), "x")],
+            "doc_id long, payload binary, modality string, n_bytes long, content_md5 string",
+        )
+        rows = {
+            (r.frame_idx, r.frame_ts_ms): r.luma_sum
+            for r in mm.sample_frames_y4m(media, every_ms=1000).collect()
+        }
+        # 2 fps → second 0 reads frame 0, second 1 reads frame 2
+        assert rows == {
+            (0, 0): sum(frames[0]),
+            (2, 1000): sum(frames[2]),
+        }
+
+    def test_y4m_encode_decode_roundtrip(self, docs):
+        """encode_y4m renders a real container; the sampler's sums must
+        match an independent numpy render of the same spec."""
+        import hashlib
+
+        import numpy as np
+
+        media = mm.encode_y4m(docs)
+        out = mm.sample_frames_y4m(media, every_ms=1000).collect()
+        got = {(r.doc_id, r.frame_idx): r.luma_sum for r in out}
+        want = {}
+        for doc_id, text, _src in DOCS:
+            d = hashlib.md5(text.encode()).digest()
+            w, h = 4 + d[0] % 8, 4 + d[1] % 8
+            nf, fps, seed = 2 + d[2] % 6, 1 + d[3] % 3, d[4]
+            luma = (seed + np.arange(nf * w * h)) % 256
+            k = 0
+            while k * fps < nf:
+                idx = k * fps
+                want[(doc_id, idx)] = int(luma[idx * w * h : (idx + 1) * w * h].sum())
+                k += 1
+        assert got == want and len(got) > 0
+
     def test_wav_real_decode_roundtrip(self, docs):
         """encode_wav renders a real RIFF container; the chunk-walking
         decoder must recover rate/count from fmt/data chunks and the
