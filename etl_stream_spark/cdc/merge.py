@@ -109,10 +109,20 @@ def read_small_text(spark: SparkSession, path: str) -> str | None:
 
     For store bookkeeping — generation counters, column sidecars — a
     Spark job per read/write costs more than the operation it
-    bookkeeps; these go straight through the Hadoop FS client."""
+    bookkeeps; these go straight through the Hadoop FS client.
+
+    Falls back to ``<path>.old`` when the file is absent: the writer's
+    rename-refused path (see :func:`write_small_text`) parks the
+    previous committed value there before installing the new one, so a
+    crash inside that window reads as the PREVIOUS value, never as
+    absent — absent would parse as generation 0 and silently corrupt a
+    populated index."""
     fs, p = _hadoop_fs(spark, path)
     if not fs.exists(p):
-        return None
+        old = _hadoop_path(spark, path + ".old")
+        if not fs.exists(old):
+            return None
+        p = old
     stream = fs.open(p)
     try:
         return spark.sparkContext._jvm.org.apache.commons.io.IOUtils.toString(
@@ -144,12 +154,20 @@ def write_small_text(spark: SparkSession, path: str, text: str) -> None:
     finally:
         out.close()
     if not fs.rename(tmp, p):
-        # HDFS-style rename refuses an existing destination: remove the
-        # old file and retry. Crash between the two calls reads as
-        # "absent", never as a torn write.
-        fs.delete(p, False)
+        # HDFS-style rename refuses an existing destination. A bare
+        # delete-then-rename would leave an ABSENT file if the writer
+        # dies in between — and absent parses as generation 0, the
+        # silent corruption this function exists to prevent. Park the
+        # committed value at .old first: every crash point now reads as
+        # either the old value or the new one (read_small_text falls
+        # back to .old when the main file is missing).
+        old = _hadoop_path(spark, path + ".old")
+        fs.delete(old, False)  # stale backup from an earlier fallback
+        if fs.exists(p) and not fs.rename(p, old):
+            raise IOError(f"could not stage backup for metadata file {path}")
         if not fs.rename(tmp, p):
             raise IOError(f"could not commit metadata file {path}")
+        fs.delete(old, False)
 
 
 class ParquetMergeTable:
@@ -504,7 +522,10 @@ class ParquetMergeTable:
         if self._appends_since_sweep < self.compact_threshold:
             return
         self._appends_since_sweep = 0
-        if len(self._delta_files()) > self.compact_threshold:
+        # >=, not >: with one file per append the sweep must drain the
+        # very check it fires on, or L0 would coast to ~2x the
+        # threshold bound _read_l0 documents before the next sweep
+        if len(self._delta_files()) >= self.compact_threshold:
             self.compact()
 
     def _delta_files(self) -> list[str]:
@@ -599,27 +620,37 @@ class ParquetMergeTable:
             if DELETED_COL in target.columns
             else F.lit(False)
         )
+        # Stored-value accessors shared by the tie-break and the output
+        # projection: ``_b_stored`` is the value the row WOULD hold if
+        # the source won — the batch's own column when present; for a
+        # column absent from the batch schema, the keeps-target value on
+        # update and a typed NULL on a winning delete (Kafka-tombstone
+        # scrub; see pick() below for the full rationale).
+        def _t_stored(col: str) -> F.Column:
+            return F.col(f"t.{col}") if col in t_data else F.lit(None)
+
+        def _b_stored(col: str) -> F.Column:
+            if col in b_data:
+                return F.col(f"b.{col}")
+            return F.when(is_delete, F.lit(None)).otherwise(_t_stored(col))
+
         # Stale guard: a matched source row wins with a newer sequence
         # (zero-padded strings → lexicographic order == event order).
         # On an EQUAL sequence — an at-least-once redelivery, possibly
-        # with a different body — the stored-shape tie-break decides, so
-        # the installed survivor is the global max by (sequence, tie)
-        # regardless of which batch carried it: the same pick the
-        # merge-on-read resolution makes, and replay-order independent.
+        # with a different body — the stored-shape tie-break decides:
+        # both sides hash the row AS IT WOULD BE STORED (keeps-target
+        # fill included, via the same accessors the output projection
+        # uses), so the installed survivor is the max-hash stored
+        # outcome — the same pick the merge-on-read resolution makes on
+        # its stored rows, independent of batch cuts or arrival order.
         all_sorted = sorted(all_data)
         tie_t = stored_shape_tie_break(
-            [
-                F.col(f"t.{c}") if c in t_data else F.lit(None)
-                for c in all_sorted
-            ],
+            [_t_stored(c) for c in all_sorted],
             F.col(f"t.{SEQ_STATE_COL}"),
             t_deleted,
         )
         tie_b = stored_shape_tie_break(
-            [
-                F.col(f"b.{c}") if c in b_data else F.lit(None)
-                for c in all_sorted
-            ],
+            [_b_stored(c) for c in all_sorted],
             F.col(f"b.{SEQUENCE_COL}"),
             is_delete,
         )
@@ -657,12 +688,11 @@ class ParquetMergeTable:
             # tombstone until compaction — Kafka-tombstone semantics.
             # (Only reachable in tombstone mode; winning deletes are
             # filtered out otherwise.)
-            t_side = F.col(f"t.{col}") if col in t_data else F.lit(None)
-            if col in b_data:
-                b_side = F.col(f"b.{col}")
-            else:
-                b_side = F.when(is_delete, F.lit(None)).otherwise(t_side)
-            return F.when(src_wins, b_side).otherwise(t_side).alias(col)
+            return (
+                F.when(src_wins, _b_stored(col))
+                .otherwise(_t_stored(col))
+                .alias(col)
+            )
 
         key_exprs = [
             F.coalesce(F.col(f"t.{k}"), F.col(f"b.{k}")).alias(k) for k in self.keys

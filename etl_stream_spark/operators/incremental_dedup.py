@@ -69,11 +69,16 @@ class _PersistedEpoch:
         return self._cached
 
     def next_sequence(self) -> str:
-        """Zero-padded merge sequence for the next registration. Padding
-        matters: raw small-int epochs invert under the merge engine's
-        lexicographic compare at 10 vs 9, silently vetoing every
-        re-registration from then on."""
-        return f"{self.next():020d}_00000000"
+        """Merge sequence for the next registration: a ``~`` prefix plus
+        a zero-padded counter. The padding keeps epochs ordered past the
+        9→10 digit boundary (raw small ints invert under the merge
+        engine's lexicographic compare, silently vetoing every later
+        re-registration); the ``~`` prefix (sorts above any digit) keeps
+        the new format ordered ABOVE the unpadded ``<epoch>_…``
+        sequences pre-round-5 stores persisted — without it, reopening a
+        legacy store would veto every matched re-registration forever,
+        the exact bug this class exists to fix."""
+        return f"~{self.next():020d}_00000000"
 
 
 def _fingerprint(text_col: str) -> F.Column:

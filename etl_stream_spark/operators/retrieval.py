@@ -292,7 +292,10 @@ class PostingsIndex:
         if self._appends_since_sweep < self.compact_threshold:
             return
         self._appends_since_sweep = 0
-        if len(self._l0_files()) > self.compact_threshold:
+        # >=, not >: with one file per append the sweep must drain the
+        # very check it fires on, or L0 would coast to ~2x the
+        # documented threshold bound before the next sweep
+        if len(self._l0_files()) >= self.compact_threshold:
             self._drain_l0()
 
     def _drain_l0(self) -> None:

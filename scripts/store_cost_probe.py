@@ -171,8 +171,6 @@ def main() -> int:
     results["postings_upsert"] = curve_stats(times)
 
     # -- incremental IVF vector index ------------------------------------------
-    from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
-
     from etl_stream_spark.operators.vector_index import IvfIndex
 
     def vec_batch(i: int, n: int = 500, dims: int = 16):

@@ -542,6 +542,28 @@ class TestSmallTextAtomicity:
         write_small_text(spark, p, "43")
         assert read_small_text(spark, p) == "43"
 
+    def test_backup_fallback_never_reads_absent(self, spark, tmp_path):
+        """On filesystems where rename refuses an existing destination,
+        the writer parks the committed value at .old before installing
+        the new one. A crash inside that window must read as the OLD
+        value — absent would parse as generation 0 and silently corrupt
+        a populated index. A later successful write cleans the backup
+        up and supersedes it."""
+        import os
+
+        from etl_stream_spark.cdc.merge import read_small_text, write_small_text
+
+        p = str(tmp_path / "gen.txt")
+        write_small_text(spark, p, "7")
+        os.rename(p, p + ".old")  # crash between backup-rename and commit
+        crc = os.path.join(str(tmp_path), ".gen.txt.crc")
+        if os.path.exists(crc):  # keep the checksum FS consistent
+            os.rename(crc, os.path.join(str(tmp_path), ".gen.txt.old.crc"))
+        assert read_small_text(spark, p) == "7"  # previous value, not None
+        write_small_text(spark, p, "8")
+        assert read_small_text(spark, p) == "8"
+        assert not os.path.exists(p + ".old") or read_small_text(spark, p) == "8"
+
 
 class TestMergeOnRead:
     """merge_on_read=True: L0 delta appends + read-time resolution must

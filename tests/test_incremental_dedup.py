@@ -3,6 +3,8 @@ idempotent replay, restart persistence, and bucket-pruned lookups."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from etl_stream_spark.operators.incremental_dedup import FingerprintStore
 
 
@@ -106,6 +108,48 @@ class TestPersistedEpoch:
         last = [a.next() for _ in range(3)][-1]
         b = _PersistedEpoch(spark, path)  # restart
         assert b.next() == last + 1
+
+    def test_upgrade_from_legacy_unpadded_sequences(self, spark, tmp_path):
+        """Stores persisted by the pre-round-5 code carry UNPADDED
+        ``<epoch>_00000000`` sequences; the new format must sort above
+        them or every matched re-registration on an upgraded store
+        would be vetoed by the stale-sequence guard forever."""
+        from etl_stream_spark.cdc.envelope import make_sequence
+        from etl_stream_spark.operators.incremental_dedup import (
+            LshBandStore,
+            _PersistedEpoch,
+        )
+
+        path = str(tmp_path / "legacy")
+        text = "the quick brown fox jumps over the lazy dog again and again"
+        store = LshBandStore(spark, path, num_buckets=4)
+        bands = store._bands(docs(spark, [(5, text)]), "doc_id", "text")
+        # simulate the legacy writer: same band rows, OLD sequence format
+        legacy_rows = (
+            bands.groupBy("band_id", "band_key")
+            .agg(F.min("doc_id").alias("first_doc"))
+            .select(
+                "band_id",
+                "band_key",
+                "first_doc",
+                F.lit("INSERT").alias("operation"),
+                F.lit(make_sequence(3, 0)).alias("sequence"),
+            )
+        )
+        store.table.merge(legacy_rows)
+        assert {r.first_doc for r in store.table.read().collect()} == {5}
+
+        # a new-format registration of the same bands must WIN, not veto
+        out = store.check_and_register(docs(spark, [(9, text)]))
+        assert {r.doc_id: r.is_near_dup for r in out.collect()} == {9: True}
+        assert {r.first_doc for r in store.table.read().collect()} == {9}
+
+        # and the format itself is totally ordered: every new sequence
+        # beats every legacy one, and new ones stay monotone
+        ep = _PersistedEpoch(spark, str(tmp_path / "seq"))
+        seqs = [ep.next_sequence() for _ in range(3)]
+        assert seqs == sorted(seqs)
+        assert all(s > make_sequence(999_999, 0) for s in seqs)
 
     def test_restarted_store_re_registration_wins(self, spark, tmp_path):
         """A restarted instance's registrations carry HIGHER sequences
