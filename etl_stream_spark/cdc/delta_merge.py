@@ -49,47 +49,78 @@ def merge_condition(keys: Sequence[str]) -> str:
     return " AND ".join(f"t.{k} <=> b.{k}" for k in keys)
 
 
-def _stored_tie_sql(data_cols: Sequence[str], side: str, seq: str, deleted: str) -> str:
+def _stored_tie_sql(col_exprs: Sequence[str], seq: str, deleted: str) -> str:
     """SQL form of :func:`~etl_stream_spark.cdc.merge.stored_shape_tie_break`
-    for one MERGE alias: md5 over the sorted data-column values, the
-    sequence, and the delete flag — byte-identical to the parquet
-    engine's DataFrame expression (char(31)/char(0) are the same
-    separator/sentinel bytes), so the two storage forms install the
-    same survivor on a same-(key, sequence) collision."""
-    parts = [
-        f"coalesce(cast({side}.{c} as string), char(0))" for c in sorted(data_cols)
-    ]
+    for one MERGE alias: md5 over the stored-value expressions (callers
+    pass them in sorted column-name order), the sequence, and the delete
+    flag — byte-identical to the parquet engine's DataFrame expression
+    (char(31)/char(0) are the same separator/sentinel bytes), so the two
+    storage forms install the same survivor on a same-(key, sequence)
+    collision."""
+    parts = [f"coalesce(cast({e} as string), char(0))" for e in col_exprs]
     parts.append(f"coalesce(cast({seq} as string), char(0))")
     parts.append(f"cast(coalesce({deleted}, false) as string)")
     return f"md5(concat_ws(char(31), {', '.join(parts)}))"
 
 
 def newer_sequence_condition(
-    data_cols: Sequence[str] | None = None, tombstone: bool = False
+    data_cols: Sequence[str] | None = None,
+    tombstone: bool = False,
+    target_cols: Sequence[str] | None = None,
 ) -> str:
     """Stale guard: a matched source row wins with a newer sequence —
     or, given ``data_cols``, on an EQUAL sequence when its stored-shape
     tie hash is higher (the parquet engine's unified tie-break; without
-    ``data_cols`` the legacy strictly-newer form is returned)."""
+    ``data_cols`` the legacy strictly-newer form is returned).
+
+    ``target_cols`` (the live target's data columns) widens the hashed
+    column set to the UNION of target and batch schemas with the same
+    stored-value fill the parquet engine's ``_merge_deduped`` applies:
+    a column absent from the batch keeps the target's value on update
+    and goes NULL on a winning delete; a column absent from the target
+    is NULL on the target side. Without it (tests of the pure clause
+    builders, same-schema batches) both aliases hash the batch columns
+    — correct ONLY when batch schema == target schema, which ``merge``
+    guarantees by always passing the live schema."""
     newer = f"b.{SEQUENCE_COL} > t.{SEQ_STATE_COL}"
     if data_cols is None:
         return newer
     t_del = f"t.{DELETED_COL}" if tombstone else "false"
     b_del = f"b.{OPERATION_COL} = '{OP_DELETE}'"
-    tie_t = _stored_tie_sql(data_cols, "t", f"t.{SEQ_STATE_COL}", t_del)
-    tie_b = _stored_tie_sql(data_cols, "b", f"b.{SEQUENCE_COL}", b_del)
+    t_set = set(target_cols) if target_cols is not None else set(data_cols)
+    b_set = set(data_cols)
+    t_exprs, b_exprs = [], []
+    for c in sorted(t_set | b_set):
+        t_expr = f"t.{c}" if c in t_set else "null"
+        t_exprs.append(t_expr)
+        if c in b_set:
+            b_exprs.append(f"b.{c}")
+        else:
+            # keeps-target fill on update, typed-NULL scrub on a winning
+            # delete — the parquet engine's _b_stored accessor
+            b_exprs.append(f"(CASE WHEN {b_del} THEN null ELSE {t_expr} END)")
+    tie_t = _stored_tie_sql(t_exprs, f"t.{SEQ_STATE_COL}", t_del)
+    tie_b = _stored_tie_sql(b_exprs, f"b.{SEQUENCE_COL}", b_del)
     return (
         f"({newer} OR (b.{SEQUENCE_COL} = t.{SEQ_STATE_COL} "
         f"AND {tie_b} > {tie_t}))"
     )
 
 
-def delete_condition(data_cols: Sequence[str] | None = None) -> str:
-    return f"b.{OPERATION_COL} = '{OP_DELETE}' AND {newer_sequence_condition(data_cols)}"
+def delete_condition(
+    data_cols: Sequence[str] | None = None,
+    target_cols: Sequence[str] | None = None,
+) -> str:
+    guard = newer_sequence_condition(data_cols, target_cols=target_cols)
+    return f"b.{OPERATION_COL} = '{OP_DELETE}' AND {guard}"
 
 
-def update_condition(data_cols: Sequence[str] | None = None) -> str:
-    return f"b.{OPERATION_COL} <> '{OP_DELETE}' AND {newer_sequence_condition(data_cols)}"
+def update_condition(
+    data_cols: Sequence[str] | None = None,
+    target_cols: Sequence[str] | None = None,
+) -> str:
+    guard = newer_sequence_condition(data_cols, target_cols=target_cols)
+    return f"b.{OPERATION_COL} <> '{OP_DELETE}' AND {guard}"
 
 
 def insert_condition() -> str:
@@ -104,13 +135,24 @@ def column_assignments(data_cols: Sequence[str]) -> dict[str, str]:
     return out
 
 
-def tombstone_assignments(data_cols: Sequence[str]) -> dict[str, str]:
+def tombstone_assignments(
+    data_cols: Sequence[str], target_cols: Sequence[str] | None = None
+) -> dict[str, str]:
     """SET map for tombstone mode: deletes become ``_deleted = true``
     updates/inserts instead of physical removals, so the key keeps its
     sequence state and stale replays (quarantine repair, DLQ
     resubmission) cannot re-insert it — parity with
-    ``ParquetMergeTable(tombstone_deletes=True)``."""
+    ``ParquetMergeTable(tombstone_deletes=True)``.
+
+    ``target_cols`` adds the typed-NULL scrub for target-only columns on
+    a winning delete (retention: the pre-image must not linger on the
+    tombstone) — the same stored outcome the widened tie hash in
+    :func:`newer_sequence_condition` promises, and the parquet engine's
+    ``pick()`` installs."""
     out = column_assignments(data_cols)
+    if target_cols is not None:
+        for c in set(target_cols) - set(data_cols):
+            out[c] = f"CASE WHEN b.{OPERATION_COL} = '{OP_DELETE}' THEN null ELSE t.{c} END"
     out[DELETED_COL] = f"b.{OPERATION_COL} = '{OP_DELETE}'"
     return out
 
@@ -220,6 +262,17 @@ class DeltaMergeTable:
             )
             initial.write.format("delta").save(self.path)
             return
+        # the live target's data columns: the tie hash (and tombstone
+        # scrub) must cover the UNION of target+batch schemas with the
+        # parquet engine's stored-value fill, or a narrower batch could
+        # install a different equal-sequence survivor than the eager
+        # engine (and t.<col> for a batch-only column would fail MERGE
+        # analysis on a narrower target)
+        target_cols = [
+            c
+            for c in self.spark.read.format("delta").load(self.path).columns
+            if c not in _META_COLS
+        ]
         if self.tombstone_deletes:
             # Tables created before the tombstone flag lack _deleted, and
             # Delta MERGE rejects SET on unknown columns unless schema
@@ -234,8 +287,10 @@ class DeltaMergeTable:
                 .alias("t")
                 .merge(deduped.alias("b"), merge_condition(self.keys))
                 .whenMatchedUpdate(
-                    condition=newer_sequence_condition(data_cols, tombstone=True),
-                    set=tombstone_assignments(data_cols),
+                    condition=newer_sequence_condition(
+                        data_cols, tombstone=True, target_cols=target_cols
+                    ),
+                    set=tombstone_assignments(data_cols, target_cols),
                 )
                 .whenNotMatchedInsert(values=tombstone_assignments(data_cols))
                 .execute()
@@ -245,9 +300,10 @@ class DeltaMergeTable:
             DeltaTable.forPath(self.spark, self.path)
             .alias("t")
             .merge(deduped.alias("b"), merge_condition(self.keys))
-            .whenMatchedDelete(condition=delete_condition(data_cols))
+            .whenMatchedDelete(condition=delete_condition(data_cols, target_cols))
             .whenMatchedUpdate(
-                condition=update_condition(data_cols), set=column_assignments(data_cols)
+                condition=update_condition(data_cols, target_cols),
+                set=column_assignments(data_cols),
             )
             .whenNotMatchedInsert(
                 condition=insert_condition(), values=column_assignments(data_cols)

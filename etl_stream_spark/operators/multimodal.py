@@ -142,6 +142,11 @@ def _parse_ppm(payload: bytes) -> tuple[int, int, np.ndarray] | None:
     width, height, maxval = fields
     if maxval != 255:
         return None  # 2-byte samples out of scope
+    if width <= 0 or height <= 0:
+        # a zero-dimension container has no pixels to decode or map —
+        # reject here so EVERY consumer (decode, resize scale factors)
+        # falls to the stub path instead of dividing by zero
+        return None
     raster = payload[pos:]
     if len(raster) != width * height * 3:
         return None
@@ -500,7 +505,13 @@ def decode_y4m(payload: bytes) -> dict | None:
                 colorspace = val.decode()
         except (ValueError, UnicodeDecodeError):
             return None
-    if not width or not height or not fps_num or not fps_den:
+    if width is None or height is None or fps_num is None or fps_den is None:
+        return None
+    if width <= 0 or height <= 0 or fps_num <= 0 or fps_den <= 0:
+        # a negative W parses (int accepts '-6') but would make
+        # frame_size negative, so the FRAME walk's pos never advances —
+        # an infinite loop in an executor task, not a parse error; a
+        # negative F breaks the seek arithmetic the same way
         return None
     if colorspace != "mono":
         return None  # subsampled planes out of scope (no codec here)

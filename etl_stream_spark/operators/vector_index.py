@@ -118,6 +118,14 @@ class IvfIndex:
                 merge_on_read=True,
                 compact_threshold=self.compact_threshold,
             )
+        elif self._map_table.keys != [id_col]:
+            # the cached table is keyed on the id_col of the FIRST call;
+            # silently serving it for a different id_col would bucket-hash
+            # (and stale-guard) on the wrong key — refuse loudly
+            raise ValueError(
+                f"IvfIndex at {self.path} is keyed on "
+                f"{self._map_table.keys[0]!r}; cannot use id_col={id_col!r}"
+            )
         return self._map_table
 
     def _gen(self) -> int:

@@ -355,7 +355,7 @@ class TestDeltaMergeTwin:
         # byte-parity: evaluate the SQL hash and the DataFrame hash on
         # the same row
         row = spark.createDataFrame([(3, "x", "0005_00000001")], "id long, v string, s string")
-        sql_tie = dm._stored_tie_sql(["v", "id"], "b", "b.s", "false")
+        sql_tie = dm._stored_tie_sql(["b.id", "b.v"], "b.s", "false")
         got_sql = row.alias("b").selectExpr(f"{sql_tie} AS h").first()["h"]
         got_df = row.select(
             stored_shape_tie_break(
@@ -363,6 +363,62 @@ class TestDeltaMergeTwin:
             ).alias("h")
         ).first()["h"]
         assert got_sql == got_df
+
+    def test_tie_hashes_union_of_target_and_batch_schemas(self, spark):
+        """Given the live target's columns, the tie condition must hash
+        the UNION of schemas with the parquet engine's stored-value
+        fill: a batch-absent column keeps the target's value on update
+        and scrubs to NULL on a winning delete; a target-absent column
+        hashes NULL on the target side. The hash for a narrower batch's
+        update must therefore equal the eager engine's tie over the
+        stored outcome — verified by evaluating both on one joined row."""
+        from pyspark.sql import functions as F
+
+        from etl_stream_spark.cdc import delta_merge as dm
+        from etl_stream_spark.cdc.merge import stored_shape_tie_break
+
+        # batch carries only (id, v); target also stores w
+        cond = dm.newer_sequence_condition(["id", "v"], target_cols=["id", "v", "w"])
+        # the batch side must reference t.w via the keeps-target CASE
+        assert "CASE WHEN b.operation = 'DELETE' THEN null ELSE t.w END" in cond
+        # a batch-only column hashes NULL on the target side
+        cond_wide = dm.newer_sequence_condition(["id", "v", "x"], target_cols=["id", "v"])
+        assert "t.x" not in cond_wide
+
+        joined = spark.createDataFrame(
+            [(3, "new", "UPDATE", "0005", "kept", 7, "0005")],
+            "id long, v string, operation string, sequence string, "
+            "w string, t_id long, t_seq string",
+        )
+        b_tie_sql = dm._stored_tie_sql(
+            ["b.id", "b.v", "(CASE WHEN b.operation = 'DELETE' THEN null ELSE t.w END)"],
+            "b.sequence",
+            "b.operation = 'DELETE'",
+        )
+        got_sql = (
+            joined.alias("b")
+            .selectExpr(f"{b_tie_sql.replace('t.w', 'w')} AS h")
+            .first()["h"]
+        )
+        # eager engine: hash the row AS IT WOULD BE STORED if b wins —
+        # id/v from batch, w kept from target
+        got_df = joined.select(
+            stored_shape_tie_break(
+                [F.col("id"), F.col("v"), F.col("w")],
+                F.col("sequence"),
+                F.col("operation") == "DELETE",
+            ).alias("h")
+        ).first()["h"]
+        assert got_sql == got_df
+
+    def test_tombstone_assignments_scrub_target_only_columns(self):
+        from etl_stream_spark.cdc import delta_merge as dm
+
+        out = dm.tombstone_assignments(["id", "v"], target_cols=["id", "v", "w"])
+        assert out["w"] == "CASE WHEN b.operation = 'DELETE' THEN null ELSE t.w END"
+        assert out["v"] == "b.v" and out["_deleted"] == "b.operation = 'DELETE'"
+        # without target_cols: batch columns only (legacy form)
+        assert "w" not in dm.tombstone_assignments(["id", "v"])
 
     def test_api_parity_with_parquet_engine(self):
         from etl_stream_spark.cdc.delta_merge import DeltaMergeTable

@@ -218,6 +218,29 @@ class TestMultimodal:
         ok = mm.decode_ppm(b"P6\n# c\n2 2\n255\n" + b"\x01" * 12)
         assert ok == {"width": 2, "height": 2, "n_channels": 3, "pixel_sum": 12}
 
+    def test_zero_dimension_containers_fall_to_stub_everywhere(self):
+        """A 0×0 P6 payload with an empty raster must be rejected by the
+        shared parser (not just the resample kernel): decode_media then
+        serves the stub's non-zero dimensions, so resize_media's
+        scale_x/scale_y division can never hit zero."""
+        zero = b"P6\n0 0\n255\n"
+        assert mm.decode_ppm(zero) is None
+        assert mm.resample_ppm_nearest(zero, 4, 4) is None
+        meta = mm.decode_media(zero)  # stub path
+        assert meta["width"] > 0 and meta["height"] > 0
+
+    def test_y4m_rejects_nonpositive_header_params(self):
+        """A negative W/H makes frame_size negative so the FRAME walk's
+        pos never advances (executor-hanging infinite loop); a negative
+        F breaks the seek arithmetic. All must parse as None."""
+        body = b"FRAME\n" + b"\x00" * 6
+        assert mm.decode_y4m(b"YUV4MPEG2 W-6 H1 F1:1 Cmono\n" + body) is None
+        assert mm.decode_y4m(b"YUV4MPEG2 W6 H-1 F1:1 Cmono\n" + body) is None
+        assert mm.decode_y4m(b"YUV4MPEG2 W0 H1 F1:1 Cmono\n" + body) is None
+        assert mm.decode_y4m(b"YUV4MPEG2 W2 H3 F-2:1 Cmono\n" + body) is None
+        assert mm.decode_y4m(b"YUV4MPEG2 W2 H3 F2:-1 Cmono\n" + body) is None
+        assert mm.decode_y4m(b"YUV4MPEG2 W2 H3 F0:1 Cmono\n" + body) is None
+
     def test_y4m_parser_and_frame_seek(self, spark):
         """Hand-built 3-frame mono Y4M: the parser must recover the
         header params and frame offsets, and the 1-per-second sampler

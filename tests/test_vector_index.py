@@ -232,3 +232,70 @@ def test_build_over_existing_index_resets(spark, tmp_path):
     )
     back = idx.search(probe, k=1, nprobe=8)
     assert [r.neighbor_id for r in back.collect()] == [4]
+
+
+def test_id_map_id_col_mismatch_raises(spark, tmp_path):
+    """The cached id map is keyed on the FIRST call's id_col; serving it
+    for a different id_col would bucket-hash on the wrong key — the
+    index must refuse loudly instead."""
+    import pytest
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.select("vec_id", "embedding")
+    idx = IvfIndex(spark, str(tmp_path / "ivf"), nlist=4)
+    idx.build(corpus.filter("vec_id < 40"), rounds=1)
+    with pytest.raises(ValueError, match="keyed on 'vec_id'"):
+        idx._id_map("other_id")
+
+
+def test_id_map_crashed_drain_window_is_idempotent(spark, tmp_path):
+    """Kill the id map's L0 drain between the bucket rewrite and the L0
+    deletes (consumed rows exist twice — ParquetMergeTable.compact's
+    documented crash window), restart, and keep operating: the map's
+    read-side LWW collapse must make the duplication invisible, so
+    moved-cell detection — and therefore search — stays in parity with
+    an undisturbed twin."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.select("vec_id", "embedding")
+    base = corpus.filter("vec_id < 60")
+    idx = IvfIndex(spark, str(tmp_path / "a"), nlist=4)
+    ref = IvfIndex(spark, str(tmp_path / "b"), nlist=4)
+    for i in (idx, ref):
+        i.build(base, rounds=2)  # same input → same centroids
+
+    # move a slice of ids to (almost surely) different cells — the map
+    # now carries their new assignments in un-drained L0
+    moved = corpus.filter("vec_id >= 10 AND vec_id < 20").select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+    )
+    idx.upsert(moved)
+    ref.upsert(moved)
+
+    # crash the drain: stash L0, compact (bucket rewrite + L0 delete),
+    # then restore the consumed files — exactly the mid-compact state
+    l0_dir = str(tmp_path / "a" / "ids" / "_delta")
+    stash = str(tmp_path / "stash")
+    shutil.copytree(l0_dir, stash)
+    idx._id_map("vec_id").compact()
+    for f in os.listdir(stash):
+        shutil.copy(os.path.join(stash, f), os.path.join(l0_dir, f))
+
+    # restart (fresh instance), then move the same ids BACK — correct
+    # old-cell detection requires resolving the duplicated map rows
+    re_idx = IvfIndex(spark, str(tmp_path / "a"), nlist=4)
+    back = corpus.filter("vec_id >= 10 AND vec_id < 20")
+    re_idx.upsert(back)
+    ref.upsert(back)
+
+    queries = corpus.filter("vec_id >= 95 AND vec_id < 100")
+    got = _results(re_idx, queries)
+    assert got == _results(ref, queries) and len(got) == 25
+
+    # the next drain removes the duplication for good
+    re_idx._id_map("vec_id").compact()
+    assert _results(re_idx, queries) == got
