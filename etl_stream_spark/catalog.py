@@ -4791,10 +4791,12 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the merge-selection step eight times, greedily re-folding the
     symbolized vocabulary after each argmax. Data-side cost per step is
     one pair aggregation over the word table; the driver sees one row
-    per step. Not SQL-expressible (argmax-dependent iteration) → rows
-    -only check; the per-step semantics are pinned against a pure-
-    Python reference in ``tests/test_bpe.py`` and the single step has
-    its own oracle (``bpe_pair_counts``)."""
+    per step. At a FIXED n_merges the loop IS SQL-expressible — the
+    DuckDB oracle chains eight CTE groups of (pair-count aggregation →
+    deterministic argmax → string-replace re-fold; see
+    ``_bpe_cte_chain``) — so this entry takes the full hash check; the
+    per-step semantics are additionally pinned against a pure-Python
+    reference in ``tests/test_bpe.py``."""
     from etl_stream_spark.operators import bpe
 
     docs = _t(spark, sf_dir, "documents")
@@ -4808,7 +4810,8 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the trained tokenizer back to the corpus: per-document
     BPE token counts via a broadcast join against the symbolized
     vocabulary (documents never shuffle; unseen words fall back to
-    character count)."""
+    character count). Oracle: the same eight-step CTE chain derives the
+    vocabulary in SQL, then re-joins it per document."""
     from etl_stream_spark.operators import bpe
 
     docs = _t(spark, sf_dir, "documents")
@@ -4833,6 +4836,104 @@ SELECT rank, pair, pair_count FROM (
   SELECT *, ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair) AS rank FROM agg
 ) WHERE rank <= 50
 """
+
+
+def _bpe_cte_chain(n_merges: int) -> str:
+    """The BPE training loop unrolled as DuckDB CTEs — one group of
+    (pair-count aggregation → deterministic argmax → greedy re-fold)
+    per merge step, mirroring ``operators/bpe.train_bpe`` exactly.
+
+    The symbolized word rides as a STRING with every symbol wrapped in
+    chr(31) separators (``␟a␟␟b␟`` for symbols [a, b]; tokens are
+    [a-z0-9]+ so the separator can never occur inside a symbol). That
+    representation makes the greedy leftmost-first merge ONE
+    ``replace``: the doubled separator between symbols means the
+    pattern ``␟l␟␟r␟`` only matches whole adjacent symbols (never
+    across a symbol boundary), and replace's left-to-right
+    non-overlapping scan resumes AFTER the replacement — exactly the
+    fold semantics ("aaa" + merge(a,a) → [aa, a], and back-to-back
+    pairs "aaaa" → [aa, aa] because each replacement leaves intact
+    separators on both sides). The argmax CTE orders by
+    (count DESC, l, r) — the trainer's tie-break — and a winner below
+    the min_pair_count floor (2) leaves the word table unchanged, so
+    later steps re-find the same sub-floor winner and the final
+    filter drops them: the loop's break, expressed statelessly."""
+    sep = "chr(31)"
+    parts = [
+        f"toks AS ({TOKS_CTE})",
+        "bwords AS (SELECT unnest(t) AS w FROM toks)",
+        "bwf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM bwords GROUP BY w)",
+        f"words_0 AS (SELECT w, n, {sep} || array_to_string("
+        f"list_transform(range(1, length(w)+1), i -> w[i]), {sep}||{sep}) || {sep} AS s"
+        " FROM bwf)",
+    ]
+    for k in range(1, n_merges + 1):
+        prev = f"words_{k-1}"
+        parts.append(
+            f"sy_{k} AS (SELECT n, string_split(trim(s, {sep}), {sep}||{sep}) AS sy"
+            f" FROM {prev})"
+        )
+        parts.append(
+            f"pc_{k} AS (SELECT p['l'] AS l, p['r'] AS r,"
+            " CAST(SUM(n) AS BIGINT) AS pair_count FROM ("
+            "SELECT unnest(list_transform(range(1, len(sy)),"
+            " i -> {'l': sy[i], 'r': sy[i+1]})) AS p, n"
+            f" FROM sy_{k}) GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"win_{k} AS (SELECT l, r, pair_count FROM pc_{k}"
+            " ORDER BY pair_count DESC, l, r LIMIT 1)"
+        )
+        parts.append(
+            f"words_{k} AS (SELECT w, n, CASE WHEN win.pair_count >= 2"
+            f" THEN replace(s, {sep}||win.l||{sep}||{sep}||win.r||{sep},"
+            f" {sep}||win.l||win.r||{sep}) ELSE s END AS s"
+            f" FROM {prev} LEFT JOIN win_{k} AS win ON TRUE)"
+        )
+    return ",\n".join(parts)
+
+
+_BPE_N_MERGES = 8
+
+BPE_MERGES_SQL = (
+    "WITH "
+    + _bpe_cte_chain(_BPE_N_MERGES)
+    + "\nSELECT * FROM (\n"
+    + "\nUNION ALL ".join(
+        f'SELECT CAST({k - 1} AS BIGINT) AS step, l AS "left", r AS "right",'
+        f" pair_count FROM win_{k} WHERE pair_count >= 2"
+        for k in range(1, _BPE_N_MERGES + 1)
+    )
+    + "\n) ORDER BY step"
+)
+
+BPE_ENCODE_SQL = (
+    "WITH "
+    + _bpe_cte_chain(_BPE_N_MERGES)
+    + f""",
+costs AS (
+  SELECT w, CAST(len(string_split(trim(s, chr(31)), chr(31)||chr(31))) AS BIGINT)
+           AS bpe_len
+  FROM words_{_BPE_N_MERGES}
+),
+per_word AS (SELECT doc_id, unnest(t) AS w FROM toks),
+encoded AS (
+  SELECT doc_id, COALESCE(bpe_len, length(w)) AS cost, length(w) AS wlen
+  FROM per_word LEFT JOIN costs USING (w)
+),
+eagg AS (
+  SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(wlen) AS BIGINT) AS n_chars,
+         CAST(SUM(cost) AS BIGINT) AS n_bpe_tokens
+  FROM encoded GROUP BY doc_id
+)
+SELECT doc_id, n_words, n_chars, n_bpe_tokens,
+       -- 6-dp ratio rounded half-up in exact integer space (both sums
+       -- positive) — double ROUND tie behavior diverges between engines
+       CAST((2 * n_bpe_tokens * 1000000 + n_chars) // (2 * n_chars) AS DOUBLE) / 1e6
+         AS tokens_per_char
+FROM eagg
+"""
+)
 
 
 def corpus_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4904,8 +5005,12 @@ def corpus_quality_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-integer distributed gradients, then score the corpus with the
     learned weights as one pure expression. Fully deterministic
     (bit-identical weights at any partitioning — pinned by
-    ``tests/test_ml.py``) but the training loop is not SQL-expressible,
-    so this entry takes the rows-only driver check."""
+    ``tests/test_ml.py``) AND oracle-checkable: at a fixed epoch count
+    the loop unrolls into chained CTEs (``_quality_trained_sql``), one
+    gradient aggregation + one weight-update row per epoch, because the
+    per-row quantization is ``floor(v + 0.5)`` — exact IEEE on both
+    engines — and every integer gradient sum pins the weights to the
+    identical doubles on both sides."""
     from etl_stream_spark.operators.ml import logistic_score, logistic_train
 
     docs = _t(spark, sf_dir, "documents")
@@ -4920,6 +5025,86 @@ def corpus_quality_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     w, b = logistic_train(feats, cols, "label", lr=2.0, epochs=10)
     return logistic_score(feats, cols, w, b, out_col="model_p").select(
         "doc_id", "model_p", (F.col("model_p") > 0.5).alias("model_keep")
+    )
+
+
+def _quality_trained_sql(epochs: int = 10, lr: float = 2.0) -> str:
+    """The distributed logistic-training loop unrolled as DuckDB CTEs —
+    one (error → integer gradient sums → weight update) group per
+    epoch, mirroring ``operators/ml.logistic_train`` op-for-op.
+
+    Why this reproduces bit-identical doubles across engines: the only
+    cross-row reduction is an exact INTEGER sum (per-row gradients
+    quantize via ``floor(v + 0.5)`` — floor and the +0.5 add are exact
+    IEEE ops, unlike double ROUND whose tie behavior differs between
+    Spark and DuckDB, and epoch 1 ties constantly since all-zero
+    weights make the error exactly ±0.5). Identical integer gradient
+    sums force identical weight doubles (the update is the same
+    left-associated double expression on both sides), so the loop
+    cannot drift. The margin is written in the exact operand order
+    ``((b + x1*w1) + x2*w2) + x3*w3`` that ``ml._margin`` builds."""
+    margin = (
+        "(w.b + f.stopword_ratio * w.w1 + f.punct_ratio * w.w2"
+        " + f.len_frac * w.w3)"
+    )
+    parts = [
+        f"toks AS ({TOKS_CTE})",
+        f"""q AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         ROUND(CASE WHEN len(t) > 0
+               THEN CAST(len(list_filter(t, x -> x IN ({_STOP_LIST}))) AS DOUBLE) / len(t)
+               ELSE 0.0 END, 6) AS stopword_ratio,
+         ROUND(CASE WHEN length(text) > 0
+               THEN CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+                    / length(text)
+               ELSE 0.0 END, 6) AS punct_ratio
+  FROM toks
+)""",
+        """feats AS (
+  SELECT doc_id, stopword_ratio, punct_ratio,
+         LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) AS len_frac,
+         CASE WHEN n_tokens >= 5 AND punct_ratio < 0.3 THEN 1.0 ELSE 0.0 END AS y
+  FROM q
+)""",
+        "nn AS (SELECT COUNT(*) AS n FROM feats)",
+        "w_0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS b)",
+    ]
+    for k in range(1, epochs + 1):
+        parts.append(
+            f"""e_{k} AS (
+  SELECT 1.0 / (1.0 + exp(-{margin})) - f.y AS e,
+         f.stopword_ratio, f.punct_ratio, f.len_frac
+  FROM feats f CROSS JOIN w_{k-1} w
+)"""
+        )
+        parts.append(
+            f"""g_{k} AS (
+  SELECT CAST(SUM(CAST(floor(e * stopword_ratio * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS g1,
+         CAST(SUM(CAST(floor(e * punct_ratio * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS g2,
+         CAST(SUM(CAST(floor(e * len_frac * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS g3,
+         CAST(SUM(CAST(floor(e * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS gb
+  FROM e_{k}
+)"""
+        )
+        parts.append(
+            f"""w_{k} AS (
+  SELECT w.w1 - {lr} * g.g1 / (n.n * 1000000.0) AS w1,
+         w.w2 - {lr} * g.g2 / (n.n * 1000000.0) AS w2,
+         w.w3 - {lr} * g.g3 / (n.n * 1000000.0) AS w3,
+         w.b - {lr} * g.gb / (n.n * 1000000.0) AS b
+  FROM w_{k-1} w CROSS JOIN g_{k} g CROSS JOIN nn n
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+scored AS (
+  SELECT doc_id, ROUND(1.0 / (1.0 + exp(-{margin})), 6) AS model_p
+  FROM feats f CROSS JOIN w_{epochs} w
+)
+SELECT doc_id, model_p, model_p > 0.5 AS model_keep FROM scored
+"""
     )
 
 
@@ -6342,7 +6527,7 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_bigram_lm": QueryDef(corpus_bigram_lm, BIGRAM_LM_SQL),
     "corpus_bigram_surprisal": QueryDef(corpus_bigram_surprisal, SURPRISAL_SQL),
     "corpus_dsir_weights": QueryDef(corpus_dsir_weights, DSIR_SQL),
-    "corpus_quality_trained": QueryDef(corpus_quality_trained, None),
+    "corpus_quality_trained": QueryDef(corpus_quality_trained, _quality_trained_sql()),
     "user_profile_similarity": QueryDef(user_profile_similarity, PROFILE_SIM_SQL),
     "corpus_difficulty_deciles": QueryDef(corpus_difficulty_deciles, DECILES_SQL),
     "events_conversion_funnel": QueryDef(events_conversion_funnel, FUNNEL_EVENTS_SQL),
@@ -6353,8 +6538,8 @@ CATALOG: dict[str, QueryDef] = {
     "session_pattern_match": QueryDef(session_pattern_match, SESSION_PATTERN_SQL),
     "events_jsonl_roundtrip": QueryDef(events_jsonl_roundtrip, JSONL_ROUNDTRIP_SQL),
     "bpe_pair_counts": QueryDef(bpe_pair_counts, BPE_PAIRS_SQL),
-    "bpe_learned_merges": QueryDef(bpe_learned_merges, None),
-    "bpe_encode_stats": QueryDef(bpe_encode_stats, None),
+    "bpe_learned_merges": QueryDef(bpe_learned_merges, BPE_MERGES_SQL),
+    "bpe_encode_stats": QueryDef(bpe_encode_stats, BPE_ENCODE_SQL),
     "cdc_schema_inference": QueryDef(cdc_schema_inference, INFER_SQL),
     "corpus_curation_funnel": QueryDef(corpus_curation_funnel, _funnel_sql()),
     "fusion_cluster_text_report": QueryDef(fusion_cluster_text_report, FUSION_SQL),
@@ -6475,29 +6660,30 @@ CATALOG.update({name: QueryDef(fn, sql) for name, fn, sql in _EXTRA})
 #: flagship CDC path plus at least one representative of every operator
 #: family inside that window; redundant TPC-H variants trail.
 _DRIVER_PRIORITY = [
-    # ROUND-5 ROTATION: CORRECTNESS_r04 was 50/50 green; the final 30
-    # never-driver-checked entries enter so EVERY catalog entry has
-    # been driver-proven at least once. The other 20 slots hold one
-    # driver-proven canary per family (window-composition rule) plus
-    # every entry whose ENGINE changed this round: the unified
-    # stored-shape tie-break (merge engine → the four CDC reps), the
-    # postings L0 upsert path (lexical_incremental_search), the real
-    # NN resample (multimodal_resize), the partial-top-k degenerate-
-    # shape fix (top5_orders_partial), the persisted LSH epoch
-    # (dedup_lsh_incremental — in the 30), and the MOR silver switch
-    # (cdc_gold_rollup).
+    # ROUND-6 ROTATION. After r5, every catalog entry except
+    # multimodal_video_frames has been driver-proven at least once, so
+    # this window holds: (a) one proven canary per family, (b) every
+    # entry whose ENGINE or ORACLE changed this round — the shared
+    # L0AppendLog extraction + restart-seeded sweep counter (merge
+    # table, postings index, IVF id map), the three entries that
+    # gained real DuckDB oracles (BPE loop via chained CTEs; logistic
+    # training via floor(+0.5) gradient quantization — ml.py rounding
+    # changed), the integer-space tokens_per_char rounding
+    # (bpe_encode_stats), and the PPM/Y4M parser guards (multimodal) —
+    # plus (c) the one never-checked entry (multimodal_video_frames),
+    # and (d) a regression spread over proven entries not recently
+    # windowed.
     #
-    # CDC / merge engine (tie-break unified this round): eager flagship,
-    # MOR streaming path, MOR reader side, erasure rep.
+    # CDC / merge engine (L0 machinery extracted this round):
     "cdc_final_state",
     "cdc_streaming_merge",
-    "cdc_gold_rollup",
-    "cdc_forget_keys",
-    # family canaries (all driver-proven in r2-r4)
+    "cdc_gold_rollup",             # MOR silver reader
+    "cdc_forget_keys",             # erasure path drains L0 first
+    # family canaries (all driver-proven r2-r5)
     "q1_pricing_summary",          # TPC-H / relational
     "customer_order_history",      # window frames / cube
     "streaming_sustained_alerts",  # structured streaming
-    "session_pattern_match",       # CEP (batch rep proven r3/r4)
+    "session_pattern_match",       # CEP
     "asof_latest_purchase",        # temporal joins
     "text_token_stats",            # text analysis
     "corpus_curation_funnel",      # corpus prep
@@ -6506,49 +6692,43 @@ _DRIVER_PRIORITY = [
     "hybrid_search_rrf",           # hybrid retrieval
     "sketch_distinct_customers",   # sketches
     "dq_orders_report",            # data quality
-    # engine-changed re-proofs (round-5 code)
-    "lexical_incremental_search",  # postings L0 append engine
-    "ivf_incremental_search",      # MOR id-map engine
-    "multimodal_resize",           # real NN resample + resampled sum
-    "top5_orders_partial",         # shared-order-col projection fix
-    # --- the 30 never-driver-checked entries ---
-    # corpus analytics remainder
-    "corpus_source_report",
-    "corpus_bigram_surprisal",
-    "corpus_quality_model",
-    "corpus_quality_trained",
-    "corpus_difficulty_deciles",
-    "corpus_source_cap",
-    "corpus_source_budget",
-    "corpus_boilerplate_removal",
-    # embedding family
-    "embedding_neardup",
-    "embedding_centroids",
-    "embedding_quantize_int8",
-    "knn_bruteforce_pandas",
-    "user_profile_similarity",
-    # dedup extras (incl. the persisted LSH band store — epoch engine
-    # changed this round)
-    "dedup_ngram_jaccard",
-    "dedup_survivors",
-    "dedup_survivors_quality",
-    "dedup_prefix_filter_pairs",
-    "dedup_lsh_incremental",
-    # BPE
-    "bpe_learned_merges",
-    "bpe_encode_stats",
-    # events extras
-    "events_jsonl_roundtrip",
-    "events_sliding_window",
-    "events_value_imputed",
-    "user_value_zscores",
-    "segment_event_chisq",
-    "price_time_correlation",
-    "order_metrics_unpivot",
-    # singletons
-    "lineitem_moment_stats",
-    "streaming_ivf_search",
-    "multimodal_audio_features",
+    "dedup_lsh_incremental",       # incremental dedup store
+    # engine/oracle changed this round
+    "lexical_incremental_search",  # postings index on L0AppendLog
+    "ivf_incremental_search",      # IVF id map on L0AppendLog
+    "streaming_ivf_search",        # same id-map engine, streaming path
+    "multimodal_resize",           # PPM parser zero-dim guard
+    "bpe_learned_merges",          # NEW oracle: chained-CTE BPE loop
+    "bpe_encode_stats",            # NEW oracle + integer-space ratio
+    "corpus_quality_trained",      # NEW oracle + floor(+0.5) gradients
+    # the one never-driver-checked entry (late r5 add)
+    "multimodal_video_frames",     # Y4M frame-seek (parser guards too)
+    "multimodal_audio_features",   # WAV chunk walk — media companion
+    # regression spread (proven r2-r5, not in the r5 window)
+    "cdc_envelope_decode",         # S1 decode
+    "cdc_quarantine_repair",       # DLQ replay over tombstones
+    "cdc_schema_evolution",        # G8 + evolution
+    "cdc_scd2_incremental",        # SCD2 store
+    "wal_size_monitor",            # monitoring aggregation
+    "streaming_dedup",             # streaming exact dedup
+    "streaming_hourly_rollup",     # streaming windowed agg
+    "dedup_minhash_signatures",
+    "dedup_clusters",              # connected components
+    "dedup_simhash",
+    "semantic_dedup",
+    "knn_bruteforce",              # JVM twin of the pandas path
+    "pq_recall_audit",
+    "ivf_topk",
+    "corpus_dsir_weights",         # integer-space mean rounding rep
+    "corpus_tfidf",
+    "corpus_pack_sequences",
+    "text_quality",                # feeds the trained model's features
+    "text_langid",
+    "events_skew_aware_enrichment",  # hot-key salting plan
+    "orders_replication_checksum",   # checksum store
+    "user_cohort_retention",
+    "top5_orders_partial",         # partial top-k
+    "q21_waiting_suppliers",       # most expensive TPC-H (plan-audited)
 ]
 
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)

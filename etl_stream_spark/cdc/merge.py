@@ -47,6 +47,14 @@ from etl_stream_spark.cdc.envelope import (
     SEQUENCE_COL,
     TIMESTAMP_COL,
 )
+from etl_stream_spark.l0_log import (  # noqa: F401 — re-exported: every
+    # store imports these from here (the helpers' original home)
+    L0AppendLog,
+    _hadoop_fs,
+    _hadoop_path,
+    read_small_text,
+    write_small_text,
+)
 
 BUCKET_COL = "_bucket"
 SEQ_STATE_COL = "_seq"
@@ -91,83 +99,6 @@ def stored_shape_tie_break(
     parts.append(F.coalesce(seq_expr.cast("string"), F.lit("\x00")))
     parts.append(F.coalesce(deleted_expr.cast("boolean"), F.lit(False)).cast("string"))
     return F.md5(F.concat_ws("\x1f", *parts))
-
-
-def _hadoop_path(spark: SparkSession, path: str):
-    jvm = spark.sparkContext._jvm
-    return jvm.org.apache.hadoop.fs.Path(path)
-
-
-def _hadoop_fs(spark: SparkSession, path: str):
-    p = _hadoop_path(spark, path)
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    return p.getFileSystem(conf), p
-
-
-def read_small_text(spark: SparkSession, path: str) -> str | None:
-    """Driver-side read of a small metadata file (None if absent).
-
-    For store bookkeeping — generation counters, column sidecars — a
-    Spark job per read/write costs more than the operation it
-    bookkeeps; these go straight through the Hadoop FS client.
-
-    Falls back to ``<path>.old`` when the file is absent: the writer's
-    rename-refused path (see :func:`write_small_text`) parks the
-    previous committed value there before installing the new one, so a
-    crash inside that window reads as the PREVIOUS value, never as
-    absent — absent would parse as generation 0 and silently corrupt a
-    populated index."""
-    fs, p = _hadoop_fs(spark, path)
-    if not fs.exists(p):
-        old = _hadoop_path(spark, path + ".old")
-        if not fs.exists(old):
-            return None
-        p = old
-    stream = fs.open(p)
-    try:
-        return spark.sparkContext._jvm.org.apache.commons.io.IOUtils.toString(
-            stream, "UTF-8"
-        )
-    finally:
-        stream.close()
-
-
-def write_small_text(spark: SparkSession, path: str, text: str) -> None:
-    """Driver-side overwrite of a small metadata file — ATOMICALLY.
-
-    A plain truncate-then-write (``fs.create(p, True)``) leaves an
-    empty/partial file if the writer dies between create and close, and
-    the readers of these files parse unguarded (``int(text)`` for
-    generation counters, ``json.loads`` for the column sidecar). For the
-    epoch guard and the sidecar an unparseable file could be treated as
-    absent, but a generation counter reading 0 on a populated index
-    silently corrupts the next upsert — so every metadata write goes
-    through write-temp-then-rename. The rename is atomic on local FS and
-    HDFS; where rename-onto-existing is refused, the fallback window is
-    delete→rename, which a reader sees as absent (never partial).
-    """
-    fs, p = _hadoop_fs(spark, path)
-    tmp = _hadoop_path(spark, path + ".tmp")
-    out = fs.create(tmp, True)
-    try:
-        out.write(text.encode("utf-8"))
-    finally:
-        out.close()
-    if not fs.rename(tmp, p):
-        # HDFS-style rename refuses an existing destination. A bare
-        # delete-then-rename would leave an ABSENT file if the writer
-        # dies in between — and absent parses as generation 0, the
-        # silent corruption this function exists to prevent. Park the
-        # committed value at .old first: every crash point now reads as
-        # either the old value or the new one (read_small_text falls
-        # back to .old when the main file is missing).
-        old = _hadoop_path(spark, path + ".old")
-        fs.delete(old, False)  # stale backup from an earlier fallback
-        if fs.exists(p) and not fs.rename(p, old):
-            raise IOError(f"could not stage backup for metadata file {path}")
-        if not fs.rename(tmp, p):
-            raise IOError(f"could not commit metadata file {path}")
-        fs.delete(old, False)
 
 
 class ParquetMergeTable:
@@ -231,6 +162,11 @@ class ParquetMergeTable:
         #: cached union of data columns ever stored (MOR sidecar); None
         #: until loaded. Driver-side only — never row data.
         self._stored_cols: list[str] | None = None
+        #: the shared L0 append-log machinery (list/sweep/drain gate);
+        #: mergeSchema because delta batches may widen the schema
+        self._l0 = L0AppendLog(
+            spark, self._delta_path, compact_threshold, merge_schema=True
+        )
 
     # -- storage helpers ---------------------------------------------------
 
@@ -313,10 +249,9 @@ class ParquetMergeTable:
         compaction cadence — at most ``compact_threshold`` batches of
         rows — so bucket-pruned readers pay a small bounded scan, not a
         table scan."""
-        files = self._delta_files()
-        if not files:
+        df = self._l0.read()
+        if df is None:
             return None
-        df = self.spark.read.option("mergeSchema", "true").parquet(*files)
         if buckets is not None:
             df = df.filter(F.col(BUCKET_COL).isin(list(buckets)))
         return df
@@ -407,6 +342,7 @@ class ParquetMergeTable:
         if fs.exists(p):
             fs.delete(p, True)
         self._stored_cols = None
+        self._l0.reset_counter()  # the log died with the table dir
 
     # -- the merge ---------------------------------------------------------
 
@@ -503,41 +439,20 @@ class ParquetMergeTable:
         # (measured ~4× cheaper than a partitionBy append). The bucket
         # id rides along as a NORMAL column; compaction redistributes
         # it into the bucket layout.
-        delta.write.mode("append").parquet(self._delta_path)
+        self._l0.append(delta)
         if stored is None or set(batch_data) - set(stored):
             self._save_stored_cols(set(stored or []) | set(batch_data))
         self._maybe_compact()
         return True
 
     def _maybe_compact(self) -> None:
-        """Counter-gated compaction: once ``compact_threshold`` appends
-        have accumulated since the last sweep, ONE listing of the L0
-        directory decides whether to drain it (threshold is in FILES —
-        an append adds one file per batch partition, so wide batches
-        drain sooner; the listing is ground truth either way). The
-        listing RPC amortizes to ~1/threshold per batch. An instance
-        restart resets the counter; the sweep is late by at most one
-        threshold's worth of appends, never wrong."""
-        self._appends_since_sweep = getattr(self, "_appends_since_sweep", 0) + 1
-        if self._appends_since_sweep < self.compact_threshold:
-            return
-        self._appends_since_sweep = 0
-        # >=, not >: with one file per append the sweep must drain the
-        # very check it fires on, or L0 would coast to ~2x the
-        # threshold bound _read_l0 documents before the next sweep
-        if len(self._delta_files()) >= self.compact_threshold:
-            self.compact()
+        """Counter-gated compaction (the shared L0 sweep gate): see
+        :meth:`L0AppendLog.maybe_sweep` — restart-resumed counter, one
+        listing per threshold."""
+        self._l0.maybe_sweep(self.compact)
 
     def _delta_files(self) -> list[str]:
-        fs, _ = _hadoop_fs(self.spark, self.path)
-        p = _hadoop_path(self.spark, self._delta_path)
-        if not fs.exists(p):
-            return []
-        return [
-            st.getPath().toString()
-            for st in fs.listStatus(p)
-            if st.getPath().getName().endswith(".parquet")
-        ]
+        return self._l0.files()
 
     def compact(self) -> None:
         """Drain the L0 delta log into the bucket layout: resolve every
@@ -553,7 +468,7 @@ class ParquetMergeTable:
         next compaction. Rewrite amplification per drain is the touched
         buckets once per ``compact_threshold`` batches — 1/threshold of
         the eager engine's per-batch rewrite."""
-        l0_files = self._delta_files()
+        l0_files = self._l0.files()
         if not l0_files:
             return
         l0 = self.spark.read.option("mergeSchema", "true").parquet(*l0_files)
@@ -575,9 +490,7 @@ class ParquetMergeTable:
                 ~F.coalesce(F.col(DELETED_COL), F.lit(False))
             ).drop(DELETED_COL)
         self._write(resolved, full_overwrite=False, touched=touched)
-        fs, _ = _hadoop_fs(self.spark, self.path)
-        for f in l0_files:
-            fs.delete(_hadoop_path(self.spark, f), False)
+        self._l0.delete_files(l0_files)
 
     def _merge_deduped(self, deduped: DataFrame) -> None:
         # Distinct bucket ids in this batch — bounded by num_buckets, the

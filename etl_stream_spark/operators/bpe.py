@@ -134,11 +134,20 @@ def encode_stats(
     joined = per_word.join(F.broadcast(costs), "w", "left").withColumn(
         "_cost", F.coalesce(F.col("_bpe_len"), F.length("w").cast("long"))
     )
-    return joined.groupBy(id_col).agg(
+    agg = joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_words"),
         F.sum(F.length("w")).cast("long").alias("n_chars"),
         F.sum("_cost").cast("long").alias("n_bpe_tokens"),
-        F.round(
-            F.sum("_cost").cast("double") / F.sum(F.length("w")).cast("double"), 6
-        ).alias("tokens_per_char"),
+    )
+    # 6-dp ratio rounded in EXACT integer space (repo determinism rule:
+    # a rational of two counts can land exactly on a .5 at the 6th
+    # decimal, where double ROUND's tie behavior diverges between
+    # engines); both sums are positive so no sign branch is needed
+    q = F.expr("(2 * n_bpe_tokens * 1000000 + n_chars) div (2 * n_chars)")
+    return agg.select(
+        id_col,
+        "n_words",
+        "n_chars",
+        "n_bpe_tokens",
+        (q.cast("double") / F.lit(1e6)).alias("tokens_per_char"),
     )

@@ -46,6 +46,15 @@ def logistic_train(
     executors compute ``(sigmoid(z) - y) * x_j`` per row, quantized to
     micro-units, and one aggregate produces exact integer sums — the
     only driver-side data ever collected.
+
+    Quantization is half-up via ``floor(v + 0.5)``, NOT ``round(v)``:
+    the first epoch's error is exactly ±0.5 (all-zero weights → z = 0),
+    so ``v`` lands exactly on .5 micro-unit ties for every feature whose
+    6-dp value has an odd last digit — where double ROUND's tie
+    behavior diverges between engines (Spark half-up vs DuckDB
+    half-even), while floor and the +0.5 add are exact IEEE ops on
+    both. This is what makes the whole training loop reproducible as a
+    chained-CTE SQL oracle (see ``QUALITY_TRAINED_SQL``).
     """
     # persist the narrow feature projection: without it every epoch (and
     # the count) re-evaluates the full upstream lineage — feature
@@ -66,9 +75,11 @@ def logistic_train(
                 - F.col("_y")
             )
             aggs = [
-                F.sum(F.round(err * F.col(c) * GRAD_QUANT, 0).cast("long")).alias(f"_g_{i}")
+                F.sum(
+                    F.floor(err * F.col(c) * GRAD_QUANT + 0.5).cast("long")
+                ).alias(f"_g_{i}")
                 for i, c in enumerate(feature_cols)
-            ] + [F.sum(F.round(err * GRAD_QUANT, 0).cast("long")).alias("_g_b")]
+            ] + [F.sum(F.floor(err * GRAD_QUANT + 0.5).cast("long")).alias("_g_b")]
             row = data.agg(*aggs).first()
             weights = [
                 w - lr * row[f"_g_{i}"] / (n * GRAD_QUANT) for i, w in enumerate(weights)

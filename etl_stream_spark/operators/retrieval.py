@@ -169,6 +169,8 @@ class PostingsIndex:
         text_col: str = "text",
         compact_threshold: int = 8,
     ) -> None:
+        from etl_stream_spark.l0_log import L0AppendLog
+
         self.spark = spark
         self.path = path.rstrip("/")
         self.num_term_buckets = num_term_buckets
@@ -179,7 +181,10 @@ class PostingsIndex:
         #: across upserts (a fresh instance per call would never reach
         #: its threshold and L0 would grow unbounded)
         self._fwd_table: "ParquetMergeTable | None" = None
-        self._appends_since_sweep = 0
+        #: the shared L0 append-log machinery (list/sweep/drain gate) —
+        #: the same class ParquetMergeTable rides, so the two sweep
+        #: gates can never diverge again
+        self._l0 = L0AppendLog(spark, self._l0_path, compact_threshold)
 
     @property
     def _post_path(self) -> str:
@@ -240,19 +245,11 @@ class PostingsIndex:
         return F.pmod(F.xxhash64("t"), F.lit(self.num_term_buckets)).cast("int")
 
     # -- postings storage: bucket layout + L0 append log ---------------------
+    # (the list/sweep/drain machinery is the shared L0AppendLog; only the
+    # drain — folding into the term-bucket layout — is postings-specific)
 
     def _l0_files(self) -> list[str]:
-        from etl_stream_spark.cdc.merge import _hadoop_fs, _hadoop_path
-
-        fs, _ = _hadoop_fs(self.spark, self.path)
-        p = _hadoop_path(self.spark, self._l0_path)
-        if not fs.exists(p):
-            return []
-        return [
-            st.getPath().toString()
-            for st in fs.listStatus(p)
-            if st.getPath().getName().endswith(".parquet")
-        ]
+        return self._l0.files()
 
     def _read_postings(self, buckets: list[int] | None = None) -> DataFrame | None:
         """All postings rows: the partitioned bucket layout (partition-
@@ -270,9 +267,8 @@ class PostingsIndex:
             parts.append(main)
         except AnalysisException:
             pass  # nothing drained yet — L0-only index
-        l0_files = self._l0_files()
-        if l0_files:
-            l0 = self.spark.read.parquet(*l0_files)
+        l0 = self._l0.read()
+        if l0 is not None:
             if buckets is not None:
                 l0 = l0.filter(F.col(TERM_BUCKET_COL).isin(buckets))
             parts.append(l0)
@@ -283,45 +279,18 @@ class PostingsIndex:
             out = out.unionByName(p)
         return out
 
-    def _maybe_drain_l0(self) -> None:
-        """Counter-gated drain (the merge-on-read recipe): every
-        ``compact_threshold`` appends, one listing decides whether to
-        fold L0 into the bucket layout — so the partitionBy committer
-        runs once per threshold, not per batch."""
-        self._appends_since_sweep += 1
-        if self._appends_since_sweep < self.compact_threshold:
-            return
-        self._appends_since_sweep = 0
-        # >=, not >: with one file per append the sweep must drain the
-        # very check it fires on, or L0 would coast to ~2x the
-        # documented threshold bound before the next sweep
-        if len(self._l0_files()) >= self.compact_threshold:
-            self._drain_l0()
-
     def _drain_l0(self) -> None:
         """Fold the L0 log into the partitioned layout, then delete the
         consumed files. Crash window (after the append, before the
         deletes): consumed rows exist twice; the read-side
         (doc, term, generation) collapse in :meth:`_live` makes the
         duplication invisible, and the next drain removes it."""
-        from etl_stream_spark.cdc.merge import _hadoop_fs, _hadoop_path
-
-        files = self._l0_files()
+        files = self._l0.files()
         if not files:
             return
         l0 = self.spark.read.parquet(*files)
         l0.write.mode("append").partitionBy(TERM_BUCKET_COL).parquet(self._post_path)
-        fs, _ = _hadoop_fs(self.spark, self.path)
-        for f in files:
-            fs.delete(_hadoop_path(self.spark, f), False)
-
-    def _clear_l0(self) -> None:
-        from etl_stream_spark.cdc.merge import _hadoop_fs, _hadoop_path
-
-        fs, _ = _hadoop_fs(self.spark, self.path)
-        p = _hadoop_path(self.spark, self._l0_path)
-        if fs.exists(p):
-            fs.delete(p, True)
+        self._l0.delete_files(files)
 
     def _rows(self, docs: DataFrame, g: int) -> tuple[DataFrame, DataFrame]:
         toks = docs.select(
@@ -362,9 +331,9 @@ class PostingsIndex:
             self._post_path
         )
         # no stale generation may survive a rebuild: drop any L0 rows
-        # the overwrite did not already remove, and reset the sweep
-        self._clear_l0()
-        self._appends_since_sweep = 0
+        # the overwrite did not already remove (clear also resets the
+        # sweep counter)
+        self._l0.clear()
         self._fwd().truncate()
         self._merge_fwd(dl, 0, OP_UPDATE)
         self._set_gen(0)
@@ -385,10 +354,10 @@ class PostingsIndex:
 
         g = self._gen() + 1
         tf, dl = self._rows(docs, g)
-        tf.write.mode("append").parquet(self._l0_path)
+        self._l0.append(tf)
         self._merge_fwd(dl, g, OP_UPDATE)
         self._set_gen(g)
-        self._maybe_drain_l0()
+        self._l0.maybe_sweep(self._drain_l0)
 
     def remove(self, ids: DataFrame) -> None:
         """Delete documents: a fwd tombstone is enough — their postings
@@ -475,7 +444,7 @@ class PostingsIndex:
         )
         # survivors were checkpointed, so consumed L0 rows (now folded
         # into the rewrite) can be dropped
-        self._clear_l0()
+        self._l0.clear()
 
 
 def rrf_fuse(

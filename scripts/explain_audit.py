@@ -32,10 +32,41 @@ def audit_plan(formatted: str, simple: str) -> dict:
     }
 
 
+#: Plan ceilings enforced by --check (and tests/test_scale_properties):
+#: signals that must not regress, because bench noise would hide the
+#: regression while the plan assertion catches it exactly.
+#:
+#: q21_waiting_suppliers — the most expensive TPC-H entry (~1.5 s across
+#: three rounds; audited round 6: the cost is the lineitem⋈orders width,
+#: not a bad plan). Ceilings pin the two properties that make it the
+#: plan we want: the literal SQL's double SELF-join of lineitem is
+#: rewritten away (each table scanned exactly once → scans ≤ 3) and the
+#: per-order aggregation REUSES the join's hash partitioning on
+#: l_orderkey (no exchange of the fat joined intermediate → at most the
+#: two groupBy exchanges: l_orderkey, then l_suppkey).
+EXPECTED_MAX = {
+    "q21_waiting_suppliers": {"exchanges": 2, "scans": 3},
+}
+
+
+def check_expected(name: str, audit: dict) -> list[str]:
+    """Ceiling violations for one audited plan (empty = pass)."""
+    return [
+        f"{name}: {sig}={audit[sig]} exceeds ceiling {cap}"
+        for sig, cap in EXPECTED_MAX.get(name, {}).items()
+        if audit[sig] > cap
+    ]
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None, help="comma-separated query names")
+    ap.add_argument(
+        "--check",
+        action="store_true",
+        help="exit non-zero if any audited plan exceeds its EXPECTED_MAX ceilings",
+    )
     args = ap.parse_args()
 
     from etl_stream_spark.catalog import CATALOG
@@ -66,6 +97,7 @@ def main() -> None:
     jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
     fmt = jmode.fromString("formatted")
     simple = jmode.fromString("simple")
+    violations = []
     for name in names:
         try:
             df = CATALOG[name].fn(spark, args.sf_dir)
@@ -77,9 +109,14 @@ def main() -> None:
                 f"scans={a['scans']:2d} pushed={a['pushed_filters']:2d} "
                 f"codegen={a['codegen_stages']:2d}"
             )
+            violations.extend(check_expected(name, a))
         except Exception as exc:  # noqa: BLE001
             print(f"{name:32s} ERROR {exc}")
     spark.stop()
+    if args.check and violations:
+        for v in violations:
+            print(f"CEILING VIOLATION {v}")
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -683,6 +683,46 @@ class TestMergeOnRead:
         # the counter-gated sweep kept L0 bounded
         assert len(t._delta_files()) <= 2 * (t.compact_threshold + 1)
 
+    def test_sweep_fires_at_same_append_count_across_restarts(self, spark, tmp_path):
+        """The sweep counter seeds itself from the surviving L0 file
+        count, so a crash-restart loop between appends cannot defer the
+        drain: with single-file appends a writer restarted after every
+        batch drains at exactly the same cumulative append count as an
+        uninterrupted one (previously the instance-local counter reset
+        to 0 per restart, deferring the sweep by up to one full
+        threshold per crash). Multi-file appends make a restarted
+        writer sweep no LATER (the seed counts files, a superset of
+        appends) — early is the safe direction, late was the defect."""
+
+        def run(path, restart_every_batch):
+            def make():
+                return ParquetMergeTable(
+                    spark,
+                    path,
+                    keys=["id"],
+                    num_buckets=4,
+                    merge_on_read=True,
+                    compact_threshold=4,
+                )
+
+            t = make()
+            drained_at = []
+            for i in range(6):
+                if restart_every_batch:
+                    t = make()  # fresh instance per batch = crash loop
+                # single-partition batch → exactly one L0 file per append
+                t.merge(
+                    make_batch(spark, [ev(i, f"v{i}", i, OP_UPDATE, i)]).coalesce(1)
+                )
+                if not t._delta_files():
+                    drained_at.append(i)
+            return t, drained_at
+
+        steady, steady_drains = run(str(tmp_path / "steady"), False)
+        crashy, crashy_drains = run(str(tmp_path / "crashy"), True)
+        assert steady_drains == crashy_drains != []
+        assert state_dict(steady) == state_dict(crashy)
+
     def test_purge_keys_covers_pending_deltas(self, spark, tmp_path):
         t = self._mor(spark, tmp_path, threshold=50)
         t.merge(

@@ -465,3 +465,39 @@ def test_change_feed_partitioning_invariant(spark):
     finally:
         cat.load_table = orig
     assert a == b and len(a) > 0
+
+
+def test_q21_plan_ceilings_hold(spark):
+    """q21_waiting_suppliers is the most expensive TPC-H entry (~1.5 s
+    held across rounds) — its cost is the lineitem⋈orders width, not a
+    bad plan. Pin the two properties that keep it that way (ceilings
+    shared with ``scripts/explain_audit.py --check``): each table
+    scanned exactly once (the literal SQL's double lineitem self-join
+    stays rewritten away) and no exchange of the fat joined
+    intermediate (the per-order aggregation reuses the join's hash
+    partitioning on l_orderkey — at most the two groupBy exchanges).
+    AQE is disabled for the audit so the counts are the static plan's."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "explain_audit",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "explain_audit.py"),
+    )
+    ea = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ea)
+
+    from etl_stream_spark.catalog import CATALOG
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = CATALOG["q21_waiting_suppliers"].fn(spark, "/root/testdata/sf0.001")
+        qe = df._jdf.queryExecution()
+        jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        audit = ea.audit_plan(
+            qe.explainString(jmode.fromString("formatted")),
+            qe.explainString(jmode.fromString("simple")),
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert ea.check_expected("q21_waiting_suppliers", audit) == [], audit
