@@ -5322,6 +5322,134 @@ FROM events GROUP BY event_type
 """
 
 
+def events_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format breadth, columnar twin of ``events_jsonl_roundtrip``:
+    land the event log as ORC (Spark-native columnar, zlib by default),
+    read it back with an explicit schema, and aggregate — the result
+    must match the parquet-sourced oracle value-for-value.  Exercises
+    the second columnar on-disk format end to end (writer, footer
+    stats, vectorized reader); timestamps travel as epoch seconds for
+    the same cross-engine TZ reason as the JSONL entry."""
+    _ensure_utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="orc_")
+    path = os.path.join(root, "events_orc")
+    ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("long").alias("ts_s"),
+        "value",
+    ).write.mode("overwrite").orc(path)
+    back = spark.read.schema(
+        "event_id long, user_id long, event_type string, ts_s long, value double"
+    ).orc(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event_id"),
+        F.max("event_id").alias("last_event_id"),
+        _dbl(F.sum(F.col("value").cast(DEC))).alias("total_value"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+ORC_ROUNDTRIP_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       MIN(event_id) AS first_event_id,
+       MAX(event_id) AS last_event_id,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-release privacy audit (``operators/privacy.py``): k-anonymity
+    equivalence-class sizes over the quasi-identifier tuple (nation,
+    market segment, 2000-wide account-balance band) with k=5, reported
+    per nation — how many QI classes exist, the smallest, how many fall
+    below k, and how many ROWS those unsafe classes expose.  The
+    preventive twin of the erasure path: one QI-tuple hash aggregation
+    (map-side combinable) plus a second aggregation over the tiny
+    class frame; no joins, no windows."""
+    from etl_stream_spark.operators.privacy import k_anonymity_report
+
+    cust = _t(spark, sf_dir, "customer")
+    qi = cust.select(
+        F.col("c_nationkey").cast("long").alias("nation_key"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / F.lit(2000.0)).cast("long").alias("bal_band"),
+    )
+    return k_anonymity_report(
+        qi, ["nation_key", "segment", "bal_band"], k=5, by="nation_key"
+    )
+
+
+K_ANONYMITY_SQL = """
+WITH qi AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nation_key,
+         c_mktsegment AS segment,
+         CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 2000.0) AS BIGINT) AS bal_band
+  FROM customer
+), g AS (
+  SELECT nation_key, segment, bal_band, COUNT(*) AS group_size
+  FROM qi GROUP BY 1, 2, 3
+)
+SELECT nation_key,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(group_size) AS BIGINT) AS min_group_size,
+       CAST(SUM(CASE WHEN group_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unsafe_groups,
+       CAST(SUM(CASE WHEN group_size < 5 THEN group_size ELSE 0 END) AS BIGINT)
+         AS rows_at_risk,
+       CAST(SUM(group_size) AS BIGINT) AS n_rows
+FROM g GROUP BY 1
+"""
+
+
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection (``operators/anomaly.py``): per
+    event type, the Hampel filter |x - median| > 3 * MAD over the event
+    value — the robust complement to the mean/stddev
+    ``user_value_zscores`` (50% breakdown point: the outliers cannot
+    inflate their own detection threshold).  Exact interpolated
+    percentiles (``percentile`` = DuckDB ``quantile_cont``, parity
+    driver-proven by ``order_price_quantiles``); both window
+    aggregations share one event-type partitioning so the exchange is
+    reused.  At 100 TB with huge groups, the mergeable histogram in
+    ``operators/quantiles.py`` is the bounded-memory stand-in."""
+    from etl_stream_spark.operators.anomaly import mad_anomaly_report
+
+    ev = _t(spark, sf_dir, "events")
+    return mad_anomaly_report(ev, "value", ["event_type"], k=3.0)
+
+
+ANOMALY_MAD_SQL = """
+WITH ev AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+), med AS (
+  SELECT event_type, quantile_cont(v, 0.5) AS med FROM ev GROUP BY 1
+), dev AS (
+  SELECT e.event_type, e.v, m.med, ABS(e.v - m.med) AS dv
+  FROM ev e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_cont(dv, 0.5) AS mad,
+         MAX(med) AS med, MAX(dv) AS maxdev, COUNT(*) AS n
+  FROM dev GROUP BY 1
+)
+SELECT d.event_type,
+       CAST(MAX(m.n) AS BIGINT) AS n_events,
+       ROUND(MAX(m.med), 6) AS med_value,
+       ROUND(MAX(m.mad), 6) AS mad_value,
+       CAST(SUM(CASE WHEN d.dv > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_anomalies,
+       ROUND(MAX(d.dv), 6) AS max_abs_dev
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY 1
+"""
+
+
 def session_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP scoped to activity sessions — the documented contract for
     unbounded keys (segment first, then match): 30-min-gap
@@ -6537,6 +6665,9 @@ CATALOG: dict[str, QueryDef] = {
     "supplier_pagerank": QueryDef(supplier_pagerank, PAGERANK_SQL),
     "session_pattern_match": QueryDef(session_pattern_match, SESSION_PATTERN_SQL),
     "events_jsonl_roundtrip": QueryDef(events_jsonl_roundtrip, JSONL_ROUNDTRIP_SQL),
+    "events_orc_roundtrip": QueryDef(events_orc_roundtrip, ORC_ROUNDTRIP_SQL),
+    "privacy_k_anonymity": QueryDef(privacy_k_anonymity, K_ANONYMITY_SQL),
+    "events_anomaly_mad": QueryDef(events_anomaly_mad, ANOMALY_MAD_SQL),
     "bpe_pair_counts": QueryDef(bpe_pair_counts, BPE_PAIRS_SQL),
     "bpe_learned_merges": QueryDef(bpe_learned_merges, BPE_MERGES_SQL),
     "bpe_encode_stats": QueryDef(bpe_encode_stats, BPE_ENCODE_SQL),
@@ -6714,13 +6845,16 @@ _DRIVER_PRIORITY = [
     "streaming_hourly_rollup",     # streaming windowed agg
     "dedup_minhash_signatures",
     "dedup_clusters",              # connected components
-    "dedup_simhash",
-    "semantic_dedup",
+    # NEW round-6 entries (never driver-checked — must be windowed;
+    # displaced dedup_simhash / semantic_dedup / corpus_tfidf, all
+    # driver-proven r2-r5 with other family reps still in-window)
+    "events_orc_roundtrip",        # second columnar format end-to-end
+    "privacy_k_anonymity",         # privacy governance audit
+    "events_anomaly_mad",          # robust (median/MAD) outlier stats
     "knn_bruteforce",              # JVM twin of the pandas path
     "pq_recall_audit",
     "ivf_topk",
     "corpus_dsir_weights",         # integer-space mean rounding rep
-    "corpus_tfidf",
     "corpus_pack_sequences",
     "text_quality",                # feeds the trained model's features
     "text_langid",

@@ -44,8 +44,33 @@ def audit_plan(formatted: str, simple: str) -> dict:
 #: per-order aggregation REUSES the join's hash partitioning on
 #: l_orderkey (no exchange of the fat joined intermediate → at most the
 #: two groupBy exchanges: l_orderkey, then l_suppkey).
+#: Round-6 extension: ceilings for every entry that has topped the
+#: bench across rounds, plus the new governance entries — measured at
+#: sf0.001 AND sf0.01 (AQE off) and set to the max of the two, so the
+#: sf0.001 test mirror and the sf0.01 script agree. Only shuffle
+#: exchanges and parquet scans are pinned: they are the signals stable
+#: across SFs (broadcast-vs-SMJ strategy legitimately flips with file
+#: stats — q7 plans 1 shuffle exchange at sf0.001, 3 at sf0.01).
 EXPECTED_MAX = {
     "q21_waiting_suppliers": {"exchanges": 2, "scans": 3},
+    # one narrow pass + dedup window + final agg; no joins
+    "corpus_curation_funnel": {"exchanges": 2, "scans": 1},
+    # BM25 postings equi-join + broadcast-bounded kNN + RRF full-outer
+    "hybrid_search_rrf": {"exchanges": 15, "scans": 8},
+    # band-bucket equi-join; cosine before distinct
+    "ann_lsh_topk": {"exchanges": 4, "scans": 2},
+    # Misra-Gries hot keys + targeted salting; no SMJ of events
+    "events_skew_aware_enrichment": {"exchanges": 4, "scans": 3},
+    "q18_large_orders": {"exchanges": 1, "scans": 3},
+    "q7_nation_trade": {"exchanges": 3, "scans": 5},
+    "q3_shipping_priority": {"exchanges": 1, "scans": 3},
+    "q5_region_revenue": {"exchanges": 1, "scans": 6},
+    "q1_pricing_summary": {"exchanges": 1, "scans": 1},
+    "dedup_exact": {"exchanges": 1, "scans": 1},
+    # QI-tuple agg + tiny class-frame agg; no joins/windows
+    "privacy_k_anonymity": {"exchanges": 2, "scans": 1},
+    # both percentile windows share one event-type partitioning
+    "events_anomaly_mad": {"exchanges": 1, "scans": 1},
 }
 
 

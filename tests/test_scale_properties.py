@@ -467,16 +467,19 @@ def test_change_feed_partitioning_invariant(spark):
     assert a == b and len(a) > 0
 
 
-def test_q21_plan_ceilings_hold(spark):
-    """q21_waiting_suppliers is the most expensive TPC-H entry (~1.5 s
-    held across rounds) — its cost is the lineitem⋈orders width, not a
-    bad plan. Pin the two properties that keep it that way (ceilings
-    shared with ``scripts/explain_audit.py --check``): each table
-    scanned exactly once (the literal SQL's double lineitem self-join
-    stays rewritten away) and no exchange of the fat joined
-    intermediate (the per-order aggregation reuses the join's hash
-    partitioning on l_orderkey — at most the two groupBy exchanges).
-    AQE is disabled for the audit so the counts are the static plan's."""
+def test_plan_ceilings_hold(spark):
+    """Every entry with an ``EXPECTED_MAX`` ceiling in
+    ``scripts/explain_audit.py`` stays under it: shuffle-exchange and
+    parquet-scan counts are the plan signals that bench noise would
+    hide but a regression (a lost exchange reuse, a duplicated scan, a
+    strategy flip shuffling an SF-scaling side) moves immediately.
+    q21: each table scanned once (the literal SQL's double lineitem
+    self-join stays rewritten away) and the per-order aggregation
+    reuses the join's l_orderkey partitioning. The round-6 additions
+    pin the rest of the bench's most expensive entries plus the new
+    governance entries (e.g. events_anomaly_mad's two percentile
+    windows must keep sharing one exchange). AQE is disabled so the
+    counts are the static plan's."""
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
@@ -490,14 +493,17 @@ def test_q21_plan_ceilings_hold(spark):
 
     prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+    violations = []
     try:
-        df = CATALOG["q21_waiting_suppliers"].fn(spark, "/root/testdata/sf0.001")
-        qe = df._jdf.queryExecution()
-        jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
-        audit = ea.audit_plan(
-            qe.explainString(jmode.fromString("formatted")),
-            qe.explainString(jmode.fromString("simple")),
-        )
+        for name in ea.EXPECTED_MAX:
+            df = CATALOG[name].fn(spark, "/root/testdata/sf0.001")
+            qe = df._jdf.queryExecution()
+            audit = ea.audit_plan(
+                qe.explainString(jmode.fromString("formatted")),
+                qe.explainString(jmode.fromString("simple")),
+            )
+            violations.extend(ea.check_expected(name, audit))
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
-    assert ea.check_expected("q21_waiting_suppliers", audit) == [], audit
+    assert violations == [], violations
