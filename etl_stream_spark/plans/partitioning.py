@@ -186,6 +186,35 @@ def skew_aware_join(
     return big_s.join(small_s, [on, SALT_COL], how).drop(SALT_COL)
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Persist a fact table directory-partitioned on its pruning
+    columns (date/tenant/source — the coarse filters every query
+    carries).
+
+    Two prunings come free at read time: STATIC (a literal filter on a
+    partition column never opens the other directories — asserted by
+    ``tests/test_scale_properties.py::test_partition_pruning_reaches_the_scan``)
+    and DYNAMIC (joining against a dim with a selective filter injects
+    a runtime ``dynamicpruningexpression`` into the fact scan, so only
+    partitions whose keys survive the dim filter are read — the DPP
+    test beside it). At 100 TB, daily partitioning means a
+    one-week-of-data query reads 7/365ths of the table however the
+    predicate arrives — literal or via a join.
+
+    The column count matters: partition on the 1-3 coarse columns
+    queries actually filter by; high-cardinality partition columns
+    produce the many-small-files layout ``plans/compaction.py`` exists
+    to repair.
+    """
+    df.write.format(fmt).mode(mode).partitionBy(*partition_cols).save(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

@@ -79,6 +79,37 @@ def test_partition_pruning_reaches_the_scan(spark, tmp_path):
     assert q.count() == 100
 
 
+def test_dynamic_partition_pruning_reaches_the_scan(spark, tmp_path):
+    """The 100 TB layout contract of ``plans/partitioning.py::
+    write_partitioned``: when the pruning predicate arrives THROUGH A
+    JOIN rather than as a literal — fact partitioned by day, dim
+    filtered to a few days — Catalyst injects a runtime
+    ``dynamicpruningexpression`` into the fact scan's PartitionFilters,
+    so only the surviving partitions are read. Without DPP the scan
+    would read all partitions and filter after the join — the
+    difference between 7/365ths and the whole table at scale."""
+    from etl_stream_spark.plans.partitioning import write_partitioned
+
+    fact_path = str(tmp_path / "fact")
+    dim_path = str(tmp_path / "dim")
+    fact = spark.range(1000).select(F.col("id"), (F.col("id") % 10).alias("day"))
+    write_partitioned(fact, fact_path, ["day"])
+    dim = spark.range(10).select(
+        F.col("id").alias("day"), (F.col("id") % 5).alias("region")
+    )
+    dim.write.mode("overwrite").parquet(dim_path)
+
+    f = spark.read.parquet(fact_path)
+    d = spark.read.parquet(dim_path).filter(F.col("region") == 1)
+    q = f.join(d, "day").groupBy("day").count()
+    plan = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "dynamicpruningexpression" in plan, plan
+    # region==1 keeps days {1, 6}: 2/10ths of the fact survive
+    assert q.agg(F.sum("count")).first()[0] == 200
+
+
 def test_star_join_plans_broadcasts_not_sortmerge(spark):
     from etl_stream_spark.catalog import CATALOG
 
