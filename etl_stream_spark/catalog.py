@@ -5670,6 +5670,72 @@ ORDER BY rank_scaled DESC, s_suppkey LIMIT 25
 PAGERANK_SQL = _pagerank_sql(3)
 
 
+def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census (``operators/graph.py::triangle_stats``) over
+    the part co-purchase graph — the third graph primitive beside
+    PageRank (importance) and connected components (grouping):
+    triangles/clustering measure how CLIQUISH the neighborhood is,
+    the standard signal for community strength and recommender
+    confidence. Edges = part pairs co-occurring in ≥2 orders (the
+    support threshold is the scale mechanism — it bounds |E|
+    subquadratically however large lineitem grows, frequent-itemset
+    style); census = the id-oriented two-join form, each triangle
+    produced exactly once."""
+    from etl_stream_spark.operators.graph import triangle_stats
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x, y = li.alias("x"), li.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    ).select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+    edges = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("a", "b")
+    )
+    return triangle_stats(edges)
+
+
+TRIANGLES_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT x.l_partkey AS a, y.l_partkey AS b
+  FROM li x JOIN li y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),
+edges AS (SELECT a, b FROM pairs GROUP BY a, b HAVING COUNT(*) >= 2),
+deg AS (
+  SELECT _x, CAST(COUNT(*) AS BIGINT) AS _d
+  FROM (SELECT a AS _x FROM edges UNION ALL SELECT b FROM edges)
+  GROUP BY 1
+),
+nodestats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM((_d * (_d - 1)) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e2.a = e1.b
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+ec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       ROUND(CASE WHEN n_wedges > 0
+                  THEN (3.0 * n_triangles) / n_wedges
+                  ELSE 0.0 END, 6) AS global_clustering
+FROM nodestats, ec, tri
+"""
+
+
 def streaming_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CEP (``streaming/cep.py``): per-user (order, symbol)
     buffers in keyed state, patterns re-counted per micro-batch —
@@ -6741,6 +6807,7 @@ CATALOG: dict[str, QueryDef] = {
     "user_trajectory_topk": QueryDef(user_trajectory_topk, TRAJECTORY_SQL),
     "streaming_pattern_match": QueryDef(streaming_pattern_match, PATTERN_MATCH_SQL),
     "supplier_pagerank": QueryDef(supplier_pagerank, PAGERANK_SQL),
+    "part_copurchase_triangles": QueryDef(part_copurchase_triangles, TRIANGLES_SQL),
     "session_pattern_match": QueryDef(session_pattern_match, SESSION_PATTERN_SQL),
     "events_jsonl_roundtrip": QueryDef(events_jsonl_roundtrip, JSONL_ROUNDTRIP_SQL),
     "events_orc_roundtrip": QueryDef(events_orc_roundtrip, ORC_ROUNDTRIP_SQL),
@@ -6941,7 +7008,9 @@ _DRIVER_PRIORITY = [
     "text_langid",
     "events_skew_aware_enrichment",  # hot-key salting plan
     "orders_replication_checksum",   # checksum store
-    "user_cohort_retention",
+    "part_copurchase_triangles",   # NEW r6: triangle census (graph)
+    #   (displaced user_cohort_retention, driver-proven r5 window —
+    #   cube/window family stays covered by customer_order_history)
     "top5_orders_partial",         # partial top-k
     "q21_waiting_suppliers",       # most expensive TPC-H (plan-audited)
 ]

@@ -92,3 +92,68 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def triangle_stats(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """Global triangle census over a canonical undirected edge list
+    (every edge stored once with ``a < b``; callers building
+    co-occurrence graphs get this for free from the ``<`` in the
+    pairing self-join).
+
+    Returns ONE row: ``n_nodes``, ``n_edges``, ``n_wedges`` (paths of
+    length two, ``sum over nodes of C(deg, 2)``), ``n_triangles``, and
+    the global clustering coefficient ``3 * triangles / wedges``
+    (0.0 when wedge-free).
+
+    Algorithm: the id-oriented two-join census — for edges (a,b), (b,c)
+    with a<b<c, probe for the closing (a,c); each triangle is produced
+    exactly once because its vertices appear in only one sorted order.
+    This is the MapReduce-classic node-iterator+orientation form
+    (Suri & Vassilvitskii, "Counting Triangles and the Curse of the
+    Last Reducer", WWW'11 — public): orientation bounds the join fan-out
+    by the max ORIENTED degree, and a support threshold upstream is
+    what keeps |E| itself subquadratic at 100 TB. Wedge counts are
+    exact integers (degree products), so the whole row is
+    engine-deterministic.
+    """
+    e = edges.select(F.col(a).alias("_a"), F.col(b).alias("_b"))
+    deg = (
+        e.select(F.col("_a").alias("_x"))
+        .unionAll(e.select(F.col("_b").alias("_x")))
+        .groupBy("_x")
+        .agg(F.count(F.lit(1)).cast("long").alias("_d"))
+    )
+    node_stats = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.expr("(_d * (_d - 1L)) div 2")).cast("long").alias("n_wedges"),
+    )
+    e2 = e.select(F.col("_a").alias("_b"), F.col("_b").alias("_c"))
+    e3 = e.select(F.col("_a").alias("_a3"), F.col("_b").alias("_c3"))
+    tri = (
+        e.join(e2, "_b")
+        .join(
+            e3,
+            (F.col("_a") == F.col("_a3")) & (F.col("_c") == F.col("_c3")),
+            "inner",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    edge_count = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    out = node_stats.crossJoin(edge_count).crossJoin(tri)
+    return out.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.round(
+            F.when(
+                F.col("n_wedges") > 0,
+                (F.lit(3.0) * F.col("n_triangles")) / F.col("n_wedges"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("global_clustering"),
+    )

@@ -51,3 +51,32 @@ def test_partitioning_invariant_and_mass_conserved(spark):
     # truncation only ever loses mass, deterministically, and at most
     # ~1 unit per div: n divs at init + (|E| + n) per iteration
     assert SCALE - (2 * (len(edges) + n) + n) <= total <= SCALE
+
+class TestTriangleStats:
+    def _stats(self, spark, edges):
+        from etl_stream_spark.operators.graph import triangle_stats
+
+        df = spark.createDataFrame(edges, "a long, b long")
+        return triangle_stats(df).collect()[0]
+
+    def test_single_triangle(self, spark):
+        r = self._stats(spark, [(1, 2), (2, 3), (1, 3)])
+        assert (r.n_nodes, r.n_edges, r.n_triangles) == (3, 3, 1)
+        # each node closes one wedge -> 3 wedges, clustering 3*1/3 = 1.0
+        assert (r.n_wedges, r.global_clustering) == (3, 1.0)
+
+    def test_path_has_wedge_but_no_triangle(self, spark):
+        r = self._stats(spark, [(1, 2), (2, 3)])
+        assert (r.n_triangles, r.n_wedges) == (0, 1)
+        assert r.global_clustering == 0.0
+
+    def test_k4_counts_four_triangles_once_each(self, spark):
+        edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        r = self._stats(spark, edges)
+        assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 6, 4)
+        # every node has degree 3 -> 4 * C(3,2) = 12 wedges
+        assert r.n_wedges == 12 and r.global_clustering == 1.0
+
+    def test_disconnected_components_sum(self, spark):
+        r = self._stats(spark, [(1, 2), (2, 3), (1, 3), (10, 11)])
+        assert (r.n_nodes, r.n_triangles) == (5, 1)
