@@ -99,6 +99,11 @@ BENCH_QUERIES = [
     "multimodal_audio_features",
     # round-5: real Y4M frame-seek (container walk + per-sample plane sums)
     "multimodal_video_frames",
+    # round-6: governance (k-anonymity audit, median/MAD anomaly) and
+    # the support-thresholded triangle census
+    "privacy_k_anonymity",
+    "events_anomaly_mad",
+    "part_copurchase_triangles",
 ]
 
 
