@@ -113,3 +113,90 @@ class TestIntrospection:
         sch = T.StructType([T.StructField("a", T.LongType()), T.StructField("b", T.LongType())])
         cols = describe_columns(sch, keys=["b"])
         assert [c.is_primary for c in cols] == [False, True]
+
+
+class TestCompatibilityModes:
+    """schema/compat.py: Confluent-style compatibility gates."""
+
+    def _st(self, spec: str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        return _parse_datatype_string(spec)
+
+    def test_backward_allows_nullable_add_and_widening(self):
+        from etl_stream_spark.schema.compat import check_compatibility
+
+        old = self._st("id int, v string")
+        new = self._st("id long, v string, extra string")
+        assert check_compatibility(old, new, "BACKWARD") == []
+
+    def test_backward_rejects_non_nullable_add(self):
+        from pyspark.sql import types as T
+
+        from etl_stream_spark.schema.compat import check_compatibility
+
+        old = T.StructType([T.StructField("id", T.LongType())])
+        new = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("req", T.StringType(), nullable=False),
+            ]
+        )
+        v = check_compatibility(old, new, "BACKWARD")
+        assert len(v) == 1 and "non-nullable" in v[0]
+
+    def test_backward_rejects_narrowing(self):
+        from etl_stream_spark.schema.compat import check_compatibility
+
+        old = self._st("v double")
+        new = self._st("v float")
+        assert "not a widening" in check_compatibility(old, new, "BACKWARD")[0]
+
+    def test_forward_rejects_removing_required_column(self):
+        from pyspark.sql import types as T
+
+        from etl_stream_spark.schema.compat import check_compatibility
+
+        old = T.StructType([T.StructField("k", T.LongType(), nullable=False)])
+        new = T.StructType([T.StructField("other", T.StringType())])
+        v = check_compatibility(old, new, "FORWARD")
+        assert any("removed column 'k'" in x for x in v)
+
+    def test_forward_allows_add_and_nullable_remove(self):
+        from etl_stream_spark.schema.compat import check_compatibility
+
+        old = self._st("k long, opt string")  # parsed fields are nullable
+        new = self._st("k long, brand_new double")
+        assert check_compatibility(old, new, "FORWARD") == []
+
+    def test_full_is_union_of_both(self):
+        from etl_stream_spark.schema.compat import check_compatibility
+
+        old = self._st("a int, b double")
+        new = self._st("a long, b float")  # widen a (ok), narrow b (both fail)
+        v = check_compatibility(old, new, "FULL")
+        assert len(v) == 2
+
+    def test_decimal_array_struct_widening(self):
+        from etl_stream_spark.schema.compat import is_widening
+
+        assert is_widening(self._st("x decimal(10,2)")["x"].dataType,
+                           self._st("x decimal(18,2)")["x"].dataType)
+        assert not is_widening(self._st("x decimal(18,4)")["x"].dataType,
+                               self._st("x decimal(18,2)")["x"].dataType)
+        assert is_widening(self._st("x array<int>")["x"].dataType,
+                           self._st("x array<long>")["x"].dataType)
+        assert is_widening(self._st("x struct<a:int>")["x"].dataType,
+                           self._st("x struct<a:long>")["x"].dataType)
+        assert not is_widening(self._st("x struct<a:int>")["x"].dataType,
+                               self._st("x struct<b:long>")["x"].dataType)
+
+    def test_none_mode_and_unknown_mode(self):
+        import pytest as _pytest
+
+        from etl_stream_spark.schema.compat import check_compatibility
+
+        old = self._st("a int")
+        assert check_compatibility(old, self._st("b string"), "NONE") == []
+        with _pytest.raises(ValueError):
+            check_compatibility(old, old, "SIDEWAYS")
