@@ -2119,6 +2119,84 @@ GROUP BY source
 """
 
 
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing — the data-mixing op of the
+    published LM training recipes (multinomial source sampling with
+    p_s ∝ size_s^alpha; alpha < 1 upweights small/rare sources): per
+    source, raw token share, temperature share at alpha = 0.5, the
+    boost factor, and the expected document draws from a 10k-sample
+    budget.
+
+    Determinism discipline: alpha is 0.5 exactly so the reweighting is
+    ``sqrt`` (IEEE correctly-rounded on both engines — an arbitrary
+    ``pow`` would re-open libm divergence); the denominator is a
+    CUMULATIVE sum over sources in sorted order, so both engines add
+    the same doubles in the same sequence (a plain SUM over doubles is
+    partition-order-dependent); raw shares divide exact integer token
+    counts. Scale shape: the per-source aggregation map-side combines;
+    everything after runs on the bounded source frame (sources are a
+    domain, not a function of corpus size)."""
+    docs = _t(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(ta.tokens("text")).cast("long")).cast("long").alias("n_tokens"),
+    )
+    w = F.sqrt(F.col("n_tokens").cast("double"))
+    cum_w = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    full = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    mixed = (
+        per_src.withColumn("_w", w)
+        .withColumn("_cw", F.sum("_w").over(cum_w))
+        .withColumn("_denom", F.max("_cw").over(full))
+        .withColumn("_tot", F.sum("n_tokens").over(full))
+    )
+    temp_share = F.col("_w") / F.col("_denom")
+    return mixed.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("_tot"), 6).alias(
+            "raw_share"
+        ),
+        F.round(temp_share, 6).alias("temp_share"),
+        F.round(
+            temp_share / (F.col("n_tokens").cast("double") / F.col("_tot")), 6
+        ).alias("boost"),
+        F.floor(temp_share * F.lit(10000.0)).cast("long").alias("expected_draws"),
+    )
+
+
+TEMPERATURE_MIX_SQL = f"""
+WITH toks AS ({TOKS_CTE}),
+per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(t)) AS BIGINT) AS n_tokens
+  FROM toks GROUP BY source
+),
+wts AS (
+  SELECT *, SQRT(CAST(n_tokens AS DOUBLE)) AS w FROM per_src
+),
+denom AS (
+  SELECT *,
+         MAX(cw) OVER () AS d,
+         SUM(n_tokens) OVER () AS tot
+  FROM (SELECT *, SUM(w) OVER (ORDER BY source ROWS UNBOUNDED PRECEDING)
+                   AS cw
+        FROM wts)
+)
+SELECT source, n_docs, n_tokens,
+       ROUND(CAST(n_tokens AS DOUBLE) / tot, 6) AS raw_share,
+       ROUND(w / d, 6) AS temp_share,
+       ROUND((w / d) / (CAST(n_tokens AS DOUBLE) / tot), 6) AS boost,
+       CAST(FLOOR((w / d) * 10000.0) AS BIGINT) AS expected_draws
+FROM denom
+"""
+
+
 def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary with term and document frequencies."""
     docs = _t(spark, sf_dir, "documents")
@@ -6862,6 +6940,7 @@ CATALOG: dict[str, QueryDef] = {
     "corpus_source_cap": QueryDef(corpus_source_cap, SOURCE_CAP_SQL),
     "events_value_imputed": QueryDef(events_value_imputed, IMPUTE_SQL),
     "orders_price_winsorized": QueryDef(orders_price_winsorized, WINSOR_SQL),
+    "corpus_temperature_mix": QueryDef(corpus_temperature_mix, TEMPERATURE_MIX_SQL),
     "corpus_vocabulary": QueryDef(corpus_vocabulary, VOCAB_SQL),
     "text_heavy_hitters": QueryDef(text_heavy_hitters, HEAVY_SQL),
     "corpus_source_budget": QueryDef(corpus_source_budget, SOURCE_BUDGET_SQL),
@@ -7003,7 +7082,9 @@ _DRIVER_PRIORITY = [
     "pq_recall_audit",
     "ivf_topk",
     "corpus_dsir_weights",         # integer-space mean rounding rep
-    "corpus_pack_sequences",
+    "corpus_temperature_mix",      # NEW r6: sqrt-temperature mixing
+    #   (displaced corpus_pack_sequences, driver-proven r4; corpus
+    #   family reps remain: curation_funnel, dsir_weights)
     "text_quality",                # feeds the trained model's features
     "text_langid",
     "events_skew_aware_enrichment",  # hot-key salting plan
