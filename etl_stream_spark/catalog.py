@@ -653,6 +653,39 @@ FROM (
 """
 
 
+def cdc_masked_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication into a less-trusted zone with in-flight masking
+    (``functions/masking.py`` — warehouse dynamic-data-masking /
+    Debezium SMT shape), the third leg of the privacy suite beside the
+    k-anonymity audit and the erasure path: the merged CDC final state
+    ships with the subject key PSEUDONYMIZED (salted md5 — equality
+    joins and GROUP BYs still work downstream), the value GENERALIZED
+    to 50-wide bands (the k-anonymity repair for continuous columns),
+    and the sequence tail-masked for display. All masks are pure JVM
+    expressions over the already-merged frame — zero extra shuffles."""
+    from etl_stream_spark.functions.masking import mask_columns
+
+    final = cdc_final_state(spark, sf_dir)
+    return mask_columns(
+        final,
+        {
+            "user_id": "hash",
+            "last_value": "bucket:50",
+            "last_sequence": "keep_last:4",
+        },
+        salt="pepper",
+    )
+
+
+CDC_MASKED_SQL = f"""
+SELECT md5('pepper' || CAST(user_id AS VARCHAR)) AS user_id,
+       last_event_type,
+       CAST(FLOOR(last_value / 50.0) * 50 AS BIGINT) AS last_value,
+       repeat('*', 16) || substr(last_sequence, 17, 4) AS last_sequence
+FROM ({CDC_FINAL_SQL})
+"""
+
+
 def _snapshot_cutoff(ev: DataFrame, num: int, den: int) -> DataFrame:
     """One-row DataFrame with ``_cutoff = floor(max(event_id)*num/den)``.
 
@@ -6839,6 +6872,7 @@ CATALOG: dict[str, QueryDef] = {
     "cdc_json_props": QueryDef(cdc_json_props, JSON_PROPS_SQL),
     "cdc_latest_event": QueryDef(cdc_latest_event, CDC_LATEST_SQL),
     "cdc_final_state": QueryDef(cdc_final_state, CDC_FINAL_SQL),
+    "cdc_masked_replication": QueryDef(cdc_masked_replication, CDC_MASKED_SQL),
     "cdc_point_in_time": QueryDef(cdc_point_in_time, POINT_IN_TIME_SQL),
     "cdc_scd2_history": QueryDef(cdc_scd2_history, SCD2_SQL),
     "cdc_scd2_incremental": QueryDef(cdc_scd2_incremental, SCD2_SQL),
@@ -7061,7 +7095,9 @@ _DRIVER_PRIORITY = [
     "multimodal_video_frames",     # Y4M frame-seek (parser guards too)
     "multimodal_audio_features",   # WAV chunk walk — media companion
     # regression spread (proven r2-r5, not in the r5 window)
-    "cdc_envelope_decode",         # S1 decode
+    "cdc_masked_replication",      # NEW r6: in-flight masking
+    #   (displaced cdc_envelope_decode, driver-proven r2 — the decode
+    #   path stays exercised in-window by cdc_quarantine_repair)
     "cdc_quarantine_repair",       # DLQ replay over tombstones
     "cdc_schema_evolution",        # G8 + evolution
     "cdc_scd2_incremental",        # SCD2 store

@@ -107,3 +107,58 @@ class TestSequences:
             ).collect()
         ]
         assert got == [lsn_sequence(2**40, 7), lsn_sequence(255, 255)]
+
+
+class TestMasking:
+    """functions/masking.py: deterministic in-flight column masking."""
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(1, 123.4, "00000000000000000042"), (2, None, "x")],
+            "user_id long, v double, seq string",
+        )
+
+    def test_hash_is_salted_and_join_stable(self, spark):
+        from etl_stream_spark.functions.masking import mask_columns
+
+        a = mask_columns(self._df(spark), {"user_id": "hash"}, salt="s1")
+        b = mask_columns(self._df(spark), {"user_id": "hash"}, salt="s1")
+        c = mask_columns(self._df(spark), {"user_id": "hash"}, salt="s2")
+        va = {r.user_id for r in a.collect()}
+        assert va == {r.user_id for r in b.collect()}  # deterministic
+        assert va.isdisjoint({r.user_id for r in c.collect()})  # salt matters
+        assert all(len(v) == 32 for v in va)
+
+    def test_bucket_generalizes_and_null_passes(self, spark):
+        from etl_stream_spark.functions.masking import mask_columns
+
+        rows = {r.user_id: r.v for r in
+                mask_columns(self._df(spark), {"v": "bucket:50"}).collect()}
+        assert rows[1] == 100 and rows[2] is None
+
+    def test_keep_last_handles_short_strings(self, spark):
+        from etl_stream_spark.functions.masking import mask_columns
+
+        rows = {r.user_id: r.seq for r in
+                mask_columns(self._df(spark), {"seq": "keep_last:4"}).collect()}
+        assert rows[1] == "****************0042"
+        assert rows[2] == "x"  # shorter than the kept tail: nothing to star
+
+    def test_null_strategy_keeps_type(self, spark):
+        from etl_stream_spark.functions.masking import mask_columns
+
+        m = mask_columns(self._df(spark), {"v": "null"})
+        assert dict(m.dtypes)["v"] == "double"
+        assert all(r.v is None for r in m.collect())
+
+    def test_unknown_column_and_strategy_raise(self, spark):
+        import pytest as _pytest
+
+        from etl_stream_spark.functions.masking import mask_columns
+
+        with _pytest.raises(ValueError):
+            mask_columns(self._df(spark), {"nope": "hash"})
+        with _pytest.raises(ValueError):
+            mask_columns(self._df(spark), {"v": "rot13"}).collect()
+        with _pytest.raises(ValueError):
+            mask_columns(self._df(spark), {"v": "bucket:0"}).collect()
