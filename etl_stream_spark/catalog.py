@@ -1685,6 +1685,62 @@ FROM c ASOF LEFT JOIN p
 """
 
 
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal profile (the STL-lite seasonal component a monitoring
+    pipeline baselines against): per hour-of-day, event volume, exact
+    total value, and the seasonal index — hour mean over grand mean,
+    computed as (s_h · n_tot) / (n_h · s_tot) so both numerator and
+    denominator are products of EXACT integers (value sums quantized to
+    cents through the DECIMAL path, counts) and the only float ops are
+    two multiplies and one divide, identical on both engines. Totals
+    come from integer window sums over the bounded 24-row hour frame —
+    order-free, unlike a float sum. At any scale this is one map-side-
+    combinable aggregation plus arithmetic on 24 rows."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    g = ev.groupBy(F.hour("ts").cast("long").alias("hour_of_day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).alias("_s"),
+    )
+    full = Window.orderBy("hour_of_day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    g = (
+        g.withColumn("_sc", (F.col("_s") * 100).cast("long"))
+        .withColumn("_n_tot", F.sum("n_events").over(full))
+        .withColumn("_sc_tot", F.sum("_sc").over(full))
+    )
+    idx = (F.col("_sc").cast("double") * F.col("_n_tot")) / (
+        F.col("n_events").cast("double") * F.col("_sc_tot")
+    )
+    return g.select(
+        "hour_of_day",
+        "n_events",
+        _dbl(F.col("_s")).alias("total_value"),
+        F.round(idx, 6).alias("seasonal_index"),
+    )
+
+
+SEASONALITY_SQL = """
+WITH g AS (
+  SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         SUM(CAST(value AS DECIMAL(18,2))) AS s
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+t AS (
+  SELECT *, CAST(s * 100 AS BIGINT) AS sc,
+         SUM(CAST(s * 100 AS BIGINT)) OVER () AS sc_tot,
+         SUM(n_events) OVER () AS n_tot
+  FROM g
+)
+SELECT hour_of_day, n_events,
+       CAST(ROUND(s, 2) AS DOUBLE) AS total_value,
+       ROUND((CAST(sc AS DOUBLE) * n_tot)
+             / (CAST(n_events AS DOUBLE) * sc_tot), 6) AS seasonal_index
+FROM t
+"""
+
+
 def user_value_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resampling with forward-fill: each user's `value`
     observations resampled onto an hourly grid (per-user bounds), the
@@ -6962,6 +7018,9 @@ CATALOG: dict[str, QueryDef] = {
     "asof_next_purchase": QueryDef(asof_next_purchase, ASOF_FWD_SQL),
     "signup_window_activity": QueryDef(signup_window_activity, INTERVAL_SQL),
     "user_value_resampled": QueryDef(user_value_resampled, RESAMPLE_SQL),
+    "events_hourly_seasonality": QueryDef(
+        events_hourly_seasonality, SEASONALITY_SQL
+    ),
     "user_value_interpolated": QueryDef(
         user_value_interpolated, INTERPOLATE_SQL
     ),
@@ -7122,7 +7181,9 @@ _DRIVER_PRIORITY = [
     #   (displaced corpus_pack_sequences, driver-proven r4; corpus
     #   family reps remain: curation_funnel, dsir_weights)
     "text_quality",                # feeds the trained model's features
-    "text_langid",
+    "events_hourly_seasonality",   # NEW r6: seasonal profile/index
+    #   (displaced text_langid, driver-proven r2-r4 — text family reps
+    #   remain: text_token_stats canary, text_quality)
     "events_skew_aware_enrichment",  # hot-key salting plan
     "orders_replication_checksum",   # checksum store
     "part_copurchase_triangles",   # NEW r6: triangle census (graph)
