@@ -7109,19 +7109,26 @@ CATALOG.update({name: QueryDef(fn, sql) for name, fn, sql in _EXTRA})
 #: flagship CDC path plus at least one representative of every operator
 #: family inside that window; redundant TPC-H variants trail.
 _DRIVER_PRIORITY = [
-    # ROUND-6 ROTATION. After r5, every catalog entry except
-    # multimodal_video_frames has been driver-proven at least once, so
-    # this window holds: (a) one proven canary per family, (b) every
-    # entry whose ENGINE or ORACLE changed this round — the shared
-    # L0AppendLog extraction + restart-seeded sweep counter (merge
-    # table, postings index, IVF id map), the three entries that
-    # gained real DuckDB oracles (BPE loop via chained CTEs; logistic
-    # training via floor(+0.5) gradient quantization — ml.py rounding
-    # changed), the integer-space tokens_per_char rounding
-    # (bpe_encode_stats), and the PPM/Y4M parser guards (multimodal) —
-    # plus (c) the one never-checked entry (multimodal_video_frames),
-    # and (d) a regression spread over proven entries not recently
-    # windowed.
+    # ROUND-6 ROTATION (final composition). The window holds:
+    # (a) one proven canary per family;
+    # (b) every entry whose ENGINE or ORACLE changed late round 5 —
+    #     the shared L0AppendLog extraction + restart-seeded sweep
+    #     counter (merge table, postings index, IVF id map), the three
+    #     entries that gained real DuckDB oracles (BPE loop via
+    #     chained CTEs; logistic training via floor(+0.5) gradient
+    #     quantization), the integer-space tokens_per_char rounding
+    #     (bpe_encode_stats), and the PPM/Y4M parser guards;
+    # (c) the one entry never driver-checked before r6
+    #     (multimodal_video_frames);
+    # (d) the EIGHT entries ADDED in round 6 (all local-green at
+    #     sf0.001/0.01/0.1): events_orc_roundtrip, privacy_k_anonymity,
+    #     events_anomaly_mad, streaming_dq_monitor,
+    #     part_copurchase_triangles, corpus_temperature_mix,
+    #     cdc_masked_replication, events_hourly_seasonality — each
+    #     displaced a previously-proven entry whose family keeps
+    #     another in-window rep (displacements annotated inline);
+    # (e) a regression spread over proven entries not recently
+    #     windowed.
     #
     # CDC / merge engine (L0 machinery extracted this round):
     "cdc_final_state",
