@@ -71,6 +71,15 @@ EXPECTED_MAX = {
     "privacy_k_anonymity": {"exchanges": 2, "scans": 1},
     # both percentile windows share one event-type partitioning
     "events_anomaly_mad": {"exchanges": 1, "scans": 1},
+    # lineitem scanned ONCE (self-join reuses the scan); pair agg +
+    # degree agg + census joins account for the rest
+    "part_copurchase_triangles": {"exchanges": 9, "scans": 1},
+    # per-source agg + one bounded-frame window
+    "corpus_temperature_mix": {"exchanges": 2, "scans": 1},
+    # masking adds ZERO shuffles over the merged final state
+    "cdc_masked_replication": {"exchanges": 1, "scans": 1},
+    # hour agg + one bounded 24-row window
+    "events_hourly_seasonality": {"exchanges": 2, "scans": 1},
 }
 
 
