@@ -581,3 +581,44 @@ def fuzzy_block_matches(
         )
         .filter(F.col("distance") <= max_distance)
     )
+
+
+def lsh_plan(
+    threshold: float,
+    target_recall: float = 0.95,
+    max_hashes: int = 256,
+) -> tuple[int, int]:
+    """Smallest (num_hashes, band_size) hitting ``target_recall`` for
+    pairs at Jaccard >= ``threshold``.
+
+    Standard banding S-curve (Leskovec/Rajaraman/Ullman, "Mining of
+    Massive Datasets" §3.4 — public): with b bands of r rows the
+    probability a pair at similarity s shares >= 1 band is
+    1 - (1 - s^r)^b. For each candidate signature size this scans the
+    (b, r) factorizations and keeps the cheapest plan whose recall AT
+    the threshold meets the target — the sizing answer to "I need 95%
+    of true near-dups at 0.8 Jaccard; how many minhashes do I pay
+    for?" (cost scales signatures linearly and candidate volume with
+    collision probability below the threshold, so fewer hashes and
+    longer bands are both savings).
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(f"target_recall must be in (0, 1), got {target_recall}")
+    for n in range(2, max_hashes + 1):
+        best: tuple[int, int] | None = None
+        for r in range(n, 0, -1):  # longest bands first: fewest candidates
+            if n % r:
+                continue
+            b = n // r
+            recall = 1.0 - (1.0 - threshold**r) ** b
+            if recall >= target_recall:
+                best = (n, r)
+                break
+        if best is not None:
+            return best
+    raise ValueError(
+        f"no plan with <= {max_hashes} hashes reaches recall "
+        f"{target_recall} at threshold {threshold}"
+    )

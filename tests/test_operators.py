@@ -909,3 +909,39 @@ class TestDecoderFuzz:
         assert mm.decode_ppm(ppm) is not None
         for cut in (1, 5, len(ppm) // 2, len(ppm) - 1):
             assert mm.decode_ppm(ppm[:cut]) is None
+
+
+class TestLshPlan:
+    def test_plan_meets_recall_at_threshold(self):
+        from etl_stream_spark.operators.dedup import lsh_plan
+
+        for thr, rec in [(0.5, 0.9), (0.8, 0.95), (0.9, 0.99)]:
+            n, r = lsh_plan(thr, rec)
+            b = n // r
+            assert 1.0 - (1.0 - thr**r) ** b >= rec
+            assert n % r == 0
+
+    def test_higher_recall_never_needs_fewer_hashes(self):
+        from etl_stream_spark.operators.dedup import lsh_plan
+
+        n_low, _ = lsh_plan(0.7, 0.9)
+        n_high, _ = lsh_plan(0.7, 0.999)
+        assert n_high >= n_low
+
+    def test_default_catalog_config_recall_documented(self):
+        """The catalog's 8-hash/2-row default catches >=97% of pairs at
+        0.8 Jaccard — the number the entries' docstrings rely on."""
+        assert 1.0 - (1.0 - 0.8**2) ** 4 >= 0.97
+
+    def test_invalid_inputs_raise(self):
+        import pytest as _pytest
+
+        from etl_stream_spark.operators.dedup import lsh_plan
+
+        with _pytest.raises(ValueError):
+            lsh_plan(0.0)
+        with _pytest.raises(ValueError):
+            lsh_plan(0.5, 1.0)
+        with _pytest.raises(ValueError):
+            # recall 0.999 at 0.1 Jaccard is unreachable with 4 hashes
+            lsh_plan(0.1, 0.999, max_hashes=4)
