@@ -112,6 +112,7 @@ def main() -> None:
     # compute, not a plan to audit
     skip = {
         "streaming_hourly_rollup",
+        "streaming_dq_monitor",
         "cdc_streaming_merge",
         "streaming_sustained_alerts",
         "streaming_dedup",
