@@ -99,11 +99,15 @@ BENCH_QUERIES = [
     "multimodal_audio_features",
     # round-5: real Y4M frame-seek (container walk + per-sample plane sums)
     "multimodal_video_frames",
-    # round-6: governance (k-anonymity audit, median/MAD anomaly) and
-    # the support-thresholded triangle census
+    # round-6: governance (k-anonymity audit, median/MAD anomaly,
+    # in-flight masking), the support-thresholded triangle census,
+    # LM-recipe source mixing, and the seasonal profile
     "privacy_k_anonymity",
     "events_anomaly_mad",
     "part_copurchase_triangles",
+    "cdc_masked_replication",
+    "corpus_temperature_mix",
+    "events_hourly_seasonality",
 ]
 
 
