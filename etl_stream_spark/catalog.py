@@ -5870,6 +5870,152 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(edges)
 
 
+def customer_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification (the 80/15/5 inventory-analysis
+    classic): customers ranked by exact revenue, classified A while the
+    running share stays ≤ 80%, B to 95%, C after, with per-class
+    counts, exact totals, and shares. The class boundaries compare
+    INTEGERS only (cum_cents·5 ≤ tot_cents·4 for 80%, ·20 ≤ ·19 for
+    95%), so a customer straddling a boundary classifies identically on
+    both engines — no float cumulative sums anywhere. Scale shape: the
+    window sorts the AGGREGATED customer frame (|customers| ≪
+    |orders|), the only full-data pass is the map-side-combinable
+    revenue aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("_r")
+    )
+    rev = rev.withColumn("_c", (F.col("_r") * 100).cast("long"))
+    cum_w = Window.orderBy(F.desc("_c"), "o_custkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    full = Window.orderBy(F.desc("_c"), "o_custkey").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    classed = (
+        rev.withColumn("_cum", F.sum("_c").over(cum_w))
+        .withColumn("_tot", F.sum("_c").over(full))
+        .withColumn(
+            "abc_class",
+            F.when(F.col("_cum") * 5 <= F.col("_tot") * 4, "A")
+            .when(F.col("_cum") * 20 <= F.col("_tot") * 19, "B")
+            .otherwise("C"),
+        )
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        _dbl(F.sum("_r")).alias("total_revenue"),
+        F.round(
+            F.sum("_c").cast("double") / F.max("_tot").cast("double"), 6
+        ).alias("revenue_share"),
+    )
+
+
+ABC_SQL = """
+WITH rev AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS c
+  FROM orders GROUP BY 1
+),
+cumulative AS (
+  SELECT *,
+         SUM(c) OVER (ORDER BY c DESC, o_custkey ROWS UNBOUNDED PRECEDING)
+           AS cum,
+         SUM(c) OVER () AS tot
+  FROM rev
+),
+classed AS (
+  SELECT *,
+         CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+              WHEN cum * 20 <= tot * 19 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM cumulative
+)
+SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(ROUND(SUM(r), 2) AS DOUBLE) AS total_revenue,
+       ROUND(CAST(SUM(c) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE), 6)
+         AS revenue_share
+FROM classed GROUP BY 1
+"""
+
+
+def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (Agrawal/Srikant Apriori
+    statistics — public): for part pairs co-occurring in ≥2 order
+    baskets, exact support, directional confidence, and lift, top 20
+    by lift with a deterministic (a, b) tie-break. All three ratios
+    divide EXACT integers (pair/item/basket counts), so the doubles are
+    single IEEE divisions on both engines. Scale shape: the pairing
+    self-join is bounded per basket (baskets are small), the support
+    threshold prunes the pair space before the two item-count joins,
+    and the final top-k is a 20-row sort on an already-tiny frame."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_baskets = li.select("l_orderkey").distinct().count()  # bounded scalar
+    item = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).cast("long").alias("c_item")
+    )
+    x, y = li.alias("x"), li.alias("y")
+    pair = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_count"))
+        .filter(F.col("pair_count") >= 2)
+    )
+    ca = item.select(F.col("p").alias("a"), F.col("c_item").alias("c_a"))
+    cb = item.select(F.col("p").alias("b"), F.col("c_item").alias("c_b"))
+    scored = (
+        pair.join(ca, "a")
+        .join(cb, "b")
+        .select(
+            "a",
+            "b",
+            "pair_count",
+            F.round(F.col("pair_count").cast("double") / F.lit(float(n_baskets)), 6)
+            .alias("support"),
+            F.round(
+                F.col("pair_count").cast("double") / F.col("c_a").cast("double"), 6
+            ).alias("confidence_ab"),
+            F.round(
+                (F.col("pair_count").cast("double") * F.lit(float(n_baskets)))
+                / (F.col("c_a").cast("double") * F.col("c_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), "a", "b").limit(20)
+
+
+ASSOCIATION_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_baskets FROM li),
+item AS (SELECT l_partkey AS p, CAST(COUNT(*) AS BIGINT) AS c_item
+         FROM li GROUP BY 1),
+pair AS (
+  SELECT x.l_partkey AS a, y.l_partkey AS b,
+         CAST(COUNT(*) AS BIGINT) AS pair_count
+  FROM li x JOIN li y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT a, b, pair_count,
+       ROUND(CAST(pair_count AS DOUBLE) / n.n_baskets, 6) AS support,
+       ROUND(CAST(pair_count AS DOUBLE) / CAST(ca.c_item AS DOUBLE), 6)
+         AS confidence_ab,
+       ROUND((CAST(pair_count AS DOUBLE) * n.n_baskets)
+             / (CAST(ca.c_item AS DOUBLE) * cb.c_item), 6) AS lift
+FROM pair
+JOIN item ca ON ca.p = pair.a
+JOIN item cb ON cb.p = pair.b
+CROSS JOIN n
+ORDER BY lift DESC, a, b LIMIT 20
+"""
+
+
 TRIANGLES_SQL = """
 WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 pairs AS (
@@ -6976,6 +7122,8 @@ CATALOG: dict[str, QueryDef] = {
     "streaming_pattern_match": QueryDef(streaming_pattern_match, PATTERN_MATCH_SQL),
     "supplier_pagerank": QueryDef(supplier_pagerank, PAGERANK_SQL),
     "part_copurchase_triangles": QueryDef(part_copurchase_triangles, TRIANGLES_SQL),
+    "part_association_rules": QueryDef(part_association_rules, ASSOCIATION_SQL),
+    "customer_abc_classes": QueryDef(customer_abc_classes, ABC_SQL),
     "session_pattern_match": QueryDef(session_pattern_match, SESSION_PATTERN_SQL),
     "events_jsonl_roundtrip": QueryDef(events_jsonl_roundtrip, JSONL_ROUNDTRIP_SQL),
     "events_orc_roundtrip": QueryDef(events_orc_roundtrip, ORC_ROUNDTRIP_SQL),
@@ -7172,7 +7320,10 @@ _DRIVER_PRIORITY = [
     "streaming_dq_monitor",        # NEW r6: expectations on a stream
     #   (displaced streaming_hourly_rollup, driver-proven r4; the
     #   windowed-agg shape stays covered by this entry's aggregation)
-    "dedup_minhash_signatures",
+    "part_association_rules",      # NEW r6: market-basket rules
+    #   (displaced dedup_minhash_signatures, driver-proven r2-r4 —
+    #   dedup reps remain: dedup_exact, dedup_lsh_incremental,
+    #   dedup_clusters)
     "dedup_clusters",              # connected components
     # NEW round-6 entries (never driver-checked — must be windowed;
     # displaced dedup_simhash / semantic_dedup / corpus_tfidf, all
@@ -7180,7 +7331,10 @@ _DRIVER_PRIORITY = [
     "events_orc_roundtrip",        # second columnar format end-to-end
     "privacy_k_anonymity",         # privacy governance audit
     "events_anomaly_mad",          # robust (median/MAD) outlier stats
-    "knn_bruteforce",              # JVM twin of the pandas path
+    "customer_abc_classes",        # NEW r6: Pareto/ABC classification
+    #   (displaced knn_bruteforce, driver-proven r2-r4 — similarity
+    #   reps remain: ann_recall_audit, pq_recall_audit, ivf_topk,
+    #   ivf_incremental_search, streaming_ivf_search)
     "pq_recall_audit",
     "ivf_topk",
     "corpus_dsir_weights",         # integer-space mean rounding rep
