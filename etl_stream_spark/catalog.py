@@ -5870,6 +5870,59 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(edges)
 
 
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (the monitoring-trend
+    primitive beside the plain rolling window of
+    ``user_value_rolling_window``): per user, EWMA with alpha = 1/2
+    over the last 20 observations. Determinism without float folds:
+    the truncated exponential sum is computed ENTIRELY in integer
+    space — cents·2^(20−k) summed as BIGINTs (order-free, unlike any
+    float accumulation) — and converted with ONE exact double division
+    by the constant 100·2^20. Alpha = 1/2 makes every weight a power
+    of two, so even the division is exact scaling. One user-key
+    shuffle; the rank window and the aggregation share it."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            (F.col("value").cast(DEC) * 100).cast("long").alias("_c"),
+        )
+        .withColumn("_k", F.row_number().over(w))
+        .filter(F.col("_k") <= 20)
+    )
+    term = F.expr("_c * shiftleft(1L, 20 - _k)")
+    return ranked.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_used"),
+        F.round(
+            F.sum(term).cast("double") / F.lit(float(100 * (1 << 20))), 6
+        ).alias("ewma_value"),
+        _dbl(F.max(F.when(F.col("_k") == 1, F.col("_c"))).cast("double")
+             / F.lit(100.0), 6).alias("last_value"),
+    )
+
+
+EWMA_SQL = """
+WITH ranked AS (
+  SELECT user_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS k
+  FROM events WHERE value IS NOT NULL
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_used,
+       ROUND(CAST(SUM(c * (CAST(1 AS BIGINT) << (20 - k))) AS DOUBLE)
+             / (100.0 * 1048576.0), 6) AS ewma_value,
+       ROUND(CAST(MAX(CASE WHEN k = 1 THEN c END) AS DOUBLE) / 100.0, 6)
+         AS last_value
+FROM ranked WHERE k <= 20 GROUP BY user_id
+"""
+
+
 def customer_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC / Pareto classification (the 80/15/5 inventory-analysis
     classic): customers ranked by exact revenue, classified A while the
@@ -7124,6 +7177,7 @@ CATALOG: dict[str, QueryDef] = {
     "part_copurchase_triangles": QueryDef(part_copurchase_triangles, TRIANGLES_SQL),
     "part_association_rules": QueryDef(part_association_rules, ASSOCIATION_SQL),
     "customer_abc_classes": QueryDef(customer_abc_classes, ABC_SQL),
+    "user_value_ewma": QueryDef(user_value_ewma, EWMA_SQL),
     "session_pattern_match": QueryDef(session_pattern_match, SESSION_PATTERN_SQL),
     "events_jsonl_roundtrip": QueryDef(events_jsonl_roundtrip, JSONL_ROUNDTRIP_SQL),
     "events_orc_roundtrip": QueryDef(events_orc_roundtrip, ORC_ROUNDTRIP_SQL),
@@ -7316,7 +7370,10 @@ _DRIVER_PRIORITY = [
     "cdc_schema_evolution",        # G8 + evolution
     "cdc_scd2_incremental",        # SCD2 store
     "wal_size_monitor",            # monitoring aggregation
-    "streaming_dedup",             # streaming exact dedup
+    "user_value_ewma",             # NEW r6: integer-space EWMA trend
+    #   (displaced streaming_dedup, driver-proven r2-r4 — streaming
+    #   reps remain: cdc_streaming_merge, streaming_sustained_alerts,
+    #   streaming_ivf_search, streaming_dq_monitor, session CEP)
     "streaming_dq_monitor",        # NEW r6: expectations on a stream
     #   (displaced streaming_hourly_rollup, driver-proven r4; the
     #   windowed-agg shape stays covered by this entry's aggregation)
