@@ -108,6 +108,9 @@ BENCH_QUERIES = [
     "cdc_masked_replication",
     "corpus_temperature_mix",
     "events_hourly_seasonality",
+    "part_association_rules",
+    "customer_abc_classes",
+    "user_value_ewma",
 ]
 
 
