@@ -111,6 +111,8 @@ BENCH_QUERIES = [
     "part_association_rules",
     "customer_abc_classes",
     "user_value_ewma",
+    "events_markov_transitions",
+    "customer_rfm_segments",
 ]
 
 

@@ -5870,6 +5870,130 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(edges)
 
 
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (the recency/frequency/monetary marketing
+    classic): each ordering customer scored 1-5 per dimension (1 = top
+    quintile — most recent / most frequent / highest spend), reported
+    as segment cells with counts and exact revenue. Quintiles are
+    INTEGER arithmetic over deterministic ranks (row_number with
+    custkey tie-breaks, q = 1 + (5·(rn−1)) div n) — no percentile
+    estimation, no float boundaries, so a customer on a quintile edge
+    lands identically on both engines. Scale shape: one orders
+    aggregation, then three sorts of the small customer frame."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("long")).alias("_last"),
+        F.count(F.lit(1)).cast("long").alias("_freq"),
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("_mon"),
+    )
+    per_cust = per_cust.withColumn("_mc", (F.col("_mon") * 100).cast("long"))
+    n_w = Window.orderBy("o_custkey").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    scored = per_cust.withColumn("_n", F.count(F.lit(1)).over(n_w))
+    for name, col in [
+        ("r_score", F.desc("_last")),
+        ("f_score", F.desc("_freq")),
+        ("m_score", F.desc("_mc")),
+    ]:
+        rn = F.row_number().over(Window.orderBy(col, "o_custkey"))
+        scored = scored.withColumn(f"_{name}_rn", rn).withColumn(
+            name,
+            F.expr(f"cast(1 + (5 * (_{name}_rn - 1)) div _n as long)"),
+        )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        _dbl(F.sum("_mon")).alias("total_revenue"),
+    )
+
+
+RFM_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(floor(epoch(MAX(o_orderdate))) AS BIGINT) AS last_s,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS mon,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS mc
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT *,
+         COUNT(*) OVER () AS n,
+         ROW_NUMBER() OVER (ORDER BY last_s DESC, o_custkey) AS r_rn,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, o_custkey) AS f_rn,
+         ROW_NUMBER() OVER (ORDER BY mc DESC, o_custkey) AS m_rn
+  FROM per_cust
+)
+SELECT CAST(1 + (5 * (r_rn - 1)) // n AS BIGINT) AS r_score,
+       CAST(1 + (5 * (f_rn - 1)) // n AS BIGINT) AS f_score,
+       CAST(1 + (5 * (m_rn - 1)) // n AS BIGINT) AS m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(ROUND(SUM(mon), 2) AS DOUBLE) AS total_revenue
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (the behavioral-modeling complement to the CEP pattern
+    matchers: CEP asks "did THIS pattern occur", the transition matrix
+    asks "what usually follows what"): for each (from_type, to_type)
+    consecutive pair — ordered by (ts, event_id) within user — the
+    transition count and probability. One user-key shuffle for the lag
+    window, one aggregation; probabilities divide exact integers (pair
+    count over from-state outdegree via a second bounded aggregation,
+    joined back on the ≤|event types|² frame)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("_next", F.lead("event_type").over(w))
+        .where(F.col("_next").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("_next").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+    outdeg = pairs.groupBy("from_type").agg(
+        F.sum("n_transitions").cast("long").alias("_out")
+    )
+    return (
+        pairs.join(outdeg, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.round(
+                F.col("n_transitions").cast("double") / F.col("_out").cast("double"),
+                6,
+            ).alias("probability"),
+        )
+    )
+
+
+MARKOV_SQL = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+pairs AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+),
+outdeg AS (
+  SELECT from_type, CAST(SUM(n_transitions) AS BIGINT) AS o
+  FROM pairs GROUP BY 1
+)
+SELECT p.from_type, p.to_type, p.n_transitions,
+       ROUND(CAST(p.n_transitions AS DOUBLE) / CAST(d.o AS DOUBLE), 6)
+         AS probability
+FROM pairs p JOIN outdeg d USING (from_type)
+"""
+
+
 def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average (the monitoring-trend
     primitive beside the plain rolling window of
@@ -7178,6 +7302,8 @@ CATALOG: dict[str, QueryDef] = {
     "part_association_rules": QueryDef(part_association_rules, ASSOCIATION_SQL),
     "customer_abc_classes": QueryDef(customer_abc_classes, ABC_SQL),
     "user_value_ewma": QueryDef(user_value_ewma, EWMA_SQL),
+    "events_markov_transitions": QueryDef(events_markov_transitions, MARKOV_SQL),
+    "customer_rfm_segments": QueryDef(customer_rfm_segments, RFM_SQL),
     "session_pattern_match": QueryDef(session_pattern_match, SESSION_PATTERN_SQL),
     "events_jsonl_roundtrip": QueryDef(events_jsonl_roundtrip, JSONL_ROUNDTRIP_SQL),
     "events_orc_roundtrip": QueryDef(events_orc_roundtrip, ORC_ROUNDTRIP_SQL),
@@ -7361,7 +7487,9 @@ _DRIVER_PRIORITY = [
     "corpus_quality_trained",      # NEW oracle + floor(+0.5) gradients
     # the one never-driver-checked entry (late r5 add)
     "multimodal_video_frames",     # Y4M frame-seek (parser guards too)
-    "multimodal_audio_features",   # WAV chunk walk — media companion
+    "events_markov_transitions",   # NEW r6: sequence mining
+    #   (displaced multimodal_audio_features, driver-proven r5 —
+    #   multimodal reps remain: multimodal_resize, video_frames)
     # regression spread (proven r2-r5, not in the r5 window)
     "cdc_masked_replication",      # NEW r6: in-flight masking
     #   (displaced cdc_envelope_decode, driver-proven r2 — the decode
@@ -7393,7 +7521,9 @@ _DRIVER_PRIORITY = [
     #   reps remain: ann_recall_audit, pq_recall_audit, ivf_topk,
     #   ivf_incremental_search, streaming_ivf_search)
     "pq_recall_audit",
-    "ivf_topk",
+    "customer_rfm_segments",       # NEW r6: RFM integer quintiles
+    #   (displaced ivf_topk, driver-proven r4 — IVF stays covered by
+    #   ivf_incremental_search + streaming_ivf_search)
     "corpus_dsir_weights",         # integer-space mean rounding rep
     "corpus_temperature_mix",      # NEW r6: sqrt-temperature mixing
     #   (displaced corpus_pack_sequences, driver-proven r4; corpus
