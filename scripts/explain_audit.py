@@ -80,6 +80,16 @@ EXPECTED_MAX = {
     "cdc_masked_replication": {"exchanges": 1, "scans": 1},
     # hour agg + one bounded 24-row window
     "events_hourly_seasonality": {"exchanges": 2, "scans": 1},
+    # one user-key shuffle shared by the rank window and the agg
+    "user_value_ewma": {"exchanges": 1, "scans": 1},
+    # lag window + pair agg + bounded outdegree join
+    "events_markov_transitions": {"exchanges": 3, "scans": 1},
+    # orders agg + three sorts of the small customer frame
+    "customer_rfm_segments": {"exchanges": 2, "scans": 1},
+    # revenue agg + one global window over the customer frame
+    "customer_abc_classes": {"exchanges": 2, "scans": 1},
+    # lineitem scanned at most twice (pairing + item counts)
+    "part_association_rules": {"exchanges": 4, "scans": 2},
 }
 
 
