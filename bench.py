@@ -113,6 +113,12 @@ BENCH_QUERIES = [
     "user_value_ewma",
     "events_markov_transitions",
     "customer_rfm_segments",
+    # late round-6: monitoring/governance analytics (CUSUM level-shift,
+    # Benford DQ, Lorenz/Gini concentration, lag-k autocorrelation)
+    "events_cusum_changepoint",
+    "orders_benford_digits",
+    "corpus_gini_concentration",
+    "events_hourly_acf",
 ]
 
 

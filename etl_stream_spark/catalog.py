@@ -5695,6 +5695,243 @@ GROUP BY 1
 """
 
 
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-shift detection on the daily event volume via the CUSUM
+    statistic (``operators/anomaly.py::cusum_changepoints``): the
+    classic Page-test screen a pipeline-health monitor runs over its
+    ingest counts — a sustained rate change shows as a peak in
+    ``|S_k|``, flagged ``is_peak`` at the earliest attaining day.  The
+    day spine is generated dense (``sequence`` / ``generate_series``)
+    so a silent outage day counts as zero instead of vanishing.  The
+    statistic is exact integer arithmetic end to end (scaled by the
+    bucket count — no mean, no float accumulation).  Scale: one
+    map-side-combinable daily count; the CUSUM windows run over the
+    bucketed frame only (bounded by the date range)."""
+    from etl_stream_spark.operators.anomaly import cusum_changepoints
+
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    counts = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    daily = spine.join(counts, "day", "left").select(
+        "day", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n")
+    )
+    return cusum_changepoints(daily, "day", "n")
+
+
+CUSUM_SQL = """
+WITH b AS (
+  SELECT CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS d0,
+         CAST(date_trunc('day', MAX(ts)) AS TIMESTAMP) AS d1
+  FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM b
+),
+c AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+d AS (
+  SELECT s.day AS day, COALESCE(c.n, 0) AS n FROM spine s LEFT JOIN c USING (day)
+),
+st AS (
+  SELECT day, n,
+         SUM(n) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+         ROW_NUMBER() OVER (ORDER BY day) AS k,
+         COUNT(*) OVER () AS nn,
+         SUM(n) OVER () AS t
+  FROM d
+),
+cs AS (
+  SELECT day, n, CAST(nn * prefix - k * t AS BIGINT) AS cusum_scaled FROM st
+)
+SELECT day, CAST(n AS BIGINT) AS n_events, cusum_scaled,
+       ROW_NUMBER() OVER (ORDER BY ABS(cusum_scaled) DESC, day ASC) = 1 AS is_peak
+FROM cs
+"""
+
+
+def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order totals
+    (``operators/anomaly.py::benford_report``) — the classic
+    fabricated-data screen, run on the integer-cents quantization (the
+    same ``ROUND(x*100)`` the correlation entry uses, driver-proven) so
+    the leading digit is a string op on an integer rendering, immune to
+    the floor-of-log10 float hazard near powers of ten.  All-integer
+    output: observed shares round half-up in exact integer space; the
+    Benford expectation is a hard-literal ppm table identical on both
+    engines.  Scale: one aggregation on a 9-value key."""
+    from etl_stream_spark.operators.anomaly import benford_report
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    return benford_report(cents, "cents")
+
+
+BENFORD_SQL = """
+WITH cents AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c FROM orders
+),
+g AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM cents WHERE c > 0 GROUP BY 1
+),
+spine AS (SELECT unnest(range(1, 10)) AS digit),
+e(digit, expected_ppm) AS (
+  VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+         (6, 66947), (7, 57992), (8, 51153), (9, 45757)
+),
+j AS (
+  SELECT s.digit AS digit, COALESCE(g.n, 0) AS n_values
+  FROM spine s LEFT JOIN g USING (digit)
+),
+t AS (SELECT *, SUM(n_values) OVER () AS total FROM j)
+SELECT t.digit AS digit, CAST(n_values AS BIGINT) AS n_values,
+       CAST((2 * n_values * 1000000 + total) // (2 * total) AS BIGINT)
+         AS observed_ppm,
+       CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+       CAST((2 * n_values * 1000000 + total) // (2 * total) - e.expected_ppm
+            AS BIGINT) AS delta_ppm
+FROM t JOIN e USING (digit)
+"""
+
+
+def corpus_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-concentration governance report
+    (``operators/corpus.py::source_concentration``): the Lorenz curve of
+    corpus characters by source plus the discrete Gini coefficient —
+    the "is the corpus dominated by a handful of sources?" audit that
+    precedes any mixing/temperature decision (pairs with
+    ``corpus_temperature_mix``).  Entirely exact integer arithmetic
+    (decimal(38,0) rank-weighted sums, half-up ppm rounding via
+    integral division); windows run over the per-source frame, whose
+    size is the source-domain cardinality, not the corpus size."""
+    from etl_stream_spark.operators.corpus import source_concentration
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_concentration(docs, "source", "n_chars")
+
+
+GINI_SQL = """
+WITH g AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_weight
+  FROM documents GROUP BY 1
+),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY total_weight ASC, source ASC) AS i,
+         SUM(total_weight) OVER (ORDER BY total_weight ASC, source ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+         COUNT(*) OVER () AS n,
+         SUM(total_weight) OVER () AS s
+  FROM g
+),
+t AS (
+  SELECT *, SUM(CAST(i AS HUGEINT) * total_weight) OVER () AS iw FROM r
+)
+SELECT source, n_docs, total_weight,
+       CAST(cum_w AS BIGINT) AS cum_weight,
+       CAST((2 * CAST(cum_w AS HUGEINT) * 1000000 + s) // (2 * s) AS BIGINT)
+         AS cum_share_ppm,
+       CAST((2 * (2 * iw - (n + 1) * CAST(s AS HUGEINT)) * 1000000
+             + CAST(n AS HUGEINT) * s)
+            // (2 * CAST(n AS HUGEINT) * s) AS BIGINT) AS gini_ppm
+FROM t
+"""
+
+
+def events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the hourly event count at lags 1/2/3/6/12/24
+    (``operators/temporal.py::autocorrelation``) — the periodicity
+    diagnostic behind ``events_hourly_seasonality``: a strong lag-24
+    ACF *justifies* the daily seasonal profile.  Dense hourly spine
+    (zero-filled gaps), every lag off ONE window sort (six ``lead``
+    columns in a single projection, then an explode — never a scan per
+    lag), exact decimal(38,0) moment sums with the closed-form Pearson
+    finish of the driver-proven ``price_time_correlation``."""
+    from etl_stream_spark.operators.temporal import autocorrelation
+
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour")
+    )
+    counts = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    hourly = spine.join(counts, "hour", "left").select(
+        "hour", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n")
+    )
+    return autocorrelation(hourly, "hour", "n", lags=(1, 2, 3, 6, 12, 24))
+
+
+ACF_SQL = """
+WITH b AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+  FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b
+),
+c AS (
+  SELECT date_trunc('hour', ts) AS hour, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+d AS (
+  SELECT s.hour AS hour, COALESCE(c.n, 0) AS n
+  FROM spine s LEFT JOIN c USING (hour)
+),
+led AS (
+  SELECT n AS x,
+         LEAD(n, 1) OVER w AS y1, LEAD(n, 2) OVER w AS y2,
+         LEAD(n, 3) OVER w AS y3, LEAD(n, 6) OVER w AS y6,
+         LEAD(n, 12) OVER w AS y12, LEAD(n, 24) OVER w AS y24
+  FROM d WINDOW w AS (ORDER BY hour)
+),
+pairs AS (
+  SELECT 1 AS lag, x, y1 AS y FROM led WHERE y1 IS NOT NULL
+  UNION ALL SELECT 2, x, y2 FROM led WHERE y2 IS NOT NULL
+  UNION ALL SELECT 3, x, y3 FROM led WHERE y3 IS NOT NULL
+  UNION ALL SELECT 6, x, y6 FROM led WHERE y6 IS NOT NULL
+  UNION ALL SELECT 12, x, y12 FROM led WHERE y12 IS NOT NULL
+  UNION ALL SELECT 24, x, y24 FROM led WHERE y24 IS NOT NULL
+),
+a AS (
+  SELECT lag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+       CASE WHEN n > 1 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN ROUND((n * sxy - sx * sy)
+                       / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+       END AS acf
+FROM a
+"""
+
+
 def session_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP scoped to activity sessions — the documented contract for
     unbounded keys (segment first, then match): 30-min-gap
@@ -7309,6 +7546,12 @@ CATALOG: dict[str, QueryDef] = {
     "events_orc_roundtrip": QueryDef(events_orc_roundtrip, ORC_ROUNDTRIP_SQL),
     "privacy_k_anonymity": QueryDef(privacy_k_anonymity, K_ANONYMITY_SQL),
     "events_anomaly_mad": QueryDef(events_anomaly_mad, ANOMALY_MAD_SQL),
+    "events_cusum_changepoint": QueryDef(events_cusum_changepoint, CUSUM_SQL),
+    "orders_benford_digits": QueryDef(orders_benford_digits, BENFORD_SQL),
+    "corpus_gini_concentration": QueryDef(
+        corpus_gini_concentration, GINI_SQL
+    ),
+    "events_hourly_acf": QueryDef(events_hourly_acf, ACF_SQL),
     "bpe_pair_counts": QueryDef(bpe_pair_counts, BPE_PAIRS_SQL),
     "bpe_learned_merges": QueryDef(bpe_learned_merges, BPE_MERGES_SQL),
     "bpe_encode_stats": QueryDef(bpe_encode_stats, BPE_ENCODE_SQL),
@@ -7457,6 +7700,12 @@ _DRIVER_PRIORITY = [
     #     another in-window rep (displacements annotated inline);
     # (e) a regression spread over proven entries not recently
     #     windowed.
+    # Late-round additions beyond (d): events_markov_transitions,
+    # customer_rfm_segments, customer_abc_classes, user_value_ewma,
+    # part_association_rules, and the final four analytics entries
+    # (events_cusum_changepoint, orders_benford_digits,
+    # corpus_gini_concentration, events_hourly_acf) — every round-6
+    # entry is in-window, displacements annotated inline.
     #
     # CDC / merge engine (L0 machinery extracted this round):
     "cdc_final_state",
@@ -7495,8 +7744,13 @@ _DRIVER_PRIORITY = [
     #   (displaced cdc_envelope_decode, driver-proven r2 — the decode
     #   path stays exercised in-window by cdc_quarantine_repair)
     "cdc_quarantine_repair",       # DLQ replay over tombstones
-    "cdc_schema_evolution",        # G8 + evolution
-    "cdc_scd2_incremental",        # SCD2 store
+    "events_cusum_changepoint",    # NEW r6 late: CUSUM level-shift scan
+    #   (displaced cdc_schema_evolution, driver-proven r3/r4 — CDC
+    #   family keeps six in-window reps: final_state, streaming_merge,
+    #   gold_rollup, forget_keys, masked_replication, quarantine_repair)
+    "orders_benford_digits",       # NEW r6 late: Benford DQ audit
+    #   (displaced cdc_scd2_incremental, driver-proven r3 — same CDC
+    #   coverage argument; the DQ family adds this to dq_orders_report)
     "wal_size_monitor",            # monitoring aggregation
     "user_value_ewma",             # NEW r6: integer-space EWMA trend
     #   (displaced streaming_dedup, driver-proven r2-r4 — streaming
@@ -7520,11 +7774,19 @@ _DRIVER_PRIORITY = [
     #   (displaced knn_bruteforce, driver-proven r2-r4 — similarity
     #   reps remain: ann_recall_audit, pq_recall_audit, ivf_topk,
     #   ivf_incremental_search, streaming_ivf_search)
-    "pq_recall_audit",
+    "events_hourly_acf",           # NEW r6 late: lag-k autocorrelation
+    #   (displaced pq_recall_audit, driver-proven r4 — similarity reps
+    #   remain: ann_recall_audit canary, ivf_incremental_search,
+    #   streaming_ivf_search; ACF gives the statistics family an
+    #   in-window rep on the price_time_correlation recipe)
     "customer_rfm_segments",       # NEW r6: RFM integer quintiles
     #   (displaced ivf_topk, driver-proven r4 — IVF stays covered by
     #   ivf_incremental_search + streaming_ivf_search)
-    "corpus_dsir_weights",         # integer-space mean rounding rep
+    "corpus_gini_concentration",   # NEW r6 late: Lorenz/Gini governance
+    #   (displaced corpus_dsir_weights, driver-proven r5 — this entry
+    #   carries the SAME integer-space half-up `div` rounding recipe,
+    #   so the rounding-determinism canary role transfers with it;
+    #   corpus reps remain: curation_funnel canary, temperature_mix)
     "corpus_temperature_mix",      # NEW r6: sqrt-temperature mixing
     #   (displaced corpus_pack_sequences, driver-proven r4; corpus
     #   family reps remain: curation_funnel, dsir_weights)

@@ -268,3 +268,74 @@ def interpolate_at(
         F.col("_grid_ts").alias(grid_ts),
         F.round(interp, decimals).alias(out_col),
     )
+
+
+def autocorrelation(
+    series: DataFrame,
+    order_col: str,
+    value_col: str,
+    lags: tuple[int, ...] = (1, 2, 3, 6, 12, 24),
+) -> DataFrame:
+    """Sample autocorrelation of an integer-valued series at fixed lags.
+
+    The seasonality/trend diagnostic of a metrics pipeline: Pearson r
+    between the series and its lag-L shift, for each L in ``lags``.
+    Input is ONE ROW PER BUCKET with an integer ``value_col`` (e.g. the
+    hourly count frame), dense — the caller zero-fills gaps so the lag
+    alignment is positional time, not observation order.
+
+    Determinism recipe (same as ``catalog.price_time_correlation``):
+    every Σ (n, Σx, Σy, Σxy, Σx², Σy²) accumulates EXACTLY over
+    decimal(38,0) — integer values, no float addition order anywhere —
+    and the closed-form r evaluates in doubles from those exact
+    scalars, the identical IEEE expression on both engines.
+
+    Plan shape: ALL lags come off one window sort — a single
+    projection computes every ``lead(value, L)`` over the same ordered
+    frame, then explodes (lag, x, y) triples and aggregates per lag.
+    One pass over the bucketed frame (bounded by the time range, not
+    the data volume), never one scan per lag.
+
+    Returns (lag BIGINT, n_pairs BIGINT, acf DOUBLE) — acf NULL when a
+    lag has fewer than 2 pairs or zero variance.
+    """
+    w = Window.orderBy(order_col)
+    v = F.col(value_col).cast("long")
+    led = series.select(
+        v.alias("_x"),
+        *[F.lead(v, L).over(w).alias(f"_y{L}") for L in lags],
+    )
+    pairs = led.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(L).cast("long").alias("lag"),
+                        F.col("_x").alias("x"),
+                        F.col(f"_y{L}").alias("y"),
+                    )
+                    for L in lags
+                ]
+            )
+        ).alias("p")
+    ).select("p.lag", "p.x", "p.y").where(F.col("y").isNotNull())
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(d(F.col("x"))).cast("double").alias("sx"),
+        F.sum(d(F.col("y"))).cast("double").alias("sy"),
+        F.sum(d(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+        F.sum(d(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+        F.sum(d(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    den = F.sqrt(var_x * var_y)
+    return agg.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n_pairs"),
+        F.when(
+            (F.col("n") > 1) & (var_x > 0) & (var_y > 0), F.round(num / den, 6)
+        ).alias("acf"),
+    )

@@ -90,6 +90,14 @@ EXPECTED_MAX = {
     "customer_abc_classes": {"exchanges": 2, "scans": 1},
     # lineitem scanned at most twice (pairing + item counts)
     "part_association_rules": {"exchanges": 4, "scans": 2},
+    # daily count agg + bounded spine join; CUSUM windows add no shuffle
+    "events_cusum_changepoint": {"exchanges": 2, "scans": 2},
+    # one 9-key agg + 9-row spine join
+    "orders_benford_digits": {"exchanges": 2, "scans": 1},
+    # per-source agg + bounded-frame windows, no joins
+    "corpus_gini_concentration": {"exchanges": 2, "scans": 1},
+    # hourly agg + spine join; ALL lags off one window sort
+    "events_hourly_acf": {"exchanges": 2, "scans": 2},
 }
 
 

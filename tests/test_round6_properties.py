@@ -142,3 +142,188 @@ class TestCompatLatticeProperties:
                 if a != b:
                     # no two distinct primitives widen both ways
                     assert not (is_widening(a, b) and is_widening(b, a)), (a, b)
+
+
+class TestCusumProperties:
+    def _brute(self, counts):
+        n, total = len(counts), sum(counts)
+        prefix, out = 0, []
+        for k, c in enumerate(counts, 1):
+            prefix += c
+            out.append(n * prefix - k * total)
+        return out
+
+    def test_matches_bruteforce_and_flags_level_shift(self, spark):
+        from etl_stream_spark.operators.anomaly import cusum_changepoints
+
+        counts = [5] * 10 + [50] * 10
+        df = spark.createDataFrame(
+            list(enumerate(counts, 1)), "bucket long, n long"
+        )
+        got = cusum_changepoints(df, "bucket", "n").orderBy("bucket").collect()
+        want = self._brute(counts)
+        assert [r.cusum_scaled for r in got] == want
+        # the peak |S_k| sits exactly at the shift boundary (bucket 10)
+        peaks = [r.bucket for r in got if r.is_peak]
+        assert peaks == [10]
+        # telescoping identity: S_n == 0 always
+        assert got[-1].cusum_scaled == 0
+
+    def test_partitioning_invariance(self, spark):
+        from etl_stream_spark.operators.anomaly import cusum_changepoints
+
+        rng = random.Random(11)
+        counts = [rng.randint(0, 100) for _ in range(60)]
+        df = spark.createDataFrame(
+            list(enumerate(counts, 1)), "bucket long, n long"
+        )
+        a = _rows(cusum_changepoints(df, "bucket", "n"))
+        b = _rows(cusum_changepoints(df.repartition(13), "bucket", "n"))
+        assert a == b
+        # exactly one peak row
+        assert sum(1 for r in a if r[3]) == 1
+
+
+class TestBenfordProperties:
+    def test_counts_and_ppm_identities(self, spark):
+        from etl_stream_spark.operators.anomaly import (
+            BENFORD_EXPECTED_PPM,
+            benford_report,
+        )
+
+        # 1-, 2-, 3-digit values; zero/negative excluded; digit 9 absent
+        vals = [1, 12, 123, 222, 2999, 345, 40, 41, 5, -7, 0]
+        df = spark.createDataFrame([(v,) for v in vals], "amount long")
+        got = {r.digit: r for r in benford_report(df, "amount").collect()}
+        assert sorted(got) == list(range(1, 10))
+        counts = {1: 3, 2: 2, 3: 1, 4: 2, 5: 1, 9: 0}
+        for d in range(1, 10):
+            assert got[d].n_values == counts.get(d, 0), d
+        # observed shares round half-up to ppm and sum to ~1e6
+        total = sum(counts.values())
+        for d in range(1, 10):
+            n = counts.get(d, 0)
+            assert got[d].observed_ppm == (2 * n * 1_000_000 + total) // (
+                2 * total
+            ), d
+            assert got[d].expected_ppm == BENFORD_EXPECTED_PPM[d]
+            assert got[d].delta_ppm == got[d].observed_ppm - got[d].expected_ppm
+        assert sum(BENFORD_EXPECTED_PPM.values()) == 1_000_000
+        assert abs(sum(r.observed_ppm for r in got.values()) - 1_000_000) <= 9
+
+    def test_partitioning_invariance(self, spark):
+        from etl_stream_spark.operators.anomaly import benford_report
+
+        rng = random.Random(5)
+        vals = [(rng.randint(1, 10**6),) for _ in range(500)]
+        df = spark.createDataFrame(vals, "amount long")
+        assert _rows(benford_report(df, "amount")) == _rows(
+            benford_report(df.repartition(17), "amount")
+        )
+
+
+class TestSourceConcentrationProperties:
+    def _brute_gini_ppm(self, weights):
+        xs = sorted(weights)
+        n, s = len(xs), sum(xs)
+        iw = sum(i * x for i, x in enumerate(xs, 1))
+        num = 2 * iw - (n + 1) * s
+        den = n * s
+        return (2 * num * 1_000_000 + den) // (2 * den)
+
+    def test_equal_weights_give_zero_gini(self, spark):
+        from etl_stream_spark.operators.corpus import source_concentration
+
+        rows = [(f"s{i}", 100) for i in range(6) for _ in range(3)]
+        df = spark.createDataFrame(rows, "source string, n_chars long")
+        out = source_concentration(df).collect()
+        assert all(r.gini_ppm == 0 for r in out)
+        assert out == sorted(out, key=lambda r: (r.total_weight, r.source))
+
+    def test_matches_bruteforce_and_lorenz_identities(self, spark):
+        from etl_stream_spark.operators.corpus import source_concentration
+
+        rng = random.Random(9)
+        per_source = {f"s{i}": rng.randint(1, 500) for i in range(8)}
+        rows = [(s, w) for s, w in per_source.items()]
+        df = spark.createDataFrame(rows, "source string, n_chars long")
+        out = source_concentration(df).orderBy("cum_weight").collect()
+        assert [r.gini_ppm for r in out] == [
+            self._brute_gini_ppm(list(per_source.values()))
+        ] * len(out)
+        # Lorenz curve: cumulative weights are monotone and end at the
+        # total; the final cumulative share is exactly 1e6 ppm
+        assert out[-1].cum_weight == sum(per_source.values())
+        assert out[-1].cum_share_ppm == 1_000_000
+        cums = [r.cum_weight for r in out]
+        assert cums == sorted(cums)
+
+    def test_partitioning_invariance(self, spark):
+        from etl_stream_spark.operators.corpus import source_concentration
+
+        rng = random.Random(21)
+        rows = [
+            (f"s{rng.randint(0, 5)}", rng.randint(10, 2000)) for _ in range(300)
+        ]
+        df = spark.createDataFrame(rows, "source string, n_chars long")
+        assert _rows(source_concentration(df)) == _rows(
+            source_concentration(df.repartition(19))
+        )
+
+
+class TestAutocorrelationProperties:
+    def test_periodic_series_has_unit_acf_at_period(self, spark):
+        from etl_stream_spark.operators.temporal import autocorrelation
+
+        series = [(t, [3, 9, 1, 7][t % 4]) for t in range(48)]
+        df = spark.createDataFrame(series, "bucket long, n long")
+        out = {
+            r.lag: r
+            for r in autocorrelation(df, "bucket", "n", lags=(1, 2, 4, 8)).collect()
+        }
+        assert out[4].acf == 1.0 and out[8].acf == 1.0
+        assert out[4].n_pairs == 44
+        assert out[1].acf < 1.0
+
+    def test_constant_series_yields_null_acf(self, spark):
+        from etl_stream_spark.operators.temporal import autocorrelation
+
+        df = spark.createDataFrame(
+            [(t, 5) for t in range(30)], "bucket long, n long"
+        )
+        out = autocorrelation(df, "bucket", "n", lags=(1, 2)).collect()
+        assert all(r.acf is None for r in out)
+
+    def test_matches_bruteforce_pearson(self, spark):
+        from etl_stream_spark.operators.temporal import autocorrelation
+
+        rng = random.Random(13)
+        vals = [rng.randint(0, 50) for _ in range(80)]
+        df = spark.createDataFrame(
+            list(enumerate(vals)), "bucket long, n long"
+        )
+        out = {
+            r.lag: r.acf
+            for r in autocorrelation(df, "bucket", "n", lags=(1, 5)).collect()
+        }
+        for lag in (1, 5):
+            xs, ys = vals[:-lag], vals[lag:]
+            n = float(len(xs))
+            sx, sy = float(sum(xs)), float(sum(ys))
+            sxy = float(sum(x * y for x, y in zip(xs, ys)))
+            sxx = float(sum(x * x for x in xs))
+            syy = float(sum(y * y for y in ys))
+            want = (n * sxy - sx * sy) / (
+                ((n * sxx - sx * sx) * (n * syy - sy * sy)) ** 0.5
+            )
+            assert abs(out[lag] - want) <= 1e-6, lag
+
+    def test_partitioning_invariance(self, spark):
+        from etl_stream_spark.operators.temporal import autocorrelation
+
+        rng = random.Random(17)
+        vals = [(t, rng.randint(0, 9)) for t in range(100)]
+        df = spark.createDataFrame(vals, "bucket long, n long")
+        assert _rows(autocorrelation(df, "bucket", "n")) == _rows(
+            autocorrelation(df.repartition(23), "bucket", "n")
+        )
