@@ -119,6 +119,9 @@ BENCH_QUERIES = [
     "orders_benford_digits",
     "corpus_gini_concentration",
     "events_hourly_acf",
+    "corpus_oov_rate",
+    "corpus_quality_calibration",
+    "events_conversion_latency",
 ]
 
 

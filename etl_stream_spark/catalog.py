@@ -5932,6 +5932,220 @@ FROM a
 """
 
 
+def corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit: per-source out-of-vocabulary token
+    rate against the corpus's own top-1000 vocabulary (term-frequency
+    desc, token asc tie-break) — the tokenizer-fit screen run before
+    committing a vocab size.  The vocab is a bounded global top-k
+    (`TakeOrderedAndProject` — per-partition heads merged, never a
+    single-partition sort of the full vocabulary) left-joined onto
+    per-(source, token) counts, which AQE broadcasts (1000 rows).  The
+    rate rounds half-up in exact integer space.  Tokens count with
+    multiplicity; the explode runs once (the global tf re-aggregates
+    the per-source counts)."""
+    docs = _t(spark, sf_dir, "documents")
+    ex = docs.select("source", F.explode(ta.tokens("text")).alias("token"))
+    st = ex.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tf = st.groupBy("token").agg(F.sum("n").alias("tf"))
+    vocab = (
+        tf.orderBy(F.col("tf").desc(), F.col("token").asc())
+        .limit(1000)
+        .select("token", F.lit(1).alias("_v"))
+    )
+    return (
+        st.join(vocab, "token", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_v").isNull(), F.col("n")).otherwise(F.lit(0))
+            ).alias("n_oov"),
+        )
+        .where(F.col("n_tokens") > 0)
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.expr("(2 * n_oov * 1000000 + n_tokens) div (2 * n_tokens)")
+            .cast("long")
+            .alias("oov_ppm"),
+        )
+    )
+
+
+OOV_SQL = f"""
+WITH toks AS ({TOKS_CTE}),
+ex AS (SELECT source, unnest(t) AS token FROM toks),
+st AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n FROM ex GROUP BY 1, 2),
+tf AS (SELECT token, SUM(n) AS tf FROM st GROUP BY 1),
+vocab AS (SELECT token FROM tf ORDER BY tf DESC, token ASC LIMIT 1000),
+j AS (
+  SELECT st.source AS source, st.n AS n, v.token IS NOT NULL AS in_vocab
+  FROM st LEFT JOIN vocab v USING (token)
+)
+SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN in_vocab THEN 0 ELSE n END) AS BIGINT) AS n_oov,
+       CAST((2 * SUM(CASE WHEN in_vocab THEN 0 ELSE n END) * 1000000 + SUM(n))
+            // (2 * SUM(n)) AS BIGINT) AS oov_ppm
+FROM j GROUP BY source HAVING SUM(n) > 0
+"""
+
+
+def corpus_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the linear quality model: documents
+    binned by model-score decile, each bin reporting how often the
+    independent C4-style heuristic gate (``n_tokens >= 5 AND
+    punct_ratio < 0.3``, the `text_quality` rule) agrees — the
+    model-vs-heuristic calibration audit run before trusting a learned
+    filter at corpus scale.  Bin = ``least(floor(score*10), 9)`` on the
+    6-dp-rounded score (identical IEEE multiply+floor on both engines);
+    agreement rates round half-up in exact integer space; min/max score
+    per bin are order-free.  A 10-row bin spine keeps empty deciles
+    visible.  One scan, one 10-key aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = ta.with_model_score(docs).select(
+        "doc_id",
+        "model_score",
+        (
+            (F.col("n_tokens") >= 5) & (F.col("punct_ratio") < 0.3)
+        ).alias("_keep"),
+    )
+    binned = scored.select(
+        F.least(F.floor(F.col("model_score") * 10), F.lit(9))
+        .cast("long")
+        .alias("bin"),
+        "model_score",
+        "_keep",
+    )
+    g = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("_keep"), 1).otherwise(0)).cast("long").alias(
+            "n_heuristic_keep"
+        ),
+        F.min("model_score").alias("min_score"),
+        F.max("model_score").alias("max_score"),
+    )
+    spine = spark.range(0, 10).select(F.col("id").alias("bin"))
+    j = spine.join(g, "bin", "left")
+    return j.select(
+        "bin",
+        F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce(F.col("n_heuristic_keep"), F.lit(0))
+        .cast("long")
+        .alias("n_heuristic_keep"),
+        F.when(
+            F.col("n_docs") > 0,
+            F.expr(
+                "(2 * n_heuristic_keep * 1000000 + n_docs) div (2 * n_docs)"
+            ),
+        )
+        .cast("long")
+        .alias("keep_ppm"),
+        "min_score",
+        "max_score",
+    )
+
+
+CALIBRATION_SQL = f"""
+WITH toks AS ({TOKS_CTE}), q AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         ROUND(CASE WHEN len(t) > 0
+               THEN CAST(len(list_filter(t, x -> x IN ({{stop}}))) AS DOUBLE) / len(t)
+               ELSE 0.0 END, 6) AS stopword_ratio,
+         ROUND(CASE WHEN length(text) > 0
+               THEN CAST(length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+                    / length(text)
+               ELSE 0.0 END, 6) AS punct_ratio
+  FROM toks
+), z AS (
+  SELECT *, ({{bias}} + {{w_log}} * ln(1.0 + CAST(n_tokens AS DOUBLE))
+             + {{w_stop}} * stopword_ratio
+             + {{w_punct}} * punct_ratio) AS zv
+  FROM q
+), m AS (
+  SELECT ROUND(1.0 / (1.0 + exp(-zv)), 6) AS model_score,
+         (n_tokens >= 5 AND punct_ratio < 0.3) AS keep
+  FROM z
+), binned AS (
+  SELECT CAST(LEAST(FLOOR(model_score * 10), 9) AS BIGINT) AS bin,
+         model_score, keep
+  FROM m
+), g AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_heuristic_keep,
+         MIN(model_score) AS min_score, MAX(model_score) AS max_score
+  FROM binned GROUP BY 1
+),
+spine AS (SELECT unnest(range(0, 10)) AS bin)
+SELECT s.bin AS bin,
+       COALESCE(g.n_docs, 0) AS n_docs,
+       COALESCE(g.n_heuristic_keep, 0) AS n_heuristic_keep,
+       CASE WHEN g.n_docs > 0
+            THEN CAST((2 * g.n_heuristic_keep * 1000000 + g.n_docs)
+                      // (2 * g.n_docs) AS BIGINT) END AS keep_ppm,
+       g.min_score AS min_score, g.max_score AS max_score
+FROM spine s LEFT JOIN g USING (bin)
+"""
+
+
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion-latency distribution: for users whose first
+    purchase follows their first view, exact interpolated percentiles
+    of the view→purchase delay in whole seconds — the time-to-convert
+    report beside ``events_conversion_funnel``'s step counts.  One
+    user-key aggregation (two conditional MINs), exact integral-second
+    deltas (``unix_micros`` diff, `div` — never float epoch math), then
+    the exact ``percentile`` = ``quantile_cont`` finish whose
+    cross-engine parity ``order_price_quantiles`` driver-proved.  The
+    final percentile gathers one value per converted user; at 100 TB
+    the mergeable binned histogram (``order_price_quantiles_sketch``)
+    is the bounded-memory stand-in."""
+    ev = _t(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("fv"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "fp"
+        ),
+    )
+    conv = pu.where(
+        F.col("fv").isNotNull() & F.col("fp").isNotNull() & (F.col("fp") >= F.col("fv"))
+    ).select(
+        F.expr("(unix_micros(fp) - unix_micros(fv)) div 1000000")
+        .cast("double")
+        .alias("lat_s")
+    )
+    return conv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.expr("percentile(lat_s, 0.25)"), 6).alias("p25_s"),
+        F.round(F.expr("percentile(lat_s, 0.5)"), 6).alias("p50_s"),
+        F.round(F.expr("percentile(lat_s, 0.75)"), 6).alias("p75_s"),
+        F.round(F.expr("percentile(lat_s, 0.9)"), 6).alias("p90_s"),
+    )
+
+
+CONVERSION_LATENCY_SQL = """
+WITH pu AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS fv,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+  FROM events GROUP BY 1
+),
+conv AS (
+  SELECT CAST((epoch_us(fp) - epoch_us(fv)) // 1000000 AS DOUBLE) AS lat_s
+  FROM pu WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       ROUND(quantile_cont(lat_s, 0.25), 6) AS p25_s,
+       ROUND(quantile_cont(lat_s, 0.5), 6) AS p50_s,
+       ROUND(quantile_cont(lat_s, 0.75), 6) AS p75_s,
+       ROUND(quantile_cont(lat_s, 0.9), 6) AS p90_s
+FROM conv
+"""
+
+
 def session_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP scoped to activity sessions — the documented contract for
     unbounded keys (segment first, then match): 30-min-gap
@@ -7001,6 +7215,17 @@ SELECT doc_id, n_tokens, stopword_ratio, punct_ratio,
 FROM z
 """
 
+# Resolve the calibration oracle's template now that the model
+# constants are in scope (the entry itself is defined earlier, beside
+# the other governance entries).
+CALIBRATION_SQL = CALIBRATION_SQL.format(
+    stop=_STOP_LIST,
+    bias=_QM["bias"],
+    w_log=_QM["w_log_tokens"],
+    w_stop=_QM["w_stopword_ratio"],
+    w_punct=_QM["w_punct_ratio"],
+)
+
 
 def cdc_gold_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full bronze→silver→gold path as one driver-checked query:
@@ -7552,6 +7777,13 @@ CATALOG: dict[str, QueryDef] = {
         corpus_gini_concentration, GINI_SQL
     ),
     "events_hourly_acf": QueryDef(events_hourly_acf, ACF_SQL),
+    "corpus_oov_rate": QueryDef(corpus_oov_rate, OOV_SQL),
+    "corpus_quality_calibration": QueryDef(
+        corpus_quality_calibration, CALIBRATION_SQL
+    ),
+    "events_conversion_latency": QueryDef(
+        events_conversion_latency, CONVERSION_LATENCY_SQL
+    ),
     "bpe_pair_counts": QueryDef(bpe_pair_counts, BPE_PAIRS_SQL),
     "bpe_learned_merges": QueryDef(bpe_learned_merges, BPE_MERGES_SQL),
     "bpe_encode_stats": QueryDef(bpe_encode_stats, BPE_ENCODE_SQL),
@@ -7761,9 +7993,11 @@ _DRIVER_PRIORITY = [
     #   windowed-agg shape stays covered by this entry's aggregation)
     "part_association_rules",      # NEW r6: market-basket rules
     #   (displaced dedup_minhash_signatures, driver-proven r2-r4 —
-    #   dedup reps remain: dedup_exact, dedup_lsh_incremental,
-    #   dedup_clusters)
-    "dedup_clusters",              # connected components
+    #   dedup reps remain: dedup_exact, dedup_lsh_incremental)
+    "corpus_oov_rate",             # NEW r6 late: vocabulary coverage
+    #   (displaced dedup_clusters, driver-proven r3+r5 — the iterative
+    #   CC engine stays pytest-pinned; dedup family reps remain:
+    #   dedup_exact canary, dedup_lsh_incremental)
     # NEW round-6 entries (never driver-checked — must be windowed;
     # displaced dedup_simhash / semantic_dedup / corpus_tfidf, all
     # driver-proven r2-r5 with other family reps still in-window)
@@ -7790,7 +8024,11 @@ _DRIVER_PRIORITY = [
     "corpus_temperature_mix",      # NEW r6: sqrt-temperature mixing
     #   (displaced corpus_pack_sequences, driver-proven r4; corpus
     #   family reps remain: curation_funnel, dsir_weights)
-    "text_quality",                # feeds the trained model's features
+    "corpus_quality_calibration",  # NEW r6 late: model reliability bins
+    #   (displaced text_quality, driver-proven r2-r4 — the calibration
+    #   entry recomputes the SAME heuristic rule and model features, so
+    #   the text-quality surface stays exercised; text_token_stats
+    #   remains the text-family canary)
     "events_hourly_seasonality",   # NEW r6: seasonal profile/index
     #   (displaced text_langid, driver-proven r2-r4 — text family reps
     #   remain: text_token_stats canary, text_quality)
@@ -7799,7 +8037,11 @@ _DRIVER_PRIORITY = [
     "part_copurchase_triangles",   # NEW r6: triangle census (graph)
     #   (displaced user_cohort_retention, driver-proven r5 window —
     #   cube/window family stays covered by customer_order_history)
-    "top5_orders_partial",         # partial top-k
+    "events_conversion_latency",   # NEW r6 late: funnel latency
+    #   (displaced top5_orders_partial, driver-proven r5 on the
+    #   shared-order-col fix — partial top-k stays pytest-pinned;
+    #   the exact-percentile parity this entry rides was driver-proven
+    #   by order_price_quantiles r4)
     "q21_waiting_suppliers",       # most expensive TPC-H (plan-audited)
 ]
 

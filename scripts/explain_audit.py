@@ -98,6 +98,13 @@ EXPECTED_MAX = {
     "corpus_gini_concentration": {"exchanges": 2, "scans": 1},
     # hourly agg + spine join; ALL lags off one window sort
     "events_hourly_acf": {"exchanges": 2, "scans": 2},
+    # one explode pass (tf re-aggregates per-source counts; documents
+    # scanned ONCE), bounded top-1000 vocab broadcast
+    "corpus_oov_rate": {"exchanges": 3, "scans": 1},
+    # one scan, one 10-key agg, 10-row spine broadcast
+    "corpus_quality_calibration": {"exchanges": 1, "scans": 1},
+    # user-key agg + single-row percentile finish
+    "events_conversion_latency": {"exchanges": 2, "scans": 1},
 }
 
 

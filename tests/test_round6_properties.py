@@ -327,3 +327,58 @@ class TestAutocorrelationProperties:
         assert _rows(autocorrelation(df, "bucket", "n")) == _rows(
             autocorrelation(df.repartition(23), "bucket", "n")
         )
+
+
+class TestLateAnalyticsEntryInvariants:
+    """Cross-column invariants of the late-round catalog entries over
+    the real sf0.001 tables (the oracle gate proves value parity; these
+    pin the semantic identities a refactor could silently break)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_oov_rate_bounds_and_totals(self, spark):
+        from etl_stream_spark.catalog import corpus_oov_rate, corpus_vocabulary
+
+        rows = corpus_oov_rate(spark, self.SF).collect()
+        assert rows, "at least one source"
+        total_tokens = sum(r.n_tokens for r in rows)
+        vocab_total = (
+            corpus_vocabulary(spark, self.SF)
+            .agg(F.sum("term_freq").alias("s"))
+            .collect()[0]
+            .s
+        )
+        # every exploded token lands in exactly one source bucket
+        assert total_tokens == vocab_total
+        for r in rows:
+            assert 0 <= r.n_oov <= r.n_tokens
+            assert 0 <= r.oov_ppm <= 1_000_000
+            assert r.oov_ppm == (2 * r.n_oov * 1_000_000 + r.n_tokens) // (
+                2 * r.n_tokens
+            )
+
+    def test_calibration_bins_partition_the_corpus(self, spark):
+        from etl_stream_spark.catalog import corpus_quality_calibration
+
+        rows = corpus_quality_calibration(spark, self.SF).collect()
+        assert sorted(r.bin for r in rows) == list(range(10))
+        n_docs = (
+            spark.read.parquet(f"{self.SF}/documents.parquet").count()
+        )
+        assert sum(r.n_docs for r in rows) == n_docs
+        for r in rows:
+            assert r.n_heuristic_keep <= r.n_docs
+            if r.n_docs == 0:
+                assert r.keep_ppm is None and r.min_score is None
+            else:
+                # scores in a decile bin sit inside its half-open range
+                # (bin 9 also holds score == 1.0)
+                assert r.min_score >= r.bin / 10 - 1e-9
+                assert r.max_score <= (r.bin + 1) / 10 + 1e-9
+
+    def test_conversion_latency_percentiles_monotone(self, spark):
+        from etl_stream_spark.catalog import events_conversion_latency
+
+        r = events_conversion_latency(spark, self.SF).collect()[0]
+        assert r.n_converted > 0
+        assert 0 <= r.p25_s <= r.p50_s <= r.p75_s <= r.p90_s
