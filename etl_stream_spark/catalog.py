@@ -5918,9 +5918,9 @@ a AS (
          CAST(COUNT(*) AS DOUBLE) AS n,
          CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
          CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
-         CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
-         CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy
   FROM pairs GROUP BY lag
 )
 SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
@@ -5968,9 +5968,13 @@ def corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_tokens",
             "n_oov",
-            F.expr("(2 * n_oov * 1000000 + n_tokens) div (2 * n_tokens)")
-            .cast("long")
-            .alias("oov_ppm"),
+            # numerator in decimal(38,0) to mirror the oracle's HUGEINT
+            # (2·n_oov·1e6 would overflow BIGINT past ~4.6e12 tokens
+            # per source — reachable at the 100 TB envelope)
+            F.expr(
+                "cast((2 * cast(n_oov as decimal(38,0)) * 1000000 + n_tokens)"
+                " div (2 * cast(n_tokens as decimal(38,0))) as long)"
+            ).alias("oov_ppm"),
         )
     )
 
@@ -6005,12 +6009,10 @@ def corpus_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     per bin are order-free.  A 10-row bin spine keeps empty deciles
     visible.  One scan, one 10-key aggregation."""
     docs = _t(spark, sf_dir, "documents")
+    # quality_keep comes off the SAME with_quality_score pass the model
+    # features ride — one definition of the heuristic rule, not a copy
     scored = ta.with_model_score(docs).select(
-        "doc_id",
-        "model_score",
-        (
-            (F.col("n_tokens") >= 5) & (F.col("punct_ratio") < 0.3)
-        ).alias("_keep"),
+        "doc_id", "model_score", F.col("quality_keep").alias("_keep")
     )
     binned = scored.select(
         F.least(F.floor(F.col("model_score") * 10), F.lit(9))

@@ -172,11 +172,13 @@ def benford_report(df: DataFrame, int_col: str) -> DataFrame:
         .withColumn("_total", F.sum("n_values").over(full))
         .withColumn(
             # half-up in exact integer space (both terms positive) —
-            # Spark `div` / DuckDB `//` — never a double division
+            # Spark `div` / DuckDB `//` — never a double division; the
+            # zero-total guard keeps the operator total on empty input
             "observed_ppm",
-            F.expr("(2 * n_values * 1000000 + _total) div (2 * _total)").cast(
-                "long"
-            ),
+            F.when(
+                F.col("_total") > 0,
+                F.expr("(2 * n_values * 1000000 + _total) div (2 * _total)"),
+            ).cast("long"),
         )
         .withColumn("expected_ppm", expected)
         .select(

@@ -549,7 +549,11 @@ def source_concentration(
         .withColumn("cum_weight", F.sum("total_weight").over(w_ord))
         .withColumn("_n", F.count(F.lit(1)).over(w_full))
         .withColumn("_s", F.sum("total_weight").over(w_full))
-        .withColumn("_iw", F.sum(d(F.col("_i") * F.col("total_weight"))).over(w_full))
+        # the multiply itself is decimal (rank · weight can pass 2^63 at
+        # corpus scale; the oracle multiplies in HUGEINT)
+        .withColumn(
+            "_iw", F.sum(d(F.col("_i")) * d(F.col("total_weight"))).over(w_full)
+        )
     )
     staged = staged.withColumn(
         "_num", 2 * F.col("_iw") - d(F.col("_n") + 1) * d(F.col("_s"))

@@ -320,13 +320,15 @@ def autocorrelation(
         ).alias("p")
     ).select("p.lag", "p.x", "p.y").where(F.col("y").isNotNull())
     d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # moment products multiply IN decimal (a long·long product wraps
+    # silently past 2^63 — values above ~3e9 would corrupt the acf)
     agg = pairs.groupBy("lag").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum(d(F.col("x"))).cast("double").alias("sx"),
         F.sum(d(F.col("y"))).cast("double").alias("sy"),
-        F.sum(d(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
-        F.sum(d(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
-        F.sum(d(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+        F.sum(d(F.col("x")) * d(F.col("y"))).cast("double").alias("sxy"),
+        F.sum(d(F.col("x")) * d(F.col("x"))).cast("double").alias("sxx"),
+        F.sum(d(F.col("y")) * d(F.col("y"))).cast("double").alias("syy"),
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
