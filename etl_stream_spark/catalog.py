@@ -4072,6 +4072,49 @@ SELECT hour, n_rows, 'matches(props)', v3 FROM agg
 """
 
 
+def streaming_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming change-point monitoring — the CUSUM level-shift screen
+    (``operators/anomaly.py::cusum_changepoints``) kept live on the
+    ingest stream: per-day counts accumulate in ONE watermarked
+    windowed aggregation (counts are additive, so the final bucket
+    frame — and therefore the statistic — is batching-invariant; the
+    oracle is the batch CUSUM over the full log), and the exact
+    scaled-integer report runs over the bounded bucket frame once the
+    stream drains.  ``window(ts, '1 day')`` starts are epoch-aligned =
+    ``date_trunc('day')`` under the pinned UTC session; the dense day
+    spine zero-fills outage days so a silent source failure registers
+    as the level shift it is.  Stream state is one count per day —
+    bounded by the watermark horizon, not the volume."""
+    from etl_stream_spark.operators.anomaly import cusum_changepoints
+
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    name = "cusum_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_raise(q, 300)
+    observed = spark.table(name).select(
+        F.col("window.start").alias("day"), "n"
+    )
+    bounds = observed.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    daily = spine.join(observed, "day", "left").select(
+        "day", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n")
+    )
+    return cusum_changepoints(daily, "day", "n")
+
+
 def streaming_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment: the event stream joined to the customer
     dimension (re-planned per micro-batch — Spark broadcasts the dim
@@ -7891,6 +7934,7 @@ CATALOG: dict[str, QueryDef] = {
     # streaming (real streaming jobs, all value-checked against SQL twins)
     "streaming_hourly_rollup": QueryDef(streaming_hourly_rollup, STREAM_HOURLY_SQL),
     "streaming_dq_monitor": QueryDef(streaming_dq_monitor, STREAM_DQ_SQL),
+    "streaming_cusum_monitor": QueryDef(streaming_cusum_monitor, CUSUM_SQL),
     "streaming_sustained_alerts": QueryDef(streaming_sustained_alerts, ALERTS_SQL),
     "streaming_session_windows": QueryDef(streaming_session_windows, SESSIONS_SQL),
     "streaming_enrichment": QueryDef(streaming_enrichment, ENRICH_SQL),
@@ -7985,7 +8029,10 @@ _DRIVER_PRIORITY = [
     "orders_benford_digits",       # NEW r6 late: Benford DQ audit
     #   (displaced cdc_scd2_incremental, driver-proven r3 — same CDC
     #   coverage argument; the DQ family adds this to dq_orders_report)
-    "wal_size_monitor",            # monitoring aggregation
+    "streaming_cusum_monitor",     # NEW r6 late: CUSUM on a live stream
+    #   (displaced wal_size_monitor, driver-proven r4 — the monitoring
+    #   family keeps four in-window reps: this entry, the batch CUSUM,
+    #   events_anomaly_mad, streaming_dq_monitor)
     "user_value_ewma",             # NEW r6: integer-space EWMA trend
     #   (displaced streaming_dedup, driver-proven r2-r4 — streaming
     #   reps remain: cdc_streaming_merge, streaming_sustained_alerts,

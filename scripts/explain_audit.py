@@ -138,6 +138,7 @@ def main() -> None:
     skip = {
         "streaming_hourly_rollup",
         "streaming_dq_monitor",
+        "streaming_cusum_monitor",
         "cdc_streaming_merge",
         "streaming_sustained_alerts",
         "streaming_dedup",

@@ -382,3 +382,19 @@ class TestLateAnalyticsEntryInvariants:
         r = events_conversion_latency(spark, self.SF).collect()[0]
         assert r.n_converted > 0
         assert 0 <= r.p25_s <= r.p50_s <= r.p75_s <= r.p90_s
+
+
+class TestStreamingCusumParity:
+    def test_stream_equals_batch_report(self, spark):
+        """The streaming CUSUM monitor must reproduce the batch
+        change-point report exactly — counts are additive, so however
+        the stream is batched the final bucket frame is identical."""
+        from etl_stream_spark.catalog import (
+            events_cusum_changepoint,
+            streaming_cusum_monitor,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        batch = _rows(events_cusum_changepoint(spark, sf))
+        stream = _rows(streaming_cusum_monitor(spark, sf))
+        assert stream == batch

@@ -388,6 +388,7 @@ def test_streaming_entries_no_scaling_broadcasts_in_executed_plans(spark):
     entries = [
         "streaming_hourly_rollup",
         "streaming_dq_monitor",
+        "streaming_cusum_monitor",
         "streaming_session_windows",
         "streaming_sustained_alerts",
         "streaming_enrichment",
