@@ -4082,9 +4082,14 @@ def streaming_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled-integer report runs over the bounded bucket frame once the
     stream drains.  ``window(ts, '1 day')`` starts are epoch-aligned =
     ``date_trunc('day')`` under the pinned UTC session; the dense day
-    spine zero-fills outage days so a silent source failure registers
-    as the level shift it is.  Stream state is one count per day —
-    bounded by the watermark horizon, not the volume."""
+    spine (``_zero_fill_buckets``, the SAME definition the batch entry
+    uses — parity is structural) zero-fills outage days so a silent
+    source failure registers as the level shift it is.  Stream state
+    is one count per day bucket: in complete output mode the watermark
+    does NOT evict aggregation state, so the bound is the DATE RANGE
+    of the data (a per-day key domain), not the watermark horizon —
+    the mode is only safe because the key is a coarse time bucket;
+    an unbounded key (user, session) must use update mode instead."""
     from etl_stream_spark.operators.anomaly import cusum_changepoints
 
     stream = _events_stream(spark, sf_dir)
@@ -4105,14 +4110,7 @@ def streaming_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed = spark.table(name).select(
         F.col("window.start").alias("day"), "n"
     )
-    bounds = observed.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
-    spine = bounds.select(
-        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
-    )
-    daily = spine.join(observed, "day", "left").select(
-        "day", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n")
-    )
-    return cusum_changepoints(daily, "day", "n")
+    return cusum_changepoints(_zero_fill_buckets(observed, "day", "day"), "day", "n")
 
 
 def streaming_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5738,35 +5736,63 @@ GROUP BY 1
 """
 
 
+def _zero_fill_buckets(counts: DataFrame, bucket_col: str, step: str) -> DataFrame:
+    """Dense time-bucket count frame: zero-fill the gaps between the
+    observed min/max bucket, so outage buckets register as zeros
+    instead of vanishing.  Expects the count column named ``n``.
+
+    Single pass, NO self-join and NO second scan of the base table
+    (a spine-plus-left-join formulation re-reads the base table — the
+    bounds aggregate collapses through the counts, and column pruning
+    makes the two branches non-reusable): each observed bucket emits
+    itself plus the zero-count buckets up to (exclusive) the NEXT
+    observed bucket, via one ``lead`` window + ``posexplode`` of the
+    gap sequence.  The only exchange beyond the counts aggregation is
+    the single-partition sort of the bucket frame, which is bounded by
+    the time range, not the data volume.  The monitoring entries
+    (batch CUSUM, streaming CUSUM, hourly ACF) all share this one
+    definition, so their oracle parity is structural."""
+    step_iv = F.expr(f"interval 1 {step}")
+    nxt = F.lead(bucket_col).over(Window.orderBy(bucket_col))
+    gap_end = F.coalesce(F.col("_next") - step_iv, F.col(bucket_col))
+    return (
+        counts.withColumn("_next", nxt)
+        .select(
+            F.col("n").alias("_n0"),
+            F.posexplode(
+                F.sequence(F.col(bucket_col), gap_end, step_iv)
+            ).alias("_pos", bucket_col),
+        )
+        .select(
+            bucket_col,
+            F.when(F.col("_pos") == 0, F.col("_n0"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n"),
+        )
+    )
+
+
 def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Level-shift detection on the daily event volume via the CUSUM
     statistic (``operators/anomaly.py::cusum_changepoints``): the
     classic Page-test screen a pipeline-health monitor runs over its
     ingest counts — a sustained rate change shows as a peak in
     ``|S_k|``, flagged ``is_peak`` at the earliest attaining day.  The
-    day spine is generated dense (``sequence`` / ``generate_series``)
-    so a silent outage day counts as zero instead of vanishing.  The
-    statistic is exact integer arithmetic end to end (scaled by the
-    bucket count — no mean, no float accumulation).  Scale: one
-    map-side-combinable daily count; the CUSUM windows run over the
-    bucketed frame only (bounded by the date range)."""
+    day spine is generated dense (``_zero_fill_buckets``) so a silent
+    outage day counts as zero instead of vanishing.  The statistic is
+    exact integer arithmetic end to end (scaled by the bucket count —
+    no mean, no float accumulation).  Scale: ONE map-side-combinable
+    daily count (single scan — the spine bounds come off the bucket
+    frame); the CUSUM windows run over the bucketed frame only
+    (bounded by the date range)."""
     from etl_stream_spark.operators.anomaly import cusum_changepoints
 
     ev = _t(spark, sf_dir, "events")
-    bounds = ev.agg(
-        F.date_trunc("day", F.min("ts")).alias("d0"),
-        F.date_trunc("day", F.max("ts")).alias("d1"),
-    )
-    spine = bounds.select(
-        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
-    )
     counts = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
-    daily = spine.join(counts, "day", "left").select(
-        "day", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n")
-    )
-    return cusum_changepoints(daily, "day", "n")
+    return cusum_changepoints(_zero_fill_buckets(counts, "day", "day"), "day", "n")
 
 
 CUSUM_SQL = """
@@ -5909,19 +5935,10 @@ def events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_stream_spark.operators.temporal import autocorrelation
 
     ev = _t(spark, sf_dir, "events")
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
-    )
-    spine = bounds.select(
-        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour")
-    )
     counts = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
-    hourly = spine.join(counts, "hour", "left").select(
-        "hour", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n")
-    )
+    hourly = _zero_fill_buckets(counts, "hour", "hour")
     return autocorrelation(hourly, "hour", "n", lags=(1, 2, 3, 6, 12, 24))
 
 
@@ -7980,10 +7997,12 @@ _DRIVER_PRIORITY = [
     #     windowed.
     # Late-round additions beyond (d): events_markov_transitions,
     # customer_rfm_segments, customer_abc_classes, user_value_ewma,
-    # part_association_rules, and the final four analytics entries
-    # (events_cusum_changepoint, orders_benford_digits,
-    # corpus_gini_concentration, events_hourly_acf) — every round-6
-    # entry is in-window, displacements annotated inline.
+    # part_association_rules, then the analytics batches —
+    # events_cusum_changepoint, orders_benford_digits,
+    # corpus_gini_concentration, events_hourly_acf, corpus_oov_rate,
+    # corpus_quality_calibration, events_conversion_latency, and
+    # streaming_cusum_monitor — every round-6 entry is in-window,
+    # displacements annotated inline.
     #
     # CDC / merge engine (L0 machinery extracted this round):
     "cdc_final_state",
