@@ -398,3 +398,42 @@ class TestStreamingCusumParity:
         batch = _rows(events_cusum_changepoint(spark, sf))
         stream = _rows(streaming_cusum_monitor(spark, sf))
         assert stream == batch
+
+
+# -- property: gap-fill equals the brute-force dense spine ---------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+buckets_st = st.dictionaries(
+    st.integers(min_value=0, max_value=60),
+    st.integers(min_value=0, max_value=1000),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(observed=buckets_st)
+def test_zero_fill_matches_bruteforce_dense_spine(spark, observed):
+    """For ANY sparse set of observed day buckets, the single-pass
+    gap-fill (lead + posexplode) produces exactly the dense
+    [min, max] spine with observed counts in place and zeros in the
+    gaps — the contract the spine-join formulation had, minus its
+    second scan."""
+    from etl_stream_spark.catalog import _zero_fill_buckets
+
+    df = spark.createDataFrame(
+        [(d, n) for d, n in observed.items()], "b long, n long"
+    ).select(F.timestamp_seconds(F.col("b") * 86400).alias("day"), "n")
+    out = {
+        int(r.day.timestamp()) // 86400: r.n
+        for r in _zero_fill_buckets(df, "day", "day").collect()
+    }
+    lo, hi = min(observed), max(observed)
+    want = {d: observed.get(d, 0) for d in range(lo, hi + 1)}
+    assert out == want
