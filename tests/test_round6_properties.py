@@ -437,3 +437,96 @@ def test_zero_fill_matches_bruteforce_dense_spine(spark, observed):
     lo, hi = min(observed), max(observed)
     want = {d: observed.get(d, 0) for d in range(lo, hi + 1)}
     assert out == want
+
+
+counts_st = st.lists(
+    st.integers(min_value=0, max_value=10_000), min_size=2, max_size=40
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(counts=counts_st)
+def test_cusum_matches_bruteforce_on_random_series(spark, counts):
+    """For ANY count series: exact scaled-integer CUSUM per bucket,
+    telescoping S_n == 0, and exactly one peak at the earliest argmax
+    of |S_k|."""
+    from etl_stream_spark.operators.anomaly import cusum_changepoints
+
+    df = spark.createDataFrame(list(enumerate(counts, 1)), "bucket long, n long")
+    got = cusum_changepoints(df, "bucket", "n").orderBy("bucket").collect()
+    n, total, prefix = len(counts), sum(counts), 0
+    want = []
+    for k, c in enumerate(counts, 1):
+        prefix += c
+        want.append(n * prefix - k * total)
+    assert [r.cusum_scaled for r in got] == want
+    assert got[-1].cusum_scaled == 0
+    peak_want = max(range(n), key=lambda i: (abs(want[i]), -i)) + 1
+    assert [r.bucket for r in got if r.is_peak] == [peak_want]
+
+
+amounts_st = st.lists(
+    st.integers(min_value=-100, max_value=10**9), min_size=1, max_size=60
+).filter(lambda xs: any(x > 0 for x in xs))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(amounts=amounts_st)
+def test_benford_matches_bruteforce_on_random_amounts(spark, amounts):
+    """For ANY integer amounts (nonpositives excluded): exact per-digit
+    counts, half-up integer-space ppm shares, full 9-digit spine."""
+    from etl_stream_spark.operators.anomaly import benford_report
+
+    df = spark.createDataFrame([(v,) for v in amounts], "amount long")
+    got = {r.digit: r for r in benford_report(df, "amount").collect()}
+    pos = [v for v in amounts if v > 0]
+    want = {d: sum(1 for v in pos if str(v)[0] == str(d)) for d in range(1, 10)}
+    total = len(pos)
+    assert sorted(got) == list(range(1, 10))
+    for d in range(1, 10):
+        assert got[d].n_values == want[d], d
+        assert got[d].observed_ppm == (2 * want[d] * 1_000_000 + total) // (
+            2 * total
+        ), d
+
+
+weights_st = st.dictionaries(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=4),
+    st.integers(min_value=1, max_value=10**6),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(per_source=weights_st)
+def test_gini_matches_bruteforce_on_random_weights(spark, per_source):
+    """For ANY per-source weights: the exact integer-space Gini and a
+    Lorenz curve that is monotone and terminates at exactly 1e6 ppm."""
+    from etl_stream_spark.operators.corpus import source_concentration
+
+    df = spark.createDataFrame(
+        [(s, w) for s, w in per_source.items()], "source string, n_chars long"
+    )
+    out = sorted(source_concentration(df).collect(), key=lambda r: (r.cum_weight))
+    xs = sorted(per_source.values())
+    n, s_tot = len(xs), sum(xs)
+    iw = sum(i * x for i, x in enumerate(xs, 1))
+    num, den = 2 * iw - (n + 1) * s_tot, n * s_tot
+    want_gini = (2 * num * 1_000_000 + den) // (2 * den)
+    assert all(r.gini_ppm == want_gini for r in out)
+    assert out[-1].cum_share_ppm == 1_000_000
+    shares = [r.cum_share_ppm for r in out]
+    assert shares == sorted(shares)
