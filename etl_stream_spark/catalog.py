@@ -5739,7 +5739,13 @@ GROUP BY 1
 def _zero_fill_buckets(counts: DataFrame, bucket_col: str, step: str) -> DataFrame:
     """Dense time-bucket count frame: zero-fill the gaps between the
     observed min/max bucket, so outage buckets register as zeros
-    instead of vanishing.  Expects the count column named ``n``.
+    instead of vanishing.  Expects the count column named ``n`` and
+    DISTINCT, step-aligned bucket values (the output of a
+    ``date_trunc``/``window().start`` group key — one row per bucket on
+    the step grid).  Buckets spaced by less than one step make
+    ``sequence(start, stop, +step)`` raise on its inverted bounds;
+    off-grid spacing would silently break density — neither shape is a
+    bucketed count frame, so both are caller bugs, not inputs.
 
     Single pass, NO self-join and NO second scan of the base table
     (a spine-plus-left-join formulation re-reads the base table — the

@@ -90,14 +90,15 @@ EXPECTED_MAX = {
     "customer_abc_classes": {"exchanges": 2, "scans": 1},
     # lineitem scanned at most twice (pairing + item counts)
     "part_association_rules": {"exchanges": 4, "scans": 2},
-    # daily count agg + bounded spine join (bounds off the bucket frame
-    # — events scanned ONCE); CUSUM windows add no shuffle
+    # daily count agg + join-free single-pass gap fill (lead +
+    # posexplode; events scanned ONCE); CUSUM windows add no shuffle
     "events_cusum_changepoint": {"exchanges": 2, "scans": 1},
     # one 9-key agg + 9-row spine join
     "orders_benford_digits": {"exchanges": 2, "scans": 1},
     # per-source agg + bounded-frame windows, no joins
     "corpus_gini_concentration": {"exchanges": 2, "scans": 1},
-    # hourly agg + spine join (single scan); ALL lags off one window sort
+    # hourly agg + join-free gap fill (single scan); ALL lags off one
+    # window sort
     "events_hourly_acf": {"exchanges": 2, "scans": 1},
     # one explode pass (tf re-aggregates per-source counts; documents
     # scanned ONCE), bounded top-1000 vocab broadcast
