@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "corpus_oov_rate",
     "corpus_quality_calibration",
     "events_conversion_latency",
+    "orders_daily_trend",
 ]
 
 

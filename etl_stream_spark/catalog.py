@@ -5836,6 +5836,86 @@ FROM cs
 """
 
 
+def orders_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ordinary-least-squares trend of daily revenue — the
+    regression twin of ``price_time_correlation``'s Pearson r: slope
+    and intercept of total order cents against the day index, over the
+    DENSE day frame (``_zero_fill_buckets`` — a no-order day pulls the
+    trend down instead of vanishing, and the index is gap-free so x is
+    simply ``row_number − 1``).  Every moment (n, Σx, Σy, Σxy, Σx²)
+    accumulates exactly (integer cents / integer day index,
+    decimal(38,0) products) and the closed-form slope/intercept
+    evaluate in doubles from those exact scalars — identical IEEE ops
+    on both engines.  One scan, one daily aggregation; everything
+    after runs on the bucketed frame."""
+    orders = _t(spark, sf_dir, "orders")
+    counts = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("n"))
+    daily = _zero_fill_buckets(counts, "day", "day")
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    xy = daily.select(
+        (F.row_number().over(Window.orderBy("day")) - 1).cast("long").alias("x"),
+        F.col("n").alias("y"),
+    )
+    agg = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("nn"),
+        F.sum(d(F.col("x"))).cast("double").alias("sx"),
+        F.sum(d(F.col("y"))).cast("double").alias("sy"),
+        F.sum(d(F.col("x")) * d(F.col("y"))).cast("double").alias("sxy"),
+        F.sum(d(F.col("x")) * d(F.col("x"))).cast("double").alias("sxx"),
+    )
+    slope = (F.col("nn") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("nn") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        F.col("nn").cast("long").alias("n_days"),
+        F.round(slope / 100.0, 6).alias("slope_per_day"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("nn") / 100.0, 6).alias(
+            "intercept"
+        ),
+    )
+
+
+DAILY_TREND_SQL = """
+WITH b AS (
+  SELECT CAST(date_trunc('day', MIN(o_orderdate)) AS TIMESTAMP) AS d0,
+         CAST(date_trunc('day', MAX(o_orderdate)) AS TIMESTAMP) AS d1
+  FROM orders
+),
+spine AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM b
+),
+c AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+),
+daily AS (
+  SELECT s.day AS day, COALESCE(c.n, 0) AS n
+  FROM spine s LEFT JOIN c USING (day)
+),
+xy AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) - 1 AS BIGINT) AS x, n AS y
+  FROM daily
+),
+a AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS nn,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx
+  FROM xy
+)
+SELECT CAST(nn AS BIGINT) AS n_days,
+       ROUND(((nn * sxy - sx * sy) / (nn * sxx - sx * sx)) / 100.0, 6)
+         AS slope_per_day,
+       ROUND(((sy - ((nn * sxy - sx * sy) / (nn * sxx - sx * sx)) * sx) / nn)
+             / 100.0, 6) AS intercept
+FROM a
+"""
+
+
 def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit audit over order totals
     (``operators/anomaly.py::benford_report``) — the classic
@@ -7841,6 +7921,7 @@ CATALOG: dict[str, QueryDef] = {
     "events_anomaly_mad": QueryDef(events_anomaly_mad, ANOMALY_MAD_SQL),
     "events_cusum_changepoint": QueryDef(events_cusum_changepoint, CUSUM_SQL),
     "orders_benford_digits": QueryDef(orders_benford_digits, BENFORD_SQL),
+    "orders_daily_trend": QueryDef(orders_daily_trend, DAILY_TREND_SQL),
     "corpus_gini_concentration": QueryDef(
         corpus_gini_concentration, GINI_SQL
     ),
@@ -8027,7 +8108,11 @@ _DRIVER_PRIORITY = [
     "ann_recall_audit",            # similarity + recall audit
     "hybrid_search_rrf",           # hybrid retrieval
     "sketch_distinct_customers",   # sketches
-    "dq_orders_report",            # data quality
+    "orders_daily_trend",          # NEW r6 late: exact OLS trend
+    #   (displaced dq_orders_report, driver-proven r2-r5 — the DQ
+    #   family keeps orders_benford_digits + streaming_dq_monitor
+    #   in-window; this adds the regression surface beside the
+    #   correlation/ACF statistics reps)
     "dedup_lsh_incremental",       # incremental dedup store
     # engine/oracle changed this round
     "lexical_incremental_search",  # postings index on L0AppendLog

@@ -107,6 +107,8 @@ EXPECTED_MAX = {
     "corpus_quality_calibration": {"exchanges": 1, "scans": 1},
     # user-key agg + single-row percentile finish
     "events_conversion_latency": {"exchanges": 2, "scans": 1},
+    # daily revenue agg + join-free gap fill + closed-form OLS finish
+    "orders_daily_trend": {"exchanges": 2, "scans": 1},
 }
 
 

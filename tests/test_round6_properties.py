@@ -530,3 +530,38 @@ def test_gini_matches_bruteforce_on_random_weights(spark, per_source):
     assert out[-1].cum_share_ppm == 1_000_000
     shares = [r.cum_share_ppm for r in out]
     assert shares == sorted(shares)
+
+
+class TestDailyTrendProperties:
+    def test_matches_bruteforce_ols(self, spark):
+        """The catalog OLS over sf0.001 equals a pure-Python least
+        squares over the same dense zero-filled daily cents series."""
+        import duckdb
+
+        from etl_stream_spark.catalog import orders_daily_trend
+
+        sf = "/root/testdata/sf0.001"
+        got = orders_daily_trend(spark, sf).collect()[0]
+        con = duckdb.connect()
+        rows = con.execute(
+            f"""
+            SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS d,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            FROM read_parquet('{sf}/orders.parquet') GROUP BY 1 ORDER BY 1
+            """
+        ).fetchall()
+        lo, hi = rows[0][0], rows[-1][0]
+        by_day = dict(rows)
+        ys, cur = [], lo
+        while cur <= hi:
+            ys.append(by_day.get(cur, 0))
+            cur = cur + __import__("datetime").timedelta(days=1)
+        n = len(ys)
+        sx, sy = sum(range(n)), sum(ys)
+        sxy = sum(i * y for i, y in enumerate(ys))
+        sxx = sum(i * i for i in range(n))
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        assert got.n_days == n
+        assert abs(got.slope_per_day - slope / 100.0) <= 1e-4
+        assert abs(got.intercept - intercept / 100.0) <= 1e-2
