@@ -84,12 +84,21 @@ EXPECTED_MAX = {
     "user_value_ewma": {"exchanges": 1, "scans": 1},
     # lag window + pair agg + bounded outdegree join
     "events_markov_transitions": {"exchanges": 3, "scans": 1},
-    # orders agg + three sorts of the small customer frame
-    "customer_rfm_segments": {"exchanges": 2, "scans": 1},
-    # revenue agg + one global window over the customer frame
-    "customer_abc_classes": {"exchanges": 2, "scans": 1},
-    # lineitem scanned at most twice (pairing + item counts)
-    "part_association_rules": {"exchanges": 4, "scans": 2},
+    # three two-phase exact ranks (operators/ranking.py): per rank one
+    # cell-stats agg + one unit-window exchange; the orders scan hides
+    # behind the operator's localCheckpoint (scans=0 in-plan)
+    "customer_rfm_segments": {"exchanges": 6, "scans": 1},
+    # revenue agg (behind the checkpoint) + one two-phase running sum +
+    # final class agg
+    "customer_abc_classes": {"exchanges": 7, "scans": 1},
+    # surprisal scoring behind the checkpoint + one two-phase rank +
+    # final decile agg
+    "corpus_difficulty_deciles": {"exchanges": 7, "scans": 1},
+    # deduped (order, part) key frame checkpointed once and read by all
+    # four consumers (self-join both sides, item counts, basket count);
+    # the basket total is an in-plan broadcast 1-row aggregate, zero
+    # driver-side actions (lineitem scan hides behind the checkpoint)
+    "part_association_rules": {"exchanges": 5, "scans": 1},
     # daily count agg + join-free single-pass gap fill (lead +
     # posexplode; events scanned ONCE); CUSUM windows add no shuffle
     "events_cusum_changepoint": {"exchanges": 2, "scans": 1},

@@ -243,6 +243,12 @@ def test_no_cartesian_product_in_any_batch_plan(spark):
 #:   dims-bounded (one row per vector position) ... embedding_quantize_int8
 _BOUNDED_HINT_ALLOWLIST = {
     "ann_lsh_topk",
+    # with_global_order entries: broadcasts are the 1-row min/max
+    # bounds and the ≤ fine_buckets·tie_buckets-row cell-offset table
+    # (data-size-independent by construction — operators/ranking.py)
+    "corpus_difficulty_deciles",
+    "customer_abc_classes",
+    "customer_rfm_segments",
     "ann_recall_audit",
     "cdc_change_feed",
     "cdc_point_in_time",
@@ -255,6 +261,7 @@ _BOUNDED_HINT_ALLOWLIST = {
     "ivf_topk",
     "lexical_incremental_search",  # broadcasts: distinct terms of the bounded query set
     "order_price_quantiles_sketch",  # broadcasts: the 1-row min/max domain
+    "part_association_rules",  # broadcasts: the 1-row basket-count aggregate
     "kmeans_assignment",
     "knn_bruteforce",
     "pq_topk",
@@ -453,6 +460,97 @@ def test_streaming_entries_no_scaling_broadcasts_in_executed_plans(spark):
     assert not offenders, (
         f"streaming per-batch plans hint-broadcast SF-scaling relations "
         f"(audit + allowlist or drop the hint): {offenders}"
+    )
+
+
+#: Entries whose plan carries a ``Window`` with an EMPTY partition spec
+#: over a subtree that scans an SF-scaling table, but whose window input
+#: frame is bounded by a KEY DOMAIN rather than the data volume — each
+#: audited:
+#:   bpe_pair_counts ............. adjacent-char-pair frame (≤ alphabet²)
+#:   corpus_gini_concentration ... per-source frame (sources are a domain)
+#:   corpus_temperature_mix ...... per-source frame
+#:   events_cusum_changepoint .... time-bucket frame (bounded by range)
+#:   events_hourly_acf ........... hourly-bucket frame (bounded by range)
+#:   events_hourly_seasonality ... 24-row hour-of-day frame
+#:   orders_benford_digits ....... 9-row leading-digit frame
+#:   orders_daily_trend .......... daily-bucket frame (bounded by range)
+#:   segment_event_chisq ......... (segment × event_type) domain frame
+_BOUNDED_GLOBAL_WINDOW_ALLOWLIST = {
+    "bpe_pair_counts",
+    "corpus_gini_concentration",
+    "corpus_temperature_mix",
+    "events_cusum_changepoint",
+    "events_hourly_acf",
+    "events_hourly_seasonality",
+    "orders_benford_digits",
+    "orders_daily_trend",
+    "segment_event_chisq",
+}
+
+
+def test_no_unpartitioned_windows_over_sf_scaling_frames(spark):
+    """Round-6 verdict finding #1 tripwire: ``Window.orderBy`` with no
+    ``partitionBy`` executes as ONE task sorting the whole frame — the
+    worst scale cliff in the catalog when the frame grows with SF
+    (corpus_difficulty_deciles funneled every document through one
+    task until round 7; customer_rfm_segments and customer_abc_classes
+    funneled the per-customer frame). Those three now ride the
+    two-phase exact ranking in ``operators/ranking.py``; this sweep
+    pins the property for every batch entry. Unpartitioned windows are
+    allowed only over frames bounded by a key domain (hours, days,
+    digits, sources, char pairs) — audited in
+    ``_BOUNDED_GLOBAL_WINDOW_ALLOWLIST``; anything new must either use
+    ``with_global_order`` or be audited in."""
+    from etl_stream_spark.catalog import CATALOG
+
+    skip = {
+        "streaming_hourly_rollup",
+        "streaming_session_windows",
+        "streaming_sustained_alerts",
+        "streaming_enrichment",
+        "streaming_stream_join",
+        "streaming_dedup",
+        "streaming_vector_search",
+        "streaming_ivf_search",
+        "cdc_streaming_merge",
+        "cdc_gold_rollup",
+        "cdc_schema_evolution",
+        "cdc_quarantine_repair",
+        "wal_size_monitor",
+    }
+
+    def scaling_under(node) -> set[str]:
+        tabs: set[str] = set()
+        for ln in node.treeString().splitlines():
+            if "Relation" in ln:
+                for tab, col in _SENTINELS.items():
+                    if col in ln:
+                        tabs.add(tab)
+        return tabs
+
+    offenders = {}
+    for name, qd in CATALOG.items():
+        if name in skip:
+            continue
+        df = qd.fn(spark, "/root/testdata/sf0.001")
+        stack = [df._jdf.queryExecution().analyzed()]
+        tabs: set[str] = set()
+        while stack:
+            node = stack.pop()
+            if (
+                node.getClass().getSimpleName() == "Window"
+                and node.partitionSpec().isEmpty()
+            ):
+                tabs |= scaling_under(node)
+            for i in range(node.children().length()):
+                stack.append(node.children().apply(i))
+        if tabs and name not in _BOUNDED_GLOBAL_WINDOW_ALLOWLIST:
+            offenders[name] = sorted(tabs)
+    assert not offenders, (
+        f"unpartitioned Window over SF-scaling frames (single-task sort "
+        f"at scale — use operators/ranking.with_global_order, or audit "
+        f"into the bounded-frame allowlist): {offenders}"
     )
 
 
