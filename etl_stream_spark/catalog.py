@@ -6722,6 +6722,146 @@ FROM classed GROUP BY 1
 """
 
 
+def supplier_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier lead-time statistics per supplier nation — the latency
+    metric every replication/fulfilment monitor publishes (the
+    reference frames WAL lag the same way, etl/src/wal_monitor.rs:
+    326-342): days between order placement and line shipment, as
+    count/min/max plus a 2-dp mean rounded in EXACT integer space
+    (half-up on ``(2·s·100 + n) div (2n)`` then one exact double
+    division — the ``corpus_dsir_weights`` discipline; a float mean of
+    billions of day-counts would not be partition-order reproducible).
+    Scale shape: one orderkey equi-join (both sides shuffle on the
+    key), one suppkey join, then a 25-row nation broadcast over the
+    map-side-combinable per-nation aggregation — no windows, no
+    driver-side actions."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    days = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    ).cast("long")
+    g = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .select(F.col("s_nationkey"), days.alias("_d"))
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shipments"),
+            F.min("_d").alias("min_days"),
+            F.max("_d").alias("max_days"),
+            F.sum("_d").alias("_s"),
+        )
+    )
+    q = F.expr("(2 * abs(_s) * 100 + n_shipments) div (2 * n_shipments)")
+    signed = F.when(F.col("_s") < 0, -q).otherwise(q)
+    return (
+        g.join(F.broadcast(n), g.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_shipments",
+            "min_days",
+            "max_days",
+            (signed.cast("double") / F.lit(100.0)).alias("mean_days"),
+        )
+    )
+
+
+LEAD_TIME_SQL = """
+WITH d AS (
+  SELECT s.s_nationkey,
+         date_diff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(l.l_shipdate AS DATE)) AS days
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+),
+g AS (
+  SELECT s_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n_shipments,
+         CAST(MIN(days) AS BIGINT) AS min_days,
+         CAST(MAX(days) AS BIGINT) AS max_days,
+         CAST(SUM(days) AS BIGINT) AS s
+  FROM d GROUP BY 1
+)
+SELECT n.n_name AS nation, g.n_shipments, g.min_days, g.max_days,
+       CAST(CASE WHEN s < 0
+                 THEN -((2 * abs(s) * 100 + n_shipments)
+                        // (2 * n_shipments))
+                 ELSE (2 * s * 100 + n_shipments) // (2 * n_shipments)
+            END AS DOUBLE) / 100.0 AS mean_days
+FROM g JOIN nation n ON n.n_nationkey = g.s_nationkey
+"""
+
+
+def part_xyz_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ variability classification (the demand-planning complement
+    of ``customer_abc_classes`` — together the ABC-XYZ matrix): parts
+    classed by the coefficient of variation of their weekly shipped
+    quantity — X predictable (cv < 0.5), Y seasonal (0.5 ≤ cv < 1),
+    Z erratic (cv ≥ 1). The boundaries compare EXACT integers — with
+    s = Σq, s2 = Σq², n = the part's demand-active weeks:
+    cv < 0.5 ⟺ 4·(n·s2 − s²) < s² and cv < 1 ⟺ n·s2 − s² < s²
+    (population variance; products routed through decimal(19,0) so
+    corpus-scale magnitudes cannot wrap — DuckDB computes them in
+    HUGEINT) — so a part exactly on a boundary classifies identically
+    on both engines; no float variance anywhere. The horizon is the
+    part's own active weeks (variability of the demand it actually
+    has — the intermittency-adjusted XYZ variant; a calendar horizon
+    would class every slow mover Z and say nothing about the rest).
+    Scale shape: two map-side-combinable aggregations — (part, week)
+    then part — and a 3-row class rollup; no joins, no windows, no
+    zero-fill (absent weeks contribute nothing to either sum)."""
+    li = _t(spark, sf_dir, "lineitem")
+    weekly = li.groupBy(
+        "l_partkey", F.date_trunc("week", F.col("l_shipdate")).alias("_wk")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("_q"))
+    d = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    per_part = weekly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("_nw"),
+        F.sum("_q").alias("_s"),
+        F.sum(F.expr("_q * _q")).alias("_s2"),
+    )
+    spread = d(F.col("_nw")) * d(F.col("_s2")) - d(F.col("_s")) * d(F.col("_s"))
+    sq = d(F.col("_s")) * d(F.col("_s"))
+    classed = per_part.withColumn(
+        "xyz_class",
+        F.when(spread * 4 < sq, "X").when(spread < sq, "Y").otherwise("Z"),
+    )
+    return classed.groupBy("xyz_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("_s").cast("long").alias("total_qty"),
+    )
+
+
+XYZ_SQL = """
+WITH weekly AS (
+  SELECT l_partkey, date_trunc('week', l_shipdate) AS wk,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+pp AS (
+  SELECT l_partkey, CAST(COUNT(*) AS HUGEINT) AS nw,
+         CAST(SUM(q) AS HUGEINT) AS s,
+         SUM(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS s2
+  FROM weekly GROUP BY 1
+),
+c AS (
+  SELECT CASE WHEN 4 * (nw * s2 - s * s) < s * s THEN 'X'
+              WHEN nw * s2 - s * s < s * s THEN 'Y'
+              ELSE 'Z' END AS xyz_class,
+         s
+  FROM pp
+)
+SELECT xyz_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(s) AS BIGINT) AS total_qty
+FROM c GROUP BY 1
+"""
+
+
 def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules (Agrawal/Srikant Apriori
     statistics — public): for part pairs co-occurring in ≥2 order
@@ -7945,6 +8085,8 @@ CATALOG: dict[str, QueryDef] = {
     "part_copurchase_triangles": QueryDef(part_copurchase_triangles, TRIANGLES_SQL),
     "part_association_rules": QueryDef(part_association_rules, ASSOCIATION_SQL),
     "customer_abc_classes": QueryDef(customer_abc_classes, ABC_SQL),
+    "supplier_lead_time": QueryDef(supplier_lead_time, LEAD_TIME_SQL),
+    "part_xyz_classes": QueryDef(part_xyz_classes, XYZ_SQL),
     "user_value_ewma": QueryDef(user_value_ewma, EWMA_SQL),
     "events_markov_transitions": QueryDef(events_markov_transitions, MARKOV_SQL),
     "customer_rfm_segments": QueryDef(customer_rfm_segments, RFM_SQL),
@@ -8096,6 +8238,24 @@ CATALOG.update({name: QueryDef(fn, sql) for name, fn, sql in _EXTRA})
 #: flagship CDC path plus at least one representative of every operator
 #: family inside that window; redundant TPC-H variants trail.
 _DRIVER_PRIORITY = [
+    # ROUND-7 ROTATION (applied on top of the round-6 window below —
+    # CORRECTNESS_r06 was 50/50, zero never-checked entries remain).
+    # In per the rotation rule:
+    # (a) ENGINE CHANGED in r7 — customer_rfm_segments,
+    #     customer_abc_classes, corpus_difficulty_deciles (all three on
+    #     the deterministic two-phase global ranking of
+    #     operators/ranking.py), part_association_rules (in-plan basket
+    #     count + checkpointed key frame);
+    # (b) NEW in r7 (never driver-checked) — supplier_lead_time,
+    #     part_xyz_classes.
+    # Displacements (all driver-proven r6, families keep reps):
+    #   user_value_ewma → trend/monitoring reps remain:
+    #     orders_daily_trend, events_hourly_acf, both CUSUM entries;
+    #   events_hourly_seasonality → the hourly-bucket gap-fill recipe
+    #     stays exercised by events_hourly_acf (shared definition);
+    #   corpus_oov_rate → corpus reps remain: curation_funnel canary,
+    #     temperature_mix, gini_concentration, quality_calibration.
+    #
     # ROUND-6 ROTATION (final composition). The window holds:
     # (a) one proven canary per family;
     # (b) every entry whose ENGINE or ORACLE changed late round 5 —
@@ -8177,27 +8337,26 @@ _DRIVER_PRIORITY = [
     #   (displaced wal_size_monitor, driver-proven r4 — the monitoring
     #   family keeps four in-window reps: this entry, the batch CUSUM,
     #   events_anomaly_mad, streaming_dq_monitor)
-    "user_value_ewma",             # NEW r6: integer-space EWMA trend
-    #   (displaced streaming_dedup, driver-proven r2-r4 — streaming
-    #   reps remain: cdc_streaming_merge, streaming_sustained_alerts,
-    #   streaming_ivf_search, streaming_dq_monitor, session CEP)
+    "supplier_lead_time",          # NEW r7: lead-time latency stats
+    #   (displaced user_value_ewma, driver-proven r6 — trend reps
+    #   remain: orders_daily_trend, events_hourly_acf, CUSUM pair)
     "streaming_dq_monitor",        # NEW r6: expectations on a stream
     #   (displaced streaming_hourly_rollup, driver-proven r4; the
     #   windowed-agg shape stays covered by this entry's aggregation)
-    "part_association_rules",      # NEW r6: market-basket rules
+    "part_association_rules",      # ENGINE CHANGED r7: in-plan counts
     #   (displaced dedup_minhash_signatures, driver-proven r2-r4 —
     #   dedup reps remain: dedup_exact, dedup_lsh_incremental)
-    "corpus_oov_rate",             # NEW r6 late: vocabulary coverage
-    #   (displaced dedup_clusters, driver-proven r3+r5 — the iterative
-    #   CC engine stays pytest-pinned; dedup family reps remain:
-    #   dedup_exact canary, dedup_lsh_incremental)
+    "part_xyz_classes",            # NEW r7: exact integer CV classes
+    #   (displaced corpus_oov_rate, driver-proven r6 — corpus reps
+    #   remain: curation_funnel canary, temperature_mix,
+    #   gini_concentration, quality_calibration)
     # NEW round-6 entries (never driver-checked — must be windowed;
     # displaced dedup_simhash / semantic_dedup / corpus_tfidf, all
     # driver-proven r2-r5 with other family reps still in-window)
     "events_orc_roundtrip",        # second columnar format end-to-end
     "privacy_k_anonymity",         # privacy governance audit
     "events_anomaly_mad",          # robust (median/MAD) outlier stats
-    "customer_abc_classes",        # NEW r6: Pareto/ABC classification
+    "customer_abc_classes",        # ENGINE CHANGED r7: two-phase cumsum
     #   (displaced knn_bruteforce, driver-proven r2-r4 — similarity
     #   reps remain: ann_recall_audit, pq_recall_audit, ivf_topk,
     #   ivf_incremental_search, streaming_ivf_search)
@@ -8206,7 +8365,7 @@ _DRIVER_PRIORITY = [
     #   remain: ann_recall_audit canary, ivf_incremental_search,
     #   streaming_ivf_search; ACF gives the statistics family an
     #   in-window rep on the price_time_correlation recipe)
-    "customer_rfm_segments",       # NEW r6: RFM integer quintiles
+    "customer_rfm_segments",       # ENGINE CHANGED r7: two-phase ranks
     #   (displaced ivf_topk, driver-proven r4 — IVF stays covered by
     #   ivf_incremental_search + streaming_ivf_search)
     "corpus_gini_concentration",   # NEW r6 late: Lorenz/Gini governance
@@ -8222,9 +8381,9 @@ _DRIVER_PRIORITY = [
     #   entry recomputes the SAME heuristic rule and model features, so
     #   the text-quality surface stays exercised; text_token_stats
     #   remains the text-family canary)
-    "events_hourly_seasonality",   # NEW r6: seasonal profile/index
-    #   (displaced text_langid, driver-proven r2-r4 — text family reps
-    #   remain: text_token_stats canary, text_quality)
+    "corpus_difficulty_deciles",   # ENGINE CHANGED r7: two-phase rank
+    #   (displaced events_hourly_seasonality, driver-proven r6 — the
+    #   hourly-bucket recipe stays exercised by events_hourly_acf)
     "events_skew_aware_enrichment",  # hot-key salting plan
     "orders_replication_checksum",   # checksum store
     "part_copurchase_triangles",   # NEW r6: triangle census (graph)

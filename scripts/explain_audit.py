@@ -118,6 +118,12 @@ EXPECTED_MAX = {
     "events_conversion_latency": {"exchanges": 2, "scans": 1},
     # daily revenue agg + join-free gap fill + closed-form OLS finish
     "orders_daily_trend": {"exchanges": 2, "scans": 1},
+    # orderkey join + suppkey join + 25-row nation broadcast over the
+    # per-nation agg (headroom for the SMJ exchanges AQE would plan at
+    # real scale; at sf0.001 the small sides broadcast)
+    "supplier_lead_time": {"exchanges": 3, "scans": 4},
+    # (part, week) agg + part agg + 3-row class rollup; no joins
+    "part_xyz_classes": {"exchanges": 3, "scans": 1},
 }
 
 
