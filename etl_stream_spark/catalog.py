@@ -6186,8 +6186,14 @@ def corpus_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_heuristic_keep"),
         F.when(
             F.col("n_docs") > 0,
+            # decimal(38,0) numerator: 2·keep·1e6 wraps BIGINT past
+            # ~4.6e12 rows per bin — Spark would wrap silently where
+            # DuckDB (HUGEINT) keeps going, so at the 100 TB envelope
+            # the raw-BIGINT form is a silent value divergence
+            # (corpus_oov_rate's discipline, round-6 advice)
             F.expr(
-                "(2 * n_heuristic_keep * 1000000 + n_docs) div (2 * n_docs)"
+                "(2 * cast(n_heuristic_keep as decimal(38,0)) * 1000000"
+                " + n_docs) div (2 * cast(n_docs as decimal(38,0)))"
             ),
         )
         .cast("long")

@@ -103,8 +103,18 @@ def cusum_changepoints(
         .withColumn("_n", F.count(F.lit(1)).over(w_full))
         .withColumn("_t", F.sum("_c").over(w_full))
         .withColumn(
+            # decimal(38,0) products: past the documented n·T BIGINT
+            # bound, raw-BIGINT math wraps silently on Spark while the
+            # DuckDB oracle (HUGEINT) keeps exact and casts — a silent
+            # value divergence. The windows run on the tiny bucket
+            # frame, so the decimal cost is nil (round-6 advice; the
+            # Gini operator's discipline). The BIGINT cast below keeps
+            # the driver boundary type.
             "cusum_scaled",
-            F.col("_n") * F.col("_prefix") - F.col("_k") * F.col("_t"),
+            (
+                F.col("_n").cast("decimal(38,0)") * F.col("_prefix")
+                - F.col("_k").cast("decimal(38,0)") * F.col("_t")
+            ).cast("long"),
         )
     )
     peak = Window.orderBy(F.abs(F.col("cusum_scaled")).desc(), F.col(order_col).asc())

@@ -4,6 +4,7 @@ is a function of the DATA, not of the split)."""
 
 from __future__ import annotations
 
+import datetime
 import itertools
 import random
 
@@ -430,8 +431,11 @@ def test_zero_fill_matches_bruteforce_dense_spine(spark, observed):
     df = spark.createDataFrame(
         [(d, n) for d, n in observed.items()], "b long, n long"
     ).select(F.timestamp_seconds(F.col("b") * 86400).alias("day"), "n")
+    # replace(tzinfo=UTC): the session renders UTC-naive datetimes;
+    # naive .timestamp() would reinterpret them in the host's local
+    # timezone and break this assertion on any non-UTC test box
     out = {
-        int(r.day.timestamp()) // 86400: r.n
+        int(r.day.replace(tzinfo=datetime.timezone.utc).timestamp()) // 86400: r.n
         for r in _zero_fill_buckets(df, "day", "day").collect()
     }
     lo, hi = min(observed), max(observed)

@@ -554,6 +554,34 @@ def test_no_unpartitioned_windows_over_sf_scaling_frames(spark):
     )
 
 
+#: Measured Spark-JOB budgets for the ITERATIVE entries — the plans the
+#: exchange/scan ceiling suite cannot see because their cost lives in
+#: driver-side loop rounds, one job each (pointer-jumping CC, per-merge
+#: BPE argmax). A regression that adds a job per round (a lost lazy
+#: checkpoint, a second action in the loop body, an extra fixpoint
+#: probe) moves these immediately, while bench noise cannot. Measured
+#: on sf0.001 (fixed data → deterministic round counts): 46 and 28.
+_JOB_BUDGETS = {"dedup_clusters": 48, "bpe_learned_merges": 30}
+
+
+def test_iterative_entry_job_budgets(spark):
+    sc = spark.sparkContext
+    from etl_stream_spark.catalog import CATALOG
+
+    over = {}
+    for name, cap in _JOB_BUDGETS.items():
+        group = f"budget_{name}"
+        sc.setJobGroup(group, name)
+        try:
+            CATALOG[name].fn(spark, "/root/testdata/sf0.001").collect()
+        finally:
+            sc.setJobGroup("", "")
+        jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+        if jobs > cap:
+            over[name] = jobs
+    assert not over, f"iterative entries exceeded their job budgets: {over}"
+
+
 def test_round2_session_ops_partitioning_invariant(spark):
     """Sketches, hybrid retrieval, and the CDC time-travel queries obey
     the same reproducibility contract: identical results no matter how
