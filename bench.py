@@ -123,6 +123,13 @@ BENCH_QUERIES = [
     "corpus_quality_calibration",
     "events_conversion_latency",
     "orders_daily_trend",
+    # round-7: the two ABC-XYZ/lead-time additions, plus the three
+    # entries rewritten onto the two-phase global ranking (tracked here
+    # so the scale-safe plan's cost stays visible round-over-round;
+    # customer_abc_classes / customer_rfm_segments were already in)
+    "supplier_lead_time",
+    "part_xyz_classes",
+    "corpus_difficulty_deciles",
 ]
 
 
