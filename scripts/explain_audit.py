@@ -84,10 +84,16 @@ EXPECTED_MAX = {
     "user_value_ewma": {"exchanges": 1, "scans": 1},
     # lag window + pair agg + bounded outdegree join
     "events_markov_transitions": {"exchanges": 3, "scans": 1},
-    # three two-phase exact ranks (operators/ranking.py): per rank one
-    # cell-stats agg + one unit-window exchange; the orders scan hides
-    # behind the operator's localCheckpoint (scans=0 in-plan)
-    "customer_rfm_segments": {"exchanges": 6, "scans": 1},
+    # three two-phase exact ranks (operators/ranking.py) as independent
+    # narrow frames off ONE checkpointed base, joined back on custkey.
+    # The count looks high because only the base checkpoint severs
+    # lineage: per rank the bounds pass, cell-stats agg, two
+    # bounded-frame offset windows, the unit window, and the custkey
+    # join all show their exchanges — but every one of them moves
+    # either a two-column projection of the customer frame or a
+    # ≤ fine·tie-row bounded frame, never the wide frame and never a
+    # single-task sort (the property the tripwire pins)
+    "customer_rfm_segments": {"exchanges": 19, "scans": 1},
     # revenue agg (behind the checkpoint) + one two-phase running sum +
     # final class agg
     "customer_abc_classes": {"exchanges": 7, "scans": 1},
