@@ -127,6 +127,64 @@ def test_decimal_running_sum_exact(spark):
     assert _rows(got, cols) == _rows(want, cols)
 
 
+def test_outlier_clustered_values_still_exact(spark):
+    """The documented equi-width weakness — mass clustered far below a
+    lone outlier collapses most rows into one fine cell — must degrade
+    BALANCE only, never correctness."""
+    rows = [(i, 1e-9 * (i % 7)) for i in range(200)] + [(200, 1e9), (201, -1e9)]
+    df = spark.createDataFrame(rows, "id long, x double").repartition(5)
+    got = with_global_order(
+        df, [("x", True), ("id", True)], rank_col="rn",
+        fine_buckets=16, tie_buckets=4,
+    )
+    w = Window.orderBy(F.asc("x"), F.asc("id"))
+    want = df.withColumn("rn", F.row_number().over(w).cast("long"))
+    assert _rows(got, ["id", "rn"]) == _rows(want, ["id", "rn"])
+
+
+def test_hypothesis_fuzz_matches_global_window(spark):
+    """Randomized frames (negatives, heavy duplicates, mixed
+    magnitudes) against the single-task plan."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    vals = st.lists(
+        st.one_of(
+            st.integers(min_value=-5, max_value=5),
+            st.integers(min_value=-(10**9), max_value=10**9),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(vals=vals, fine=st.sampled_from([2, 7, 32]), tie=st.sampled_from([2, 8]))
+    def check(vals, fine, tie):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "id long, v long"
+        ).repartition(3)
+        got = with_global_order(
+            df,
+            [("v", False), ("id", True)],
+            rank_col="rn",
+            running_sums=[("v", "cum", None)],
+            fine_buckets=fine,
+            tie_buckets=tie,
+        )
+        w = Window.orderBy(F.desc("v"), F.asc("id"))
+        want = df.withColumn("rn", F.row_number().over(w).cast("long")).withColumn(
+            "cum", F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        cols = ["id", "rn", "cum"]
+        assert _rows(got, cols) == _rows(want, cols)
+
+    check()
+
+
 def test_rejects_non_numeric_order_column(spark):
     df = spark.createDataFrame([(1, "a")], "id long, s string")
     with pytest.raises(ValueError, match="numeric"):
