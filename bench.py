@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "supplier_lead_time",
     "part_xyz_classes",
     "corpus_difficulty_deciles",
+    "orders_zorder_layout",
 ]
 
 

@@ -6739,6 +6739,69 @@ FROM classed GROUP BY 1
 """
 
 
+def orders_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering audit — the multi-dimensional
+    layout technique behind Delta OPTIMIZE ZORDER / Iceberg rewrites
+    (``plans/zorder.py``; public algorithm, Morton 1966): orders keyed
+    by the interleaved bits of quantized (custkey, order day), rolled
+    up per 64th of the z-space with each bucket's row count and its
+    custkey/day spans. The locality property a z-layout exists for —
+    every bucket covers a SMALL hyper-rectangle of the 2-d key space,
+    so file-level min-max stats prune scans filtered on EITHER column
+    — is directly visible in the spans (and pinned against real
+    parquet footers in ``tests/test_zorder.py``). All arithmetic is
+    exact BIGINT shifts/masks on both engines; the only non-map work
+    is the bounded 1-row domain aggregate and a 64-key rollup."""
+    from etl_stream_spark.plans.zorder import with_zvalue
+
+    o = _t(spark, sf_dir, "orders")
+    days = F.datediff(
+        F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01"))
+    ).cast("long")
+    base = o.select("o_custkey", days.alias("_day"))
+    z = with_zvalue(base, "o_custkey", "_day", bits=16)
+    return z.groupBy(
+        F.expr(f"_z div {1 << 26}").cast("long").alias("zbucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        (F.max("o_custkey") - F.min("o_custkey")).cast("long").alias("custkey_span"),
+        (F.max("_day") - F.min("_day")).cast("long").alias("day_span"),
+    )
+
+
+def _interleave_sql(xq: str, yq: str, bits: int) -> str:
+    terms = [f"((({xq} >> {i}) & 1) << {2 * i})" for i in range(bits)]
+    terms += [f"((({yq} >> {i}) & 1) << {2 * i + 1})" for i in range(bits)]
+    return " | ".join(terms)
+
+
+ZORDER_SQL = f"""
+WITH d AS (
+  SELECT CAST(o_custkey AS BIGINT) AS x,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS y
+  FROM orders
+),
+b AS (
+  SELECT CAST(MIN(x) AS BIGINT) AS xlo, CAST(MAX(x) AS BIGINT) AS xhi,
+         CAST(MIN(y) AS BIGINT) AS ylo, CAST(MAX(y) AS BIGINT) AS yhi
+  FROM d
+),
+q AS (
+  SELECT x, y,
+         ((x - xlo) * 65536) // (xhi - xlo + 1) AS xq,
+         ((y - ylo) * 65536) // (yhi - ylo + 1) AS yq
+  FROM d CROSS JOIN b
+),
+z AS (SELECT x, y, {_interleave_sql('xq', 'yq', 16)} AS zv FROM q)
+SELECT CAST(zv // {1 << 26} AS BIGINT) AS zbucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MAX(x) - MIN(x) AS BIGINT) AS custkey_span,
+       CAST(MAX(y) - MIN(y) AS BIGINT) AS day_span
+FROM z GROUP BY 1
+"""
+
+
 def supplier_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier lead-time statistics per supplier nation — the latency
     metric every replication/fulfilment monitor publishes (the
@@ -8104,6 +8167,7 @@ CATALOG: dict[str, QueryDef] = {
     "customer_abc_classes": QueryDef(customer_abc_classes, ABC_SQL),
     "supplier_lead_time": QueryDef(supplier_lead_time, LEAD_TIME_SQL),
     "part_xyz_classes": QueryDef(part_xyz_classes, XYZ_SQL),
+    "orders_zorder_layout": QueryDef(orders_zorder_layout, ZORDER_SQL),
     "user_value_ewma": QueryDef(user_value_ewma, EWMA_SQL),
     "events_markov_transitions": QueryDef(events_markov_transitions, MARKOV_SQL),
     "customer_rfm_segments": QueryDef(customer_rfm_segments, RFM_SQL),
@@ -8264,7 +8328,8 @@ _DRIVER_PRIORITY = [
     #     operators/ranking.py), part_association_rules (in-plan basket
     #     count + checkpointed key frame);
     # (b) NEW in r7 (never driver-checked) — supplier_lead_time,
-    #     part_xyz_classes.
+    #     part_xyz_classes, orders_zorder_layout (displacing
+    #     events_markov_transitions, r6-proven).
     # Displacements (all driver-proven r6, families keep reps):
     #   user_value_ewma → trend/monitoring reps remain:
     #     orders_daily_trend, events_hourly_acf, both CUSUM entries;
@@ -8335,9 +8400,10 @@ _DRIVER_PRIORITY = [
     "corpus_quality_trained",      # NEW oracle + floor(+0.5) gradients
     # the one never-driver-checked entry (late r5 add)
     "multimodal_video_frames",     # Y4M frame-seek (parser guards too)
-    "events_markov_transitions",   # NEW r6: sequence mining
-    #   (displaced multimodal_audio_features, driver-proven r5 —
-    #   multimodal reps remain: multimodal_resize, video_frames)
+    "orders_zorder_layout",        # NEW r7: Morton-curve layout audit
+    #   (displaced events_markov_transitions, driver-proven r6 — the
+    #   sequence family keeps session_pattern_match + events_hourly_acf
+    #   in-window)
     # regression spread (proven r2-r5, not in the r5 window)
     "cdc_masked_replication",      # NEW r6: in-flight masking
     #   (displaced cdc_envelope_decode, driver-proven r2 — the decode

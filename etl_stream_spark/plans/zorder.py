@@ -1,109 +1,100 @@
-"""Z-order (Morton-curve) clustering for multi-column data skipping.
+"""Z-order (Morton-curve) clustering for multi-dimensional scan pruning.
 
-Parquet scans prune files and row groups from footer min/max statistics.
-A table sorted on one column skips beautifully on that column and not at
-all on any other; interleaving the bits of several columns into one
-Z-value and range-partition-sorting on it gives every interleaved column
-*partial* locality — each file covers a small hyper-rectangle of the key
-space, so predicates on ANY of the Z-columns prune most files. This is
-what Delta's ``OPTIMIZE ZORDER BY`` / Iceberg's ``rewrite_data_files``
-sort-order does; this module is the engine-level primitive on plain
-parquet, with the same public shape so a table-format swap is a rename.
+A table sorted by ONE column prunes beautifully on that column and not
+at all on any other. Interleaving the bits of two (or more) quantized
+sort keys — the Morton curve — gives every participating column
+locality: rows close in z-value are close in EVERY dimension, so
+per-file/row-group min-max stats become selective for predicates on
+any of them. This is the technique behind Delta's OPTIMIZE ZORDER and
+Iceberg's z-ordering rewrite (public algorithm — Morton 1966),
+re-expressed as plain Spark expressions:
 
-Reference analog: the reference writes Iceberg files unpartitioned and
-unsorted (``/root/reference/etl-destination/src/iceberg/client.rs:359-363``)
-— fine at trickle rates, hostile to 100 TB scans. SURVEY §7.1 phase 8
-names ZORDER as the scale path for the merged silver tables.
+* each key is quantized to ``bits`` integer levels over its min/max
+  domain (one bounded 1-row aggregate — the same shape as the
+  histogram/quantile entries);
+* the z-value interleaves the quantized bits as a single BIGINT, pure
+  JVM integer arithmetic (whole-stage codegen, no UDFs);
+* :func:`write_zordered` range-partitions on the z-value and sorts
+  within partitions before writing — every output file covers a small
+  hyper-rectangle of the key space instead of a full-domain stripe.
 
-All computation is JVM columnar expressions: per-column min/max ranges
-(one tiny aggregate) normalize values to ``bits``-wide integer grid
-coordinates, bit interleave is a fold over ``shiftleft``/``bitwise or``
-— no UDFs, one range-partitioning shuffle to write.
+At 100 TB this is a write-once cost (one shuffle, same as any sort)
+paid to make every later multi-predicate scan prune at the file level;
+``tests/test_zorder.py`` measures the span shrinkage on real parquet
+footers.
 """
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-DEFAULT_BITS = 16  # 16 bits/column: 2 columns fill 32 of 63 usable bits
+
+def quantize(col: Column, lo: Column, hi: Column, bits: int) -> Column:
+    """Map ``col`` in [lo, hi] onto ``2**bits`` integer levels —
+    monotone exact BIGINT arithmetic (``(x - lo) * 2^bits div
+    (hi - lo + 1)`` over integral inputs), engine-portable."""
+    levels = F.lit(1 << bits).cast("long")
+    span = (hi - lo + F.lit(1)).cast("long")
+    q = ((col - lo).cast("long") * levels - (((col - lo).cast("long") * levels) % span)) / span
+    return q.cast("long")
 
 
-def _grid_coord(col: Column, mn: Column, mx: Column, bits: int) -> Column:
-    """Normalize a numeric value into ``[0, 2^bits)`` on the min/max
-    range (floor semantics; degenerate constant range → 0)."""
-    span = (mx.cast("double") - mn.cast("double"))
-    scaled = F.floor(
-        (col.cast("double") - mn.cast("double")) * ((1 << bits) - 1) / span
-    ).cast("long")
-    return F.when(span > 0, F.least(F.lit((1 << bits) - 1), scaled)).otherwise(F.lit(0))
-
-
-def z_value(coords: list[Column], bits: int = DEFAULT_BITS) -> Column:
-    """Interleave ``bits``-wide grid coordinates into one Morton value.
-
-    Bit ``b`` of coordinate ``i`` lands at position ``b*n + i`` — the
-    classic Z-curve. ``n * bits`` must stay < 63 (signed long).
-    """
-    n = len(coords)
-    if n * bits >= 63:
-        raise ValueError(f"{n} columns x {bits} bits overflow a signed long")
-    z = F.lit(0).cast("long")
-    for i, c in enumerate(coords):
-        for b in range(bits):
-            bit = F.shiftright(c, b).bitwiseAND(F.lit(1))
-            z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
-    return z
-
-
-def with_z_value(
-    df: DataFrame, cols: list[str], bits: int = DEFAULT_BITS, out_col: str = "_z"
-) -> DataFrame:
-    """Append the Morton value of ``cols`` (numeric or timestamp).
-
-    The per-column ranges come from one aggregate over the input —
-    bounded driver metadata (2 scalars per column), same discipline as
-    the merge engine's bucket lists. Timestamps interleave on their
-    microsecond epoch.
-    """
-    casted = {
-        c: F.col(c).cast("double")
-        if dict(df.dtypes)[c] not in ("timestamp", "timestamp_ntz")
-        else F.unix_micros(F.col(c)).cast("double")
-        for c in cols
-    }
-    rng = df.agg(
-        *[m for c in cols for m in (F.min(casted[c]).alias(f"_mn_{c}"), F.max(casted[c]).alias(f"_mx_{c}"))]
-    ).first()
-    coords = [
-        _grid_coord(
-            casted[c], F.lit(rng[f"_mn_{c}"]), F.lit(rng[f"_mx_{c}"]), bits
+def interleave_bits(x: Column, y: Column, bits: int) -> Column:
+    """Morton z-value of two ``bits``-level quantized keys: x's bit i
+    lands at position 2i, y's at 2i+1. Pure shift/mask arithmetic —
+    identical SQL runs on DuckDB for the oracle."""
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftleft(F.shiftrightunsigned(x, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(
+            F.shiftleft(F.shiftrightunsigned(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
         )
-        for c in cols
-    ]
-    return df.withColumn(out_col, z_value(coords, bits))
+    return reduce(lambda a, b: a.bitwiseOR(b), terms).cast("long")
+
+
+def with_zvalue(
+    df: DataFrame, x_col: str, y_col: str, bits: int = 16, z_col: str = "_z"
+) -> DataFrame:
+    """Append the z-value of two integral columns, quantized over their
+    observed min/max (one bounded 1-row aggregate broadcast into the
+    plan — never a driver-side action)."""
+    bounds = df.agg(
+        F.min(x_col).cast("long").alias("_zx_lo"),
+        F.max(x_col).cast("long").alias("_zx_hi"),
+        F.min(y_col).cast("long").alias("_zy_lo"),
+        F.max(y_col).cast("long").alias("_zy_hi"),
+    )
+    framed = df.crossJoin(F.broadcast(bounds))
+    xq = quantize(F.col(x_col), F.col("_zx_lo"), F.col("_zx_hi"), bits)
+    yq = quantize(F.col(y_col), F.col("_zy_lo"), F.col("_zy_hi"), bits)
+    return framed.withColumn(z_col, interleave_bits(xq, yq, bits)).drop(
+        "_zx_lo", "_zx_hi", "_zy_lo", "_zy_hi"
+    )
 
 
 def write_zordered(
     df: DataFrame,
     path: str,
-    cols: list[str],
-    n_files: int,
-    bits: int = DEFAULT_BITS,
+    x_col: str,
+    y_col: str,
+    num_files: int = 32,
+    bits: int = 16,
+    mode: str = "overwrite",
 ) -> None:
-    """Write ``df`` as ``n_files`` parquet files clustered on the
-    Z-curve of ``cols``.
-
-    ``repartitionByRange`` on the Z-value gives each output file a
-    contiguous curve segment (a compact hyper-rectangle in key space);
-    the within-partition sort tightens row-group stats inside each
-    file. One shuffle; the Z column itself is dropped from storage.
-    """
-    zdf = with_z_value(df, cols, bits)
+    """Persist ``df`` z-order-clustered on (x_col, y_col): range
+    partition + local sort on the z-value, one file per partition —
+    each output file covers a compact hyper-rectangle, so min-max file
+    stats prune scans filtered on EITHER column. (Range boundaries are
+    sampled per write; that affects file balance only, never content —
+    the layout is a physical property, not a query answer.)"""
+    z = with_zvalue(df, x_col, y_col, bits)
     (
-        zdf.repartitionByRange(n_files, F.col("_z"))
+        z.repartitionByRange(num_files, "_z")
         .sortWithinPartitions("_z")
         .drop("_z")
-        .write.mode("overwrite")
+        .write.mode(mode)
         .parquet(path)
     )

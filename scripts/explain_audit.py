@@ -130,6 +130,8 @@ EXPECTED_MAX = {
     "supplier_lead_time": {"exchanges": 3, "scans": 4},
     # (part, week) agg + part agg + 3-row class rollup; no joins
     "part_xyz_classes": {"exchanges": 3, "scans": 1},
+    # 1-row domain agg broadcast + pure shift/mask map + 64-key rollup
+    "orders_zorder_layout": {"exchanges": 2, "scans": 2},
 }
 
 

@@ -261,6 +261,7 @@ _BOUNDED_HINT_ALLOWLIST = {
     "ivf_topk",
     "lexical_incremental_search",  # broadcasts: distinct terms of the bounded query set
     "order_price_quantiles_sketch",  # broadcasts: the 1-row min/max domain
+    "orders_zorder_layout",  # broadcasts: the 1-row quantization domain
     "part_association_rules",  # broadcasts: the 1-row basket-count aggregate
     "kmeans_assignment",
     "knn_bruteforce",

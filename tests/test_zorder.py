@@ -1,87 +1,93 @@
-"""Z-order clustering: Morton-value correctness and actual file-level
-data-skipping value (per-file min/max spans narrow on BOTH columns)."""
+"""Z-order layout: the pruning property, measured on real parquet
+footers — not asserted from theory. A date-sorted layout's files each
+cover ~the FULL custkey domain (no pruning for customer predicates); a
+z-ordered layout's files cover compact hyper-rectangles, so min-max
+file stats prune on EITHER dimension."""
 
 from __future__ import annotations
 
 import glob
+import os
 
 import pyarrow.parquet as pq
 import pyspark.sql.functions as F
 
-from etl_stream_spark.plans.zorder import with_z_value, write_zordered, z_value
+from etl_stream_spark.plans.zorder import interleave_bits, quantize, with_zvalue
+from etl_stream_spark.session import load_table
 
 
-def test_z_value_interleaves_bits(spark):
-    df = spark.createDataFrame(
-        [(0, 0), (1, 1), (2, 0), (0, 2), (3, 3)], "a long, b long"
-    )
-    out = df.select(
-        "a", "b", z_value([F.col("a"), F.col("b")], bits=2).alias("z")
-    ).collect()
-    got = {(r["a"], r["b"]): r["z"] for r in out}
-    # bit b of coord i lands at position b*2 + i
-    assert got[(0, 0)] == 0
-    assert got[(1, 1)] == 3
-    assert got[(2, 0)] == 4  # a bit1 -> position 2
-    assert got[(0, 2)] == 8  # b bit1 -> position 3
-    assert got[(3, 3)] == 15
-
-
-def test_z_value_rejects_long_overflow(spark):
-    import pytest
-
-    with pytest.raises(ValueError):
-        z_value([F.lit(1), F.lit(1), F.lit(1), F.lit(1)], bits=16)
-
-
-def test_with_z_value_handles_constant_column(spark):
-    df = spark.createDataFrame([(1, 7), (2, 7), (3, 7)], "a long, b long")
-    rows = with_z_value(df, ["a", "b"], bits=4).collect()
-    # constant column contributes coordinate 0 everywhere; no divide error
-    assert all(r["_z"] >= 0 for r in rows)
-
-
-def _file_spans(path: str, col: str) -> list[tuple[float, float]]:
+def _file_spans(path: str, col: str) -> list[tuple[int, int]]:
     spans = []
-    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+    for f in glob.glob(os.path.join(path, "*.parquet")):
         md = pq.ParquetFile(f).metadata
-        mins, maxs = [], []
-        for rg in range(md.num_row_groups):
-            for ci in range(md.num_columns):
-                c = md.row_group(rg).column(ci)
-                if c.path_in_schema == col and c.statistics is not None:
-                    mins.append(c.statistics.min)
-                    maxs.append(c.statistics.max)
-        spans.append((min(mins), max(maxs)))
+        idx = md.schema.names.index(col)
+        lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+        spans.append((lo, hi))
     return spans
 
 
-def test_zorder_write_narrows_file_spans(spark, tmp_path):
-    """Each Z-ordered file must cover a small fraction of BOTH key
-    ranges — the property that lets parquet skip files for predicates
-    on either column. A hash-partitioned write covers ~everything."""
-    n = 20_000
-    df = spark.range(n).select(
-        (F.col("id") * 48271 % n).alias("x"),
-        (F.col("id") * 16807 % n).alias("y"),
+def _avg_span_frac(spans: list[tuple[int, int]]) -> float:
+    los = [s[0] for s in spans]
+    his = [s[1] for s in spans]
+    domain = max(his) - min(los) or 1
+    return sum(h - l for l, h in spans) / len(spans) / domain
+
+
+def test_quantize_and_interleave_bounds(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("x"), (F.lit(999) - F.col("id")).alias("y")
     )
-    zpath = str(tmp_path / "zordered")
-    write_zordered(df, zpath, ["x", "y"], n_files=16)
+    z = with_zvalue(df, "x", "y", bits=16)
+    row = z.agg(F.min("_z"), F.max("_z")).first()
+    assert 0 <= row[0] <= row[1] < (1 << 32)
+    # monotone in x when y fixed: quantized x bits occupy even positions
+    fixed = spark.range(100).select(
+        F.col("id").alias("x"), F.lit(0).alias("y")
+    )
+    vals = [
+        r["_z"]
+        for r in with_zvalue(fixed, "x", "y", bits=16).orderBy("x").collect()
+    ]
+    assert vals == sorted(vals)
 
-    base = str(tmp_path / "plain")
-    df.repartition(16).write.parquet(base)
 
-    for col in ("x", "y"):
-        z_spans = _file_spans(zpath, col)
-        p_spans = _file_spans(base, col)
-        z_avg = sum(mx - mn for mn, mx in z_spans) / len(z_spans)
-        p_avg = sum(mx - mn for mn, mx in p_spans) / len(p_spans)
-        # 16 files x 2 columns: each Z file should span ~1/4 of each
-        # range (sqrt(16)); hash files span ~the whole range
-        assert z_avg < 0.45 * n, f"{col}: z files too wide ({z_avg})"
-        assert z_avg < 0.6 * p_avg, f"{col}: no win over hash layout"
+def test_zordered_files_prune_on_both_dimensions(spark, tmp_path):
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01"))
+        ).cast("long").alias("day"),
+    )
 
-    # round trip preserves the data
-    back = spark.read.parquet(zpath)
-    assert back.count() == n
-    assert back.agg(F.sum("x")).first()[0] == df.agg(F.sum("x")).first()[0]
+    from etl_stream_spark.plans.zorder import write_zordered
+
+    zpath = str(tmp_path / "zorder")
+    dpath = str(tmp_path / "bydate")
+    write_zordered(orders, zpath, "o_custkey", "day", num_files=16)
+    (
+        orders.repartitionByRange(16, "day")
+        .sortWithinPartitions("day")
+        .write.mode("overwrite")
+        .parquet(dpath)
+    )
+
+    z_cust = _avg_span_frac(_file_spans(zpath, "o_custkey"))
+    z_day = _avg_span_frac(_file_spans(zpath, "day"))
+    d_cust = _avg_span_frac(_file_spans(dpath, "o_custkey"))
+    d_day = _avg_span_frac(_file_spans(dpath, "day"))
+
+    # date-sorted: perfect on day, useless on custkey (~full domain)
+    assert d_cust > 0.8
+    # z-ordered: BOTH dimensions prune — each file covers a fraction of
+    # each domain, and custkey locality beats the date layout by a lot
+    assert z_cust < d_cust / 2, (z_cust, d_cust)
+    assert z_day < 0.6, z_day
+    # the z layout trades a little day locality for custkey locality —
+    # the whole point — but must stay far better than no day locality
+    assert z_day < d_cust
+
+    # correctness: the rewrite is a pure re-layout
+    a = sorted(map(tuple, spark.read.parquet(zpath).collect()))
+    b = sorted(map(tuple, orders.collect()))
+    assert a == b
