@@ -91,3 +91,56 @@ def test_zordered_files_prune_on_both_dimensions(spark, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(zpath).collect()))
     b = sorted(map(tuple, orders.collect()))
     assert a == b
+
+
+def test_manifest_prunes_files_on_both_dimensions(spark, tmp_path):
+    """End-to-end file skipping: z-ordered layout + manifest index —
+    a range predicate on EITHER clustered column must read a strict
+    subset of the files and still return exactly the full-scan rows."""
+    from etl_stream_spark.plans.file_index import (
+        build_index,
+        pruned_files,
+        read_pruned,
+    )
+    from etl_stream_spark.plans.zorder import write_zordered
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01"))
+        ).cast("long").alias("day"),
+    )
+    zpath = str(tmp_path / "z")
+    ipath = str(tmp_path / "idx")
+    write_zordered(orders, zpath, "o_custkey", "day", num_files=16)
+    build_index(spark, zpath, ["o_custkey", "day"], ipath)
+
+    n_files = len(glob.glob(os.path.join(zpath, "*.parquet")))
+    stats = spark.read.parquet(zpath).agg(
+        F.min("o_custkey"), F.max("o_custkey"), F.min("day"), F.max("day")
+    ).first()
+    c_lo = stats[0] + (stats[1] - stats[0]) // 3
+    c_hi = stats[0] + (stats[1] - stats[0]) // 2
+    d_lo = stats[2] + (stats[3] - stats[2]) // 3
+    d_hi = stats[2] + (stats[3] - stats[2]) // 2
+
+    for ranges, col, lo, hi in [
+        ({"o_custkey": (c_lo, c_hi)}, "o_custkey", c_lo, c_hi),
+        ({"day": (d_lo, d_hi)}, "day", d_lo, d_hi),
+        ({"o_custkey": (c_lo, c_hi), "day": (d_lo, d_hi)}, None, None, None),
+    ]:
+        files = pruned_files(spark, ipath, ranges)
+        assert 0 < len(files) < n_files, (ranges, len(files), n_files)
+        got = read_pruned(spark, zpath, ipath, ranges)
+        want = spark.read.parquet(zpath)
+        for c, (rlo, rhi) in ranges.items():
+            got = got.filter(F.col(c).between(rlo, rhi))
+            want = want.filter(F.col(c).between(rlo, rhi))
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ) and want.count() > 0
+
+    # empty intersection → empty frame with the table schema, no files
+    none = read_pruned(spark, zpath, ipath, {"o_custkey": (10**12, None)})
+    assert none.count() == 0 and none.schema == spark.read.parquet(zpath).schema
