@@ -42,37 +42,54 @@ def quantize(col: Column, lo: Column, hi: Column, bits: int) -> Column:
     return q.cast("long")
 
 
-def interleave_bits(x: Column, y: Column, bits: int) -> Column:
-    """Morton z-value of two ``bits``-level quantized keys: x's bit i
-    lands at position 2i, y's at 2i+1. Pure shift/mask arithmetic —
-    identical SQL runs on DuckDB for the oracle."""
+def interleave_bits_n(cols: list[Column], bits: int) -> Column:
+    """Morton z-value of n ``bits``-level quantized keys: column j's
+    bit i lands at position ``i·n + j`` (round-robin interleave — the
+    general form real ZORDER rewrites use for 2-4 clustered columns).
+    Pure shift/mask arithmetic — identical SQL runs on DuckDB for the
+    oracle. Requires ``n · bits ≤ 63`` to stay in a signed BIGINT."""
+    n = len(cols)
+    if n * bits > 63:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a signed 64-bit z-value")
     terms = []
-    for i in range(bits):
-        terms.append(F.shiftleft(F.shiftrightunsigned(x, i).bitwiseAND(F.lit(1)), 2 * i))
-        terms.append(
-            F.shiftleft(F.shiftrightunsigned(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
+    for j, c in enumerate(cols):
+        for i in range(bits):
+            terms.append(
+                F.shiftleft(F.shiftrightunsigned(c, i).bitwiseAND(F.lit(1)), i * n + j)
+            )
     return reduce(lambda a, b: a.bitwiseOR(b), terms).cast("long")
+
+
+def interleave_bits(x: Column, y: Column, bits: int) -> Column:
+    """Two-column Morton z-value: x's bit i at position 2i, y's at
+    2i+1 (the n-ary round-robin specialized to n = 2)."""
+    return interleave_bits_n([x, y], bits)
+
+
+def with_zvalue_n(
+    df: DataFrame, cols: list[str], bits: int = 16, z_col: str = "_z"
+) -> DataFrame:
+    """Append the z-value of n integral columns, each quantized over
+    its observed min/max (one bounded 1-row aggregate broadcast into
+    the plan — never a driver-side action)."""
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).cast("long").alias(f"_z{c}_lo"))
+        aggs.append(F.max(c).cast("long").alias(f"_z{c}_hi"))
+    framed = df.crossJoin(F.broadcast(df.agg(*aggs)))
+    qs = [
+        quantize(F.col(c), F.col(f"_z{c}_lo"), F.col(f"_z{c}_hi"), bits)
+        for c in cols
+    ]
+    drop = [f"_z{c}_{s}" for c in cols for s in ("lo", "hi")]
+    return framed.withColumn(z_col, interleave_bits_n(qs, bits)).drop(*drop)
 
 
 def with_zvalue(
     df: DataFrame, x_col: str, y_col: str, bits: int = 16, z_col: str = "_z"
 ) -> DataFrame:
-    """Append the z-value of two integral columns, quantized over their
-    observed min/max (one bounded 1-row aggregate broadcast into the
-    plan — never a driver-side action)."""
-    bounds = df.agg(
-        F.min(x_col).cast("long").alias("_zx_lo"),
-        F.max(x_col).cast("long").alias("_zx_hi"),
-        F.min(y_col).cast("long").alias("_zy_lo"),
-        F.max(y_col).cast("long").alias("_zy_hi"),
-    )
-    framed = df.crossJoin(F.broadcast(bounds))
-    xq = quantize(F.col(x_col), F.col("_zx_lo"), F.col("_zx_hi"), bits)
-    yq = quantize(F.col(y_col), F.col("_zy_lo"), F.col("_zy_hi"), bits)
-    return framed.withColumn(z_col, interleave_bits(xq, yq, bits)).drop(
-        "_zx_lo", "_zx_hi", "_zy_lo", "_zy_hi"
-    )
+    """Two-column :func:`with_zvalue_n`."""
+    return with_zvalue_n(df, [x_col, y_col], bits, z_col)
 
 
 def write_zordered(

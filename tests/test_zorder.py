@@ -12,7 +12,13 @@ import os
 import pyarrow.parquet as pq
 import pyspark.sql.functions as F
 
-from etl_stream_spark.plans.zorder import interleave_bits, quantize, with_zvalue
+from etl_stream_spark.plans.zorder import (
+    interleave_bits,
+    interleave_bits_n,
+    quantize,
+    with_zvalue,
+    with_zvalue_n,
+)
 from etl_stream_spark.session import load_table
 
 
@@ -50,6 +56,29 @@ def test_quantize_and_interleave_bounds(spark):
         for r in with_zvalue(fixed, "x", "y", bits=16).orderBy("x").collect()
     ]
     assert vals == sorted(vals)
+
+
+def test_three_column_interleave_round_robin(spark):
+    """n-ary Morton: with bits=2 and n=3 the positions are fully
+    enumerable — check the exact bit layout and the 63-bit guard."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(3, 0, 2)], "a long, b long, c long")
+    z = df.select(
+        interleave_bits_n([F.col("a"), F.col("b"), F.col("c")], 2).alias("z")
+    ).first()["z"]
+    # a=0b11 -> bits at 0 and 3; b=0b00 -> none; c=0b10 -> bit1 at 3*1+2=5
+    assert z == (1 << 0) | (1 << 3) | (1 << 5)
+    with _pytest.raises(ValueError, match="64-bit"):
+        interleave_bits_n([F.col("a")] * 4, 16)
+    # 3-col zvalue end-to-end: bounded and monotone in the first key
+    wide = spark.range(200).select(
+        F.col("id").alias("x"), (F.col("id") % 7).alias("y"),
+        (F.col("id") % 13).alias("w"),
+    )
+    out = with_zvalue_n(wide, ["x", "y", "w"], bits=8)
+    row = out.agg(F.min("_z"), F.max("_z")).first()
+    assert 0 <= row[0] <= row[1] < (1 << 24)
 
 
 def test_zordered_files_prune_on_both_dimensions(spark, tmp_path):
