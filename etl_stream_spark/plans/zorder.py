@@ -21,7 +21,7 @@ re-expressed as plain Spark expressions:
 At 100 TB this is a write-once cost (one shuffle, same as any sort)
 paid to make every later multi-predicate scan prune at the file level;
 ``tests/test_zorder.py`` measures the span shrinkage on real parquet
-footers.
+footers, and ``plans/file_index.py`` reads through the pruned layout.
 """
 
 from __future__ import annotations
@@ -31,15 +31,26 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: Column dtypes :func:`with_zvalue_n` accepts directly (cast to long).
+_INTEGRAL_DTYPES = ("tinyint", "smallint", "int", "bigint")
+
 
 def quantize(col: Column, lo: Column, hi: Column, bits: int) -> Column:
     """Map ``col`` in [lo, hi] onto ``2**bits`` integer levels —
-    monotone exact BIGINT arithmetic (``(x - lo) * 2^bits div
-    (hi - lo + 1)`` over integral inputs), engine-portable."""
-    levels = F.lit(1 << bits).cast("long")
-    span = (hi - lo + F.lit(1)).cast("long")
-    q = ((col - lo).cast("long") * levels - (((col - lo).cast("long") * levels) % span)) / span
-    return q.cast("long")
+    monotone exact integer arithmetic, engine-portable: identical to
+    DuckDB's ``((x - lo) * 2^bits) // (hi - lo + 1)``.
+
+    The numerator is computed in DECIMAL(38,0) with Spark's integral
+    ``div``: a BIGINT intermediate would overflow (ANSI error) once
+    ``span * 2^bits`` exceeds 2^63 — e.g. epoch-micro keys at 16 bits —
+    and a float division can return q-1 on >2^53 numerators. The
+    decimal product is bounded by ``2^63 * 2^bits < 2^126 < 10^38``
+    for any long-typed input, so no domain can overflow it.
+    """
+    levels = F.lit(1 << bits).cast("decimal(38,0)")
+    num = (col.cast("decimal(38,0)") - lo.cast("decimal(38,0)")) * levels
+    span = hi.cast("decimal(38,0)") - lo.cast("decimal(38,0)") + F.lit(1)
+    return F.call_function("div", num, span).cast("long")
 
 
 def interleave_bits_n(cols: list[Column], bits: int) -> Column:
@@ -66,19 +77,37 @@ def interleave_bits(x: Column, y: Column, bits: int) -> Column:
     return interleave_bits_n([x, y], bits)
 
 
+def _as_integral(df: DataFrame, c: str) -> Column:
+    """``c`` as a long-typed z-order key: integral columns cast, a
+    timestamp becomes epoch microseconds, a date becomes epoch days —
+    anything else (float keys have no exact quantization contract,
+    strings no numeric domain) raises, the ``operators/ranking.py``
+    discipline."""
+    dt = dict(df.dtypes)[c]
+    if dt.startswith(_INTEGRAL_DTYPES):
+        return F.col(c).cast("long")
+    if dt.startswith("timestamp"):
+        return F.unix_micros(F.col(c)).cast("long")
+    if dt == "date":
+        return F.datediff(F.col(c), F.lit("1970-01-01").cast("date")).cast("long")
+    raise ValueError(f"z-order column {c!r} must be integral/timestamp/date, got {dt}")
+
+
 def with_zvalue_n(
     df: DataFrame, cols: list[str], bits: int = 16, z_col: str = "_z"
 ) -> DataFrame:
-    """Append the z-value of n integral columns, each quantized over
-    its observed min/max (one bounded 1-row aggregate broadcast into
-    the plan — never a driver-side action)."""
+    """Append the z-value of n columns (integral, timestamp, or date —
+    each normalized to a long key), each quantized over its observed
+    min/max (one bounded 1-row aggregate broadcast into the plan —
+    never a driver-side action)."""
+    keys = {c: _as_integral(df, c) for c in cols}
     aggs = []
     for c in cols:
-        aggs.append(F.min(c).cast("long").alias(f"_z{c}_lo"))
-        aggs.append(F.max(c).cast("long").alias(f"_z{c}_hi"))
+        aggs.append(F.min(keys[c]).alias(f"_z{c}_lo"))
+        aggs.append(F.max(keys[c]).alias(f"_z{c}_hi"))
     framed = df.crossJoin(F.broadcast(df.agg(*aggs)))
     qs = [
-        quantize(F.col(c), F.col(f"_z{c}_lo"), F.col(f"_z{c}_hi"), bits)
+        quantize(keys[c], F.col(f"_z{c}_lo"), F.col(f"_z{c}_hi"), bits)
         for c in cols
     ]
     drop = [f"_z{c}_{s}" for c in cols for s in ("lo", "hi")]
@@ -95,19 +124,22 @@ def with_zvalue(
 def write_zordered(
     df: DataFrame,
     path: str,
-    x_col: str,
-    y_col: str,
+    *cols: str,
     num_files: int = 32,
     bits: int = 16,
     mode: str = "overwrite",
 ) -> None:
-    """Persist ``df`` z-order-clustered on (x_col, y_col): range
-    partition + local sort on the z-value, one file per partition —
-    each output file covers a compact hyper-rectangle, so min-max file
-    stats prune scans filtered on EITHER column. (Range boundaries are
-    sampled per write; that affects file balance only, never content —
-    the layout is a physical property, not a query answer.)"""
-    z = with_zvalue(df, x_col, y_col, bits)
+    """Persist ``df`` z-order-clustered on ``cols`` (n-ary — 2 to 4
+    clustered columns is the common real case, e.g. date × customer ×
+    part): range partition + local sort on the z-value, one file per
+    partition — each output file covers a compact hyper-rectangle, so
+    min-max file stats prune scans filtered on ANY clustered column.
+    (Range boundaries are sampled per write; that affects file balance
+    only, never content — the layout is a physical property, not a
+    query answer.)"""
+    if len(cols) < 2:
+        raise ValueError("write_zordered needs at least two clustering columns")
+    z = with_zvalue_n(df, list(cols), bits)
     (
         z.repartitionByRange(num_files, "_z")
         .sortWithinPartitions("_z")

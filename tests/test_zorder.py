@@ -81,6 +81,77 @@ def test_three_column_interleave_round_robin(spark):
     assert 0 <= row[0] <= row[1] < (1 << 24)
 
 
+def test_quantize_wide_domain_exact(spark):
+    """Wide-domain regression: the old BIGINT numerator form errored
+    (ANSI overflow) once span·2^bits passed 2^63 — epoch-micro keys —
+    and its double division could return q-1 on >2^53 numerators. The
+    decimal-backed `div` must be exact integer floor division on ANY
+    long domain (the DuckDB `//` contract)."""
+    lo, hi = 0, (1 << 50)
+    xs = [0, 1, hi // 3, 2**40 + 12345, hi - 1, hi]
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    out = df.select(
+        "x", quantize(F.col("x"), F.lit(lo), F.lit(hi), 16).alias("q")
+    ).collect()
+    span = hi - lo + 1
+    for r in out:
+        assert r["q"] == (r["x"] - lo) * 65536 // span, r
+
+
+def test_with_zvalue_timestamp_and_date_keys(spark):
+    """Timestamp/date z-order keys normalize to epoch micros/days —
+    monotone in the time key; non-numeric columns are rejected."""
+    import pytest as _pytest
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.timestamp_micros(F.col("id") * 1_000_000_000).alias("ts"),
+        F.date_add(F.lit("2020-01-01").cast("date"), F.col("id").cast("int")).alias("d"),
+        F.lit("s").alias("s"),
+    )
+    out = with_zvalue_n(df.select("k", "ts"), ["ts", "k"], bits=8)
+    vals = [r["_z"] for r in out.orderBy("ts").collect()]
+    assert vals == sorted(vals) and len(set(vals)) > 50
+    out2 = with_zvalue_n(df.select("k", "d"), ["d", "k"], bits=8)
+    assert out2.count() == 100
+    with _pytest.raises(ValueError, match="integral"):
+        with_zvalue_n(df, ["s", "k"], bits=8)
+
+
+def test_three_column_write_zordered_narrows_all_spans(spark, tmp_path):
+    """n-ary layout: clustering on THREE columns leaves every file
+    covering a fraction of EVERY clustered domain (vs a 1-d sort where
+    two of the three are full-domain stripes)."""
+    from etl_stream_spark.plans.zorder import write_zordered
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01"))
+        ).cast("long").alias("day"),
+    )
+    zpath = str(tmp_path / "z3")
+    write_zordered(
+        orders, zpath, "o_custkey", "day", "o_orderkey", num_files=27, bits=8
+    )
+    fracs = {
+        c: _avg_span_frac(_file_spans(zpath, c))
+        for c in ("o_custkey", "day", "o_orderkey")
+    }
+    for c, frac in fracs.items():
+        assert frac < 0.75, (c, fracs)
+    # pure re-layout: byte-identical multiset of rows
+    a = sorted(map(tuple, spark.read.parquet(zpath).collect()))
+    b = sorted(map(tuple, orders.collect()))
+    assert a == b
+    # guard: fewer than two clustering columns is a usage error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="two clustering"):
+        write_zordered(orders, zpath, "o_custkey")
+
+
 def test_zordered_files_prune_on_both_dimensions(spark, tmp_path):
     orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
         "o_custkey",
