@@ -183,11 +183,19 @@ def benford_report(df: DataFrame, int_col: str) -> DataFrame:
         .withColumn(
             # half-up in exact integer space (both terms positive) —
             # Spark `div` / DuckDB `//` — never a double division; the
-            # zero-total guard keeps the operator total on empty input
+            # zero-total guard keeps the operator total on empty input.
+            # Numerator in decimal(38,0): 2·n_d·1e6 wraps BIGINT past
+            # ~4.6e12 rows per digit — first-digit-skewed data at the
+            # 100 TB envelope (~1e12 rows) has only ~5× headroom, and
+            # a silent Spark wrap would diverge from DuckDB's HUGEINT
             "observed_ppm",
             F.when(
                 F.col("_total") > 0,
-                F.expr("(2 * n_values * 1000000 + _total) div (2 * _total)"),
+                F.expr(
+                    "cast((2 * cast(n_values as decimal(38,0)) * 1000000"
+                    " + _total) div (2 * cast(_total as decimal(38,0)))"
+                    " as long)"
+                ),
             ).cast("long"),
         )
         .withColumn("expected_ppm", expected)

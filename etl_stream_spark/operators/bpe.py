@@ -142,7 +142,11 @@ def encode_stats(
     # 6-dp ratio rounded in EXACT integer space (repo determinism rule:
     # a rational of two counts can land exactly on a .5 at the 6th
     # decimal, where double ROUND's tie behavior diverges between
-    # engines); both sums are positive so no sign branch is needed
+    # engines); both sums are positive so no sign branch is needed.
+    # ppm bound: the grouping key is ONE document, so 2·n_bpe_tokens·1e6
+    # wraps BIGINT only past a ~4.6e12-character single document —
+    # unreachable at any envelope (per-digit/per-source global counts
+    # are the sites that need the decimal(38,0) numerator instead)
     q = F.expr("(2 * n_bpe_tokens * 1000000 + n_chars) div (2 * n_chars)")
     return agg.select(
         id_col,

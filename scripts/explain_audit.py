@@ -84,22 +84,23 @@ EXPECTED_MAX = {
     "user_value_ewma": {"exchanges": 1, "scans": 1},
     # lag window + pair agg + bounded outdegree join
     "events_markov_transitions": {"exchanges": 3, "scans": 1},
-    # three two-phase exact ranks (operators/ranking.py) as independent
-    # narrow frames off ONE checkpointed base, joined back on custkey.
-    # The count looks high because only the base checkpoint severs
-    # lineage: per rank the bounds pass, cell-stats agg, two
-    # bounded-frame offset windows, the unit window, and the custkey
-    # join all show their exchanges — but every one of them moves
-    # either a two-column projection of the customer frame or a
-    # ≤ fine·tie-row bounded frame, never the wide frame and never a
-    # single-task sort (the property the tripwire pins)
-    "customer_rfm_segments": {"exchanges": 19, "scans": 1},
-    # revenue agg (behind the checkpoint) + one two-phase running sum +
-    # final class agg
-    "customer_abc_classes": {"exchanges": 7, "scans": 1},
-    # surprisal scoring behind the checkpoint + one two-phase rank +
-    # final decile agg
-    "corpus_difficulty_deciles": {"exchanges": 7, "scans": 1},
+    # BATCHED two-phase ranks (operators/ranking.py::with_global_orders,
+    # r8): the three ranks share ONE bounds aggregate and ONE expanded
+    # coarse/cell stats pass, and the bounded intermediates (bounds,
+    # coarse, offsets) are lazily checkpointed — the sever hides their
+    # upstream exchanges from the static plan (the dedup_clusters
+    # scans=0 effect), leaving the three per-rank unit-window shuffles
+    # plus the final agg visible. Runtime cost is pinned by the bench;
+    # the plan property pinned here is "no un-severed extra shuffle of
+    # the frame crept back in"
+    "customer_rfm_segments": {"exchanges": 4, "scans": 1},
+    # revenue agg (behind the checkpoint) + one ADAPTIVE two-phase
+    # running sum (r8: +1 exchange for the coarse occupancy-stats agg
+    # that drives mass-proportional refinement) + final class agg
+    "customer_abc_classes": {"exchanges": 8, "scans": 1},
+    # surprisal scoring behind the checkpoint + one adaptive two-phase
+    # rank (same +1 coarse-stats exchange as abc) + final decile agg
+    "corpus_difficulty_deciles": {"exchanges": 8, "scans": 1},
     # deduped (order, part) key frame checkpointed once and read by all
     # four consumers (self-join both sides, item counts, basket count);
     # the basket total is an in-plan broadcast 1-row aggregate, zero

@@ -125,6 +125,58 @@ def test_decimal_running_sum_exact(spark):
     )
     cols = ["id", "cum_d", "tot_d"]
     assert _rows(got, cols) == _rows(want, cols)
+    # schema parity with the naive plan: the bounded prefix must not
+    # leak a widened decimal into the output (driver boundary rule)
+    got_t = dict(got.dtypes)
+    want_t = dict(want.dtypes)
+    assert got_t["cum_d"] == want_t["cum_d"], (got_t, want_t)
+    assert got_t["tot_d"] == want_t["tot_d"], (got_t, want_t)
+
+
+def test_outlier_clustered_mass_rebalances(spark):
+    """The adaptive refinement's reason to exist: thousands of DISTINCT
+    values clustered in [0, 2e-9] under ±1e9 outliers collapse into one
+    coarse cell — the mass-proportional sub-bucketing must re-spread
+    them to ~n/fine per unit (exactness AND balance, not exactness
+    alone)."""
+    from etl_stream_spark.operators.ranking import unit_occupancy
+
+    rows = [(i, i * 1e-12) for i in range(2000)] + [(2000, 1e9), (2001, -1e9)]
+    df = spark.createDataFrame(rows, "id long, x double").repartition(7)
+    order = [("x", True), ("id", True)]
+    got = with_global_order(
+        df, order, rank_col="rn", fine_buckets=64, tie_buckets=4, refine_max=64
+    )
+    w = Window.orderBy(F.asc("x"), F.asc("id"))
+    want = df.withColumn("rn", F.row_number().over(w).cast("long"))
+    assert _rows(got, ["id", "rn"]) == _rows(want, ["id", "rn"])
+    occ = unit_occupancy(
+        df, order, fine_buckets=64, tie_buckets=4, refine_max=64
+    ).collect()
+    assert sum(r["unit_rows"] for r in occ) == 2002
+    # collapse would put ~2000 rows in one unit; refinement caps it
+    # near ceil(n/fine)·slack
+    assert max(r["unit_rows"] for r in occ) <= 120, sorted(
+        r["unit_rows"] for r in occ
+    )[-5:]
+
+
+def test_beyond_double_precision_distinct_values_not_misread_as_tie(spark):
+    """Two distinct BIGINTs beyond 2^53 share one double image — a
+    double-typed pure-tie test would sub-split their shared cell by the
+    tie-break column and interleave the two primary values across
+    units, silently corrupting ranks. The span test runs on the
+    original type and must keep them in one correctly-sorted unit."""
+    big = 1 << 53
+    rows = [(i, big + (i % 2)) for i in range(80)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(5)
+    got = with_global_order(
+        df, [("v", True), ("id", True)], rank_col="rn",
+        fine_buckets=8, tie_buckets=4,
+    )
+    w = Window.orderBy(F.asc("v"), F.asc("id"))
+    want = df.withColumn("rn", F.row_number().over(w).cast("long"))
+    assert _rows(got, ["id", "v", "rn"]) == _rows(want, ["id", "v", "rn"])
 
 
 def test_outlier_clustered_values_still_exact(spark):
@@ -183,6 +235,61 @@ def test_hypothesis_fuzz_matches_global_window(spark):
         assert _rows(got, cols) == _rows(want, cols)
 
     check()
+
+
+def test_batched_ranks_match_global_windows(spark):
+    """with_global_orders: N ranks sharing the fused stats passes must
+    equal N independent global-window ranks — including a tie-heavy
+    dimension (pure-tie sub-split) and opposite sort directions."""
+    from etl_stream_spark.operators.ranking import with_global_orders
+
+    rng = random.Random(42)
+    rows = [
+        (i, rng.randint(0, 5), rng.randint(-1000, 1000), rng.randint(0, 50))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id long, a long, b long, c long").repartition(9)
+    got = with_global_orders(
+        df,
+        [
+            ([("a", False), ("id", True)], "ra", "n"),
+            ([("b", True), ("id", True)], "rb", None),
+            ([("c", False), ("id", True)], "rc", None),
+        ],
+        fine_buckets=16,
+        tie_buckets=4,
+        refine_max=16,
+    )
+    want = df
+    for col, asc, rn in [("a", False, "ra"), ("b", True, "rb"), ("c", False, "rc")]:
+        w = Window.orderBy(
+            F.asc(col) if asc else F.desc(col), F.asc("id")
+        )
+        want = want.withColumn(rn, F.row_number().over(w).cast("long"))
+    want = want.withColumn(
+        "n",
+        F.count(F.lit(1)).over(
+            Window.orderBy("id").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    cols = ["id", "ra", "rb", "rc", "n"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_batched_ranks_reject_mixed_primary_dtypes(spark):
+    from etl_stream_spark.operators.ranking import with_global_orders
+
+    df = spark.createDataFrame([(1, 2, 0.5)], "id long, a long, b double")
+    with pytest.raises(ValueError, match="shared primary dtype"):
+        with_global_orders(
+            df,
+            [
+                ([("a", True), ("id", True)], "ra", None),
+                ([("b", True), ("id", True)], "rb", None),
+            ],
+        )
 
 
 def test_rejects_non_numeric_order_column(spark):

@@ -558,11 +558,23 @@ def test_no_unpartitioned_windows_over_sf_scaling_frames(spark):
 #: Measured Spark-JOB budgets for the ITERATIVE entries — the plans the
 #: exchange/scan ceiling suite cannot see because their cost lives in
 #: driver-side loop rounds, one job each (pointer-jumping CC, per-merge
-#: BPE argmax). A regression that adds a job per round (a lost lazy
-#: checkpoint, a second action in the loop body, an extra fixpoint
-#: probe) moves these immediately, while bench noise cannot. Measured
-#: on sf0.001 (fixed data → deterministic round counts): 46 and 28.
-_JOB_BUDGETS = {"dedup_clusters": 48, "bpe_learned_merges": 30}
+#: BPE argmax, gradient-descent steps, k-means iterations, the IVF
+#: build + L0 epoch loop). A regression that adds a job per round (a
+#: lost lazy checkpoint, a second action in the loop body, an extra
+#: fixpoint probe) moves these immediately, while bench noise cannot.
+#: Measured on sf0.001 (fixed data → deterministic round counts):
+#: 46, 28, 26, 11, 4, 10, 86 — budgets leave +2-4 slack.
+_JOB_BUDGETS = {
+    "dedup_clusters": 48,
+    "bpe_learned_merges": 30,
+    "corpus_quality_trained": 28,   # gradient loop (operators/ml.py)
+    "semantic_dedup": 13,           # k-means (operators/similarity.py)
+    "embedding_centroids": 6,       # k-means, fewer rounds
+    "ivf_topk": 12,                 # IVF build loop (vector_index.py)
+    "ivf_incremental_search": 90,   # IVF store: build + epoch batches +
+    #   counter-gated L0 drains; high by design (persisted-store path),
+    #   pinned so a crash-loop or lost drain gate shows up as +jobs
+}
 
 
 #: Exact-`percentile` call sites in the package. Spark's exact
@@ -616,6 +628,55 @@ def test_exact_percentile_sites_are_audited():
         f"exact-percentile sites changed — audit the memory bound and "
         f"stand-in, then update the pinned set: {sorted(got)}"
     )
+
+
+#: Half-up ppm numerator sites (`2 * x * 1000000`) per source file —
+#: Spark-side sites must compute in decimal(38,0) (BIGINT wraps past
+#: ~4.6e12 rows per group, inside the 100 TB envelope for global or
+#: per-digit counts) or carry an audited per-group bound comment
+#: (bpe.py: the group is ONE document). Oracle-SQL twins count too:
+#: DuckDB ERRORS on BIGINT overflow rather than wrapping, and oracles
+#: run at test SF only, so HUGEINT/BIGINT is acceptable there.
+_PPM_NUMERATOR_SITES = {
+    ("catalog.py", 9),
+    ("operators/anomaly.py", 1),  # benford — decimal(38,0) (r8 fix)
+    ("operators/bpe.py", 1),      # per-doc ratio — bound-commented
+    ("operators/corpus.py", 2),   # gini/share — decimal operands
+}
+
+
+def test_ppm_numerators_are_overflow_audited():
+    """Pin every half-up ppm numerator site, and pin the decimal(38,0)
+    discipline on the Spark-side global-count sites — a new ppm entry
+    must audit its overflow bound consciously, not regress to a raw
+    BIGINT product that silently wraps where DuckDB goes HUGEINT."""
+    import re
+
+    root = os.path.join(os.path.dirname(__file__), "..", "etl_stream_spark")
+    pat = re.compile(r"2 \* [^\n]{0,100}?\* 1000000")
+    found: dict[str, int] = {}
+    srcs: dict[str, str] = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            rel = os.path.relpath(path, root)
+            with open(path) as f:
+                src = f.read()
+            n = len(pat.findall(src))
+            if n:
+                found[rel] = n
+                srcs[rel] = src
+    assert set(found.items()) == _PPM_NUMERATOR_SITES, (
+        f"ppm numerator sites changed — audit the overflow bound "
+        f"(decimal(38,0) or a per-group bound comment), then update "
+        f"the pinned set: {sorted(found.items())}"
+    )
+    # the global-count Spark sites must stay decimal
+    assert "2 * cast(n_values as decimal(38,0))" in srcs["operators/anomaly.py"]
+    assert "2 * cast(cum_weight as decimal(38,0))" in srcs["operators/corpus.py"]
+    assert "2 * cast(n_oov as decimal(38,0))" in srcs["catalog.py"]
 
 
 def test_iterative_entry_job_budgets(spark):

@@ -193,6 +193,40 @@ def test_zordered_files_prune_on_both_dimensions(spark, tmp_path):
     assert a == b
 
 
+def test_pruned_read_entry_layout_skips_files(spark, tmp_path):
+    """The ``orders_pruned_read`` catalog entry's exact layout and
+    slice (3-col z-order, 32 files, custkey 30-90 × day 9500-10200 at
+    sf0.001) must read STRICTLY fewer files than the table holds while
+    returning exactly the full-scan rows — the oracle proves no rows
+    are lost; this pins that the manifest actually skips."""
+    from etl_stream_spark.plans.file_index import pruned_files, read_pruned
+    from etl_stream_spark.plans.file_index import build_index
+    from etl_stream_spark.plans.zorder import write_zordered
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01"))
+        ).cast("long").alias("_day"),
+    )
+    zpath, ipath = str(tmp_path / "z"), str(tmp_path / "idx")
+    write_zordered(o, zpath, "o_custkey", "_day", "o_orderkey", num_files=32, bits=16)
+    build_index(spark, zpath, ["o_custkey", "_day"], ipath)
+    ranges = {"o_custkey": (30, 90), "_day": (9500, 10200)}
+    n_total = len(glob.glob(os.path.join(zpath, "*.parquet")))
+    n_read = len(pruned_files(spark, ipath, ranges))
+    assert 0 < n_read < n_total, (n_read, n_total)
+    got = read_pruned(spark, zpath, ipath, ranges).filter(
+        F.col("o_custkey").between(30, 90) & F.col("_day").between(9500, 10200)
+    )
+    want = spark.read.parquet(zpath).filter(
+        F.col("o_custkey").between(30, 90) & F.col("_day").between(9500, 10200)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert want.count() > 0
+
+
 def test_manifest_prunes_files_on_both_dimensions(spark, tmp_path):
     """End-to-end file skipping: z-ordered layout + manifest index —
     a range predicate on EITHER clustered column must read a strict
