@@ -8379,6 +8379,34 @@ CATALOG.update({name: QueryDef(fn, sql) for name, fn, sql in _EXTRA})
 #: flagship CDC path plus at least one representative of every operator
 #: family inside that window; redundant TPC-H variants trail.
 _DRIVER_PRIORITY = [
+    # ROUND-8 ROTATION (CORRECTNESS_r07 was 50/50 — zero never-checked
+    # entries remain). In per the rotation rule:
+    # (a) NEW in r8 — orders_pruned_read (z-order + manifest
+    #     file-skipping read; displaced bpe_encode_stats, r6+r7-proven,
+    #     BPE family keeps bpe_learned_merges);
+    # (b) ENGINE CHANGED in r8, all already in-window — the three
+    #     ranked entries (customer_rfm_segments on the BATCHED
+    #     with_global_orders; customer_abc_classes,
+    #     corpus_difficulty_deciles on the adaptive refinement),
+    #     orders_benford_digits (decimal(38,0) ppm numerator),
+    #     orders_zorder_layout (decimal-div exact quantize);
+    # (c) regression spread per the r7 verdict: the displaced r6
+    #     quartet returns — user_value_ewma (displacing
+    #     supplier_lead_time, r7-proven; trend reps remain),
+    #     events_hourly_seasonality (displacing events_cusum_changepoint,
+    #     r6+r7-proven; CUSUM family keeps streaming_cusum_monitor),
+    #     corpus_oov_rate (displacing part_xyz_classes, r7-proven;
+    #     class family keeps abc + rfm), events_markov_transitions
+    #     (displacing events_orc_roundtrip, r6+r7-proven; the ORC
+    #     read/write path stays pytest-covered) — plus the oldest
+    #     r2-r4 proofs never re-checked since: cdc_scd2_history
+    #     (displacing privacy_k_anonymity, r6+r7-proven; governance
+    #     keeps benford + streaming_dq_monitor), corpus_contamination
+    #     (displacing events_anomaly_mad, r6+r7-proven; monitoring
+    #     keeps the DQ/CUSUM pair), events_salted_enrichment
+    #     (displacing corpus_temperature_mix, r6+r7-proven; corpus
+    #     keeps curation_funnel, gini, calibration, oov).
+    #
     # ROUND-7 ROTATION (applied on top of the round-6 window below —
     # CORRECTNESS_r06 was 50/50, zero never-checked entries remain).
     # In per the rotation rule:
@@ -8456,7 +8484,9 @@ _DRIVER_PRIORITY = [
     "streaming_ivf_search",        # same id-map engine, streaming path
     "multimodal_resize",           # PPM parser zero-dim guard
     "bpe_learned_merges",          # NEW oracle: chained-CTE BPE loop
-    "bpe_encode_stats",            # NEW oracle + integer-space ratio
+    "orders_pruned_read",          # NEW r8: manifest file-skipping read
+    #   (displaced bpe_encode_stats, r6+r7-proven — BPE family keeps
+    #   bpe_learned_merges)
     "corpus_quality_trained",      # NEW oracle + floor(+0.5) gradients
     # the one never-driver-checked entry (late r5 add)
     "multimodal_video_frames",     # Y4M frame-seek (parser guards too)
@@ -8469,10 +8499,9 @@ _DRIVER_PRIORITY = [
     #   (displaced cdc_envelope_decode, driver-proven r2 — the decode
     #   path stays exercised in-window by cdc_quarantine_repair)
     "cdc_quarantine_repair",       # DLQ replay over tombstones
-    "events_cusum_changepoint",    # NEW r6 late: CUSUM level-shift scan
-    #   (displaced cdc_schema_evolution, driver-proven r3/r4 — CDC
-    #   family keeps six in-window reps: final_state, streaming_merge,
-    #   gold_rollup, forget_keys, masked_replication, quarantine_repair)
+    "events_hourly_seasonality",   # r8 regression spread: r6 quartet
+    #   returns (displaced events_cusum_changepoint, driver-proven
+    #   r6+r7 — CUSUM family keeps streaming_cusum_monitor)
     "orders_benford_digits",       # NEW r6 late: Benford DQ audit
     #   (displaced cdc_scd2_incremental, driver-proven r3 — same CDC
     #   coverage argument; the DQ family adds this to dq_orders_report)
@@ -8480,25 +8509,26 @@ _DRIVER_PRIORITY = [
     #   (displaced wal_size_monitor, driver-proven r4 — the monitoring
     #   family keeps four in-window reps: this entry, the batch CUSUM,
     #   events_anomaly_mad, streaming_dq_monitor)
-    "supplier_lead_time",          # NEW r7: lead-time latency stats
-    #   (displaced user_value_ewma, driver-proven r6 — trend reps
-    #   remain: orders_daily_trend, events_hourly_acf, CUSUM pair)
+    "user_value_ewma",             # r8 regression spread: r6 quartet
+    #   returns (displaced supplier_lead_time, driver-proven r7)
     "streaming_dq_monitor",        # NEW r6: expectations on a stream
     #   (displaced streaming_hourly_rollup, driver-proven r4; the
     #   windowed-agg shape stays covered by this entry's aggregation)
     "part_association_rules",      # ENGINE CHANGED r7: in-plan counts
     #   (displaced dedup_minhash_signatures, driver-proven r2-r4 —
     #   dedup reps remain: dedup_exact, dedup_lsh_incremental)
-    "part_xyz_classes",            # NEW r7: exact integer CV classes
-    #   (displaced corpus_oov_rate, driver-proven r6 — corpus reps
-    #   remain: curation_funnel canary, temperature_mix,
-    #   gini_concentration, quality_calibration)
+    "corpus_oov_rate",             # r8 regression spread: r6 quartet
+    #   returns (displaced part_xyz_classes, driver-proven r7)
     # NEW round-6 entries (never driver-checked — must be windowed;
     # displaced dedup_simhash / semantic_dedup / corpus_tfidf, all
     # driver-proven r2-r5 with other family reps still in-window)
-    "events_orc_roundtrip",        # second columnar format end-to-end
-    "privacy_k_anonymity",         # privacy governance audit
-    "events_anomaly_mad",          # robust (median/MAD) outlier stats
+    "events_markov_transitions",   # r8 regression spread: r6 quartet
+    #   returns (displaced events_orc_roundtrip, driver-proven r6+r7
+    #   — the ORC path stays pytest-covered)
+    "cdc_scd2_history",            # r8 regression spread: oldest r3
+    #   proof re-checked (displaced privacy_k_anonymity, r6+r7-proven)
+    "corpus_contamination",        # r8 regression spread: oldest r2-r4
+    #   proof re-checked (displaced events_anomaly_mad, r6+r7-proven)
     "customer_abc_classes",        # ENGINE CHANGED r7: two-phase cumsum
     #   (displaced knn_bruteforce, driver-proven r2-r4 — similarity
     #   reps remain: ann_recall_audit, pq_recall_audit, ivf_topk,
@@ -8516,9 +8546,8 @@ _DRIVER_PRIORITY = [
     #   carries the SAME integer-space half-up `div` rounding recipe,
     #   so the rounding-determinism canary role transfers with it;
     #   corpus reps remain: curation_funnel canary, temperature_mix)
-    "corpus_temperature_mix",      # NEW r6: sqrt-temperature mixing
-    #   (displaced corpus_pack_sequences, driver-proven r4; corpus
-    #   family reps remain: curation_funnel, dsir_weights)
+    "events_salted_enrichment",    # r8 regression spread: oldest r2-r4
+    #   proof re-checked (displaced corpus_temperature_mix, r6+r7-proven)
     "corpus_quality_calibration",  # NEW r6 late: model reliability bins
     #   (displaced text_quality, driver-proven r2-r4 — the calibration
     #   entry recomputes the SAME heuristic rule and model features, so
