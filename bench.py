@@ -131,6 +131,9 @@ BENCH_QUERIES = [
     "part_xyz_classes",
     "corpus_difficulty_deciles",
     "orders_zorder_layout",
+    # round-8: manifest file-skipping read over the z-ordered layout
+    # (write + index + pruned scan measured end-to-end)
+    "orders_pruned_read",
 ]
 
 

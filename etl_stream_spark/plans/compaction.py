@@ -86,6 +86,96 @@ def parquet_files(path: str) -> list[tuple[str, int]]:
     return out
 
 
+def plan_bins(files: list[tuple[str, int]], target_bytes: int) -> list[list[str]]:
+    """Greedy bin-packing of CONSECUTIVE (filename-ordered) files up to
+    ``target_bytes`` per bin. Consecutive-only packing is what keeps a
+    clustered layout clustered: Spark writers emit part files in
+    partition order, so after a sort or a
+    :func:`~etl_stream_spark.plans.zorder.write_zordered` range
+    partition, filename order IS key order and each bin concatenates
+    ADJACENT key ranges. A file already at/over target stays alone."""
+    bins: list[list[str]] = []
+    cur: list[str] = []
+    cur_bytes = 0
+    for fpath, size in sorted(files):
+        if cur and cur_bytes + size > target_bytes:
+            bins.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(fpath)
+        cur_bytes += size
+        if cur_bytes >= target_bytes:
+            bins.append(cur)
+            cur, cur_bytes = [], 0
+    if cur:
+        bins.append(cur)
+    return bins
+
+
+def compact_clustered(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = DEFAULT_TARGET_BYTES,
+) -> dict:
+    """LOCALITY-PRESERVING compaction: bin-pack consecutive files.
+
+    :func:`compact_parquet`'s plain ``coalesce`` rewrite is right for
+    an unclustered landing table but wrong for a sorted or z-ordered
+    layout — Spark orders read splits by SIZE (descending), so the
+    coalesce groups mix non-adjacent key ranges and every compacted
+    file's min/max balloons toward the full domain, killing manifest
+    pruning. Here each output file is the concatenation of
+    filename-consecutive inputs (Delta OPTIMIZE's bin-packing over an
+    already-clustered table), so per-file spans stay the union of
+    ADJACENT hyper-rectangles and ``plans/file_index.py`` keeps
+    skipping after the rewrite — measured in ``tests/test_compaction``.
+
+    One Spark job per multi-file bin (bounded by file count — the
+    maintenance path pays jobs so the hot path opens fewer files);
+    single-file bins are copied byte-for-byte. The new layout stages in
+    a sibling directory while the original stays COMPLETE, then swaps
+    in by rename (crash before the swap leaves readers untouched; the
+    two-rename swap window is the table-format-metadata seam, as for
+    :func:`compact_parquet`)."""
+    files = parquet_files(path)
+    bins = plan_bins(files, target_file_bytes)
+    if len(bins) >= len(files):
+        return {"files_before": len(files), "files_after": len(files), "skipped": True}
+    schema = spark.read.parquet(path).schema
+    stage = f"{path.rstrip('/')}_compact_{uuid.uuid4().hex[:8]}"
+    os.makedirs(stage)
+    rewritten = 0
+    for i, bin_files in enumerate(bins):
+        if len(bin_files) == 1:
+            shutil.copy2(bin_files[0], os.path.join(stage, f"part-{i:05d}-kept.parquet"))
+            continue
+        tmp = os.path.join(stage, f"_bin{i:05d}")
+        (
+            spark.read.schema(schema)
+            .parquet(*bin_files)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        rewritten += 1
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet") and not f.startswith("_"):
+                os.rename(
+                    os.path.join(tmp, f),
+                    os.path.join(stage, f"part-{i:05d}-packed.parquet"),
+                )
+        shutil.rmtree(tmp)
+    old = f"{stage}_old"
+    os.rename(path, old)
+    os.rename(stage, path)
+    shutil.rmtree(old)
+    return {
+        "files_before": len(files),
+        "files_after": len(bins),
+        "rewritten": rewritten,
+        "skipped": False,
+    }
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,

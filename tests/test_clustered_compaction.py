@@ -1,0 +1,91 @@
+"""Locality-preserving compaction: content preserved (multiset), file
+count reduced to the bin plan, z-order locality retained so the
+manifest keeps pruning after the rewrite — the property the plain
+coalesce rewrite (``compact_parquet``, covered by
+``test_dlq_compaction``) does not give a clustered layout."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyspark.sql.functions as F
+
+from etl_stream_spark.plans.compaction import (
+    compact_clustered,
+    parquet_files,
+    plan_bins,
+)
+from etl_stream_spark.session import load_table
+
+
+def test_plan_bins_packs_consecutive_only():
+    files = [(f"f{i:02d}", 10) for i in range(10)]
+    bins = plan_bins(files, 30)
+    # greedy consecutive: [f0,f1,f2][f3,f4,f5][f6,f7,f8][f9]
+    assert [len(b) for b in bins] == [3, 3, 3, 1]
+    assert bins[0] == ["f00", "f01", "f02"]
+    # oversized file stays alone
+    bins = plan_bins([("a", 100), ("b", 10), ("c", 10)], 25)
+    assert bins == [["a"], ["b", "c"]]
+
+
+def test_compact_clustered_preserves_content(spark, tmp_path):
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = str(tmp_path / "t")
+    orders.repartition(24).write.parquet(path)
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert len(glob.glob(os.path.join(path, "*.parquet"))) == 24
+
+    sizes = [s for _p, s in parquet_files(path)]
+    target = sum(sizes) // 5
+    stats = compact_clustered(spark, path, target_file_bytes=target)
+    files_after = glob.glob(os.path.join(path, "*.parquet"))
+    assert stats["files_before"] == 24
+    assert stats["files_after"] == len(files_after)
+    assert 1 < len(files_after) < 24
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert after == before
+    # re-compacting converges (never grows the file count) and a
+    # third pass with the same target is a guaranteed no-op — no
+    # rewrite-amplification loop
+    stats2 = compact_clustered(spark, path, target_file_bytes=target)
+    assert stats2["files_after"] <= stats["files_after"]
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+    stats3 = compact_clustered(spark, path, target_file_bytes=target)
+    if not stats3["skipped"]:
+        assert stats3["files_after"] == stats2["files_after"]
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+
+
+def test_compact_clustered_keeps_zorder_locality(spark, tmp_path):
+    """Packing CONSECUTIVE part files of a z-ordered layout
+    concatenates adjacent hyper-rectangles: per-file spans stay far
+    from full-domain and the manifest still skips files on a slice."""
+    from etl_stream_spark.plans.file_index import build_index, pruned_files
+    from etl_stream_spark.plans.zorder import write_zordered
+    from tests.test_zorder import _avg_span_frac, _file_spans
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01"))
+        ).cast("long").alias("day"),
+    )
+    zpath = str(tmp_path / "z")
+    write_zordered(orders, zpath, "o_custkey", "day", num_files=32, bits=16)
+    sizes = [s for _p, s in parquet_files(zpath)]
+    stats = compact_clustered(spark, zpath, target_file_bytes=sum(sizes) // 8)
+    assert stats["files_after"] < stats["files_before"]
+    # locality: each compacted file still covers a fraction of each
+    # clustered domain (a size-ordered coalesce rewrite would not)
+    assert _avg_span_frac(_file_spans(zpath, "o_custkey")) < 0.75
+    assert _avg_span_frac(_file_spans(zpath, "day")) < 0.75
+    ipath = str(tmp_path / "idx")
+    build_index(spark, zpath, ["o_custkey", "day"], ipath)
+    n_total = len(glob.glob(os.path.join(zpath, "*.parquet")))
+    n_read = len(pruned_files(spark, ipath, {"o_custkey": (30, 90)}))
+    assert 0 < n_read < n_total, (n_read, n_total)

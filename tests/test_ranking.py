@@ -278,6 +278,36 @@ def test_batched_ranks_match_global_windows(spark):
     assert _rows(got, cols) == _rows(want, cols)
 
 
+def test_batched_ranks_invariant_to_partitioning_and_aqe(spark):
+    from etl_stream_spark.operators.ranking import with_global_orders
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 9), rng.randint(-50, 50)) for i in range(250)]
+    df = spark.createDataFrame(rows, "id long, a long, b long").repartition(5)
+    specs = [
+        ([("a", False), ("id", True)], "ra", None),
+        ([("b", True), ("id", True)], "rb", None),
+    ]
+
+    def run(frame):
+        return _rows(
+            with_global_orders(
+                frame, specs, fine_buckets=8, tie_buckets=4, refine_max=8
+            ),
+            ["id", "ra", "rb"],
+        )
+
+    base = run(df)
+    assert run(df.repartition(13)) == base
+    assert run(df.coalesce(1)) == base
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        assert run(df) == base
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def test_batched_ranks_reject_mixed_primary_dtypes(spark):
     from etl_stream_spark.operators.ranking import with_global_orders
 
