@@ -132,8 +132,12 @@ BENCH_QUERIES = [
     "corpus_difficulty_deciles",
     "orders_zorder_layout",
     # round-8: manifest file-skipping read over the z-ordered layout
-    # (write + index + pruned scan measured end-to-end)
+    # (write + index + pruned scan measured end-to-end), the
+    # compaction+reindex maintenance path, and the co-located bucketed
+    # join (two bucketed writes + zero-exchange join, end-to-end)
     "orders_pruned_read",
+    "orders_compacted_read",
+    "orders_bucketed_join",
 ]
 
 

@@ -6861,6 +6861,138 @@ GROUP BY 1
 """
 
 
+def orders_compacted_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance path of the layout story under the oracle:
+    z-order-cluster orders, COMPACT the layout with the
+    locality-preserving bin-packer (``plans/compaction.py::
+    compact_clustered`` — consecutive-file bins, so per-file min/max
+    stay adjacent hyper-rectangles instead of ballooning to the full
+    domain), rebuild the manifest over the compacted files, and answer
+    a two-predicate slice through ``read_pruned``. The oracle is the
+    plain full-scan filter, so the driver proves the compaction+prune
+    pipeline loses and duplicates nothing — the property a streaming
+    deployment needs before it dares run OPTIMIZE on a live table.
+    ``tests/test_clustered_compaction.py`` separately pins that the
+    manifest still skips files after the rewrite. At 100 TB this is
+    the background job that keeps the ``orders_pruned_read`` scan
+    lever alive as micro-batches fragment the layout: bounded by file
+    count, one job per multi-file bin, original directory complete
+    until the rename swap. Predicate literals fixed (custkey 40-110,
+    days 9800-10500 — non-empty at every SF; the day domain is
+    9131-11535 in this testdata)."""
+    import tempfile
+
+    from etl_stream_spark.plans.compaction import compact_clustered, parquet_files
+    from etl_stream_spark.plans.file_index import build_index, read_pruned
+    from etl_stream_spark.plans.zorder import write_zordered
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast(DEC).alias("_price"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01"))
+        ).cast("long").alias("_day"),
+    )
+    root = tempfile.mkdtemp(prefix="zcompact_")
+    zpath, ipath = f"{root}/z", f"{root}/idx"
+    write_zordered(
+        o, zpath, "o_custkey", "_day", "o_orderkey", num_files=32, bits=16
+    )
+    # Target ≈ 4 consecutive input files per output file: the 32-file
+    # micro-batch-fragmented layout compacts to ~8, mirroring the
+    # 128 MiB-target OPTIMIZE a real deployment runs.
+    sizes = [b for _f, b in parquet_files(zpath)]
+    target = 4 * (sum(sizes) // max(1, len(sizes))) + 1
+    compact_clustered(spark, zpath, target_file_bytes=target)
+    build_index(spark, zpath, ["o_custkey", "_day"], ipath)
+    sliced = read_pruned(
+        spark, zpath, ipath, {"o_custkey": (40, 110), "_day": (9800, 10500)}
+    ).filter(
+        F.col("o_custkey").between(40, 110) & F.col("_day").between(9800, 10500)
+    )
+    return sliced.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        _dbl(F.sum("_price")).alias("total_revenue"),
+    )
+
+
+COMPACTED_READ_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_revenue
+FROM orders
+WHERE o_custkey BETWEEN 40 AND 110
+  AND date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      BETWEEN 9800 AND 10500
+GROUP BY 1
+"""
+
+
+def orders_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located big-big join via storage bucketing — the OTHER
+    write-once shuffle lever beside Z-order (``plans/partitioning.py::
+    write_bucketed``): orders and customer are both persisted
+    hash-bucketed on the customer key with the same bucket count, so
+    the join's partitioning requirement is satisfied BY THE SCAN: in
+    the big-big regime the sort-merge join runs with ZERO exchanges
+    (``tests/test_bucketed_join.py`` pins that plan with broadcast
+    disabled; at toy SF Catalyst rightly broadcasts the small side
+    instead — the layout costs nothing when bypassed). The only
+    shuffle left is the 5-row segment agg. This is the landing→target
+    merge strategy of a 100 TB deployment — every repeated join on the
+    bucket key skips its shuffle forever, for one write-time sort. The
+    oracle is the plain join, so the driver proves bucket routing
+    (murmur3 pmod on BOTH writers) loses no rows. Tables are written
+    to a per-call temp location under a dedicated database so the
+    entry never depends on a writable warehouse dir."""
+    import tempfile
+    import uuid
+
+    from etl_stream_spark.plans.partitioning import write_bucketed
+
+    root = tempfile.mkdtemp(prefix="bjoin_")
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bjoin LOCATION '{root}/db'"
+    )
+    tag = uuid.uuid4().hex[:8]
+    ot, ct = f"bjoin.orders_{tag}", f"bjoin.customer_{tag}"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_totalprice").cast(DEC).alias("_price")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    # One shuffle per writer on the bucket hash → one file per bucket,
+    # so the sorted-bucket property survives too (reader needs no sort).
+    write_bucketed(
+        o.repartition(8, F.col("o_custkey")), ot, ["o_custkey"], 8,
+        path=f"{root}/orders",
+    )
+    write_bucketed(
+        c.repartition(8, F.col("c_custkey")), ct, ["c_custkey"], 8,
+        path=f"{root}/customer",
+    )
+    joined = spark.table(ot).join(
+        spark.table(ct),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        _dbl(F.sum("_price")).alias("total_revenue"),
+    )
+
+
+BUCKETED_JOIN_SQL = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
 def supplier_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier lead-time statistics per supplier nation — the latency
     metric every replication/fulfilment monitor publishes (the
@@ -8228,6 +8360,8 @@ CATALOG: dict[str, QueryDef] = {
     "part_xyz_classes": QueryDef(part_xyz_classes, XYZ_SQL),
     "orders_zorder_layout": QueryDef(orders_zorder_layout, ZORDER_SQL),
     "orders_pruned_read": QueryDef(orders_pruned_read, PRUNED_READ_SQL),
+    "orders_compacted_read": QueryDef(orders_compacted_read, COMPACTED_READ_SQL),
+    "orders_bucketed_join": QueryDef(orders_bucketed_join, BUCKETED_JOIN_SQL),
     "user_value_ewma": QueryDef(user_value_ewma, EWMA_SQL),
     "events_markov_transitions": QueryDef(events_markov_transitions, MARKOV_SQL),
     "customer_rfm_segments": QueryDef(customer_rfm_segments, RFM_SQL),
@@ -8383,7 +8517,14 @@ _DRIVER_PRIORITY = [
     # entries remain). In per the rotation rule:
     # (a) NEW in r8 — orders_pruned_read (z-order + manifest
     #     file-skipping read; displaced bpe_encode_stats, r6+r7-proven,
-    #     BPE family keeps bpe_learned_merges);
+    #     BPE family keeps bpe_learned_merges); late-r8 adds
+    #     orders_compacted_read (locality-preserving compaction under
+    #     the oracle; displaced q21_waiting_suppliers, r7-proven —
+    #     TPC-H keeps q1_pricing_summary + customer_order_history) and
+    #     orders_bucketed_join (co-located bucketed join; displaced
+    #     events_salted_enrichment, r2-r4-proven — the salting/skew
+    #     family keeps events_skew_aware_enrichment, the stronger
+    #     skew-plan rep);
     # (b) ENGINE CHANGED in r8, all already in-window — the three
     #     ranked entries (customer_rfm_segments on the BATCHED
     #     with_global_orders; customer_abc_classes,
@@ -8546,8 +8687,9 @@ _DRIVER_PRIORITY = [
     #   carries the SAME integer-space half-up `div` rounding recipe,
     #   so the rounding-determinism canary role transfers with it;
     #   corpus reps remain: curation_funnel canary, temperature_mix)
-    "events_salted_enrichment",    # r8 regression spread: oldest r2-r4
-    #   proof re-checked (displaced corpus_temperature_mix, r6+r7-proven)
+    "orders_compacted_read",       # NEW r8 late: compaction + pruned
+    #   read under the oracle (displaced events_salted_enrichment —
+    #   see the rotation note above)
     "corpus_quality_calibration",  # NEW r6 late: model reliability bins
     #   (displaced text_quality, driver-proven r2-r4 — the calibration
     #   entry recomputes the SAME heuristic rule and model features, so
@@ -8566,7 +8708,8 @@ _DRIVER_PRIORITY = [
     #   shared-order-col fix — partial top-k stays pytest-pinned;
     #   the exact-percentile parity this entry rides was driver-proven
     #   by order_price_quantiles r4)
-    "q21_waiting_suppliers",       # most expensive TPC-H (plan-audited)
+    "orders_bucketed_join",        # NEW r8 late: co-located bucketed
+    #   join (displaced q21_waiting_suppliers — see the rotation note)
 ]
 
 assert len(_DRIVER_PRIORITY) == 50, len(_DRIVER_PRIORITY)

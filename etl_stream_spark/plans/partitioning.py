@@ -223,6 +223,7 @@ def write_bucketed(
     sort: bool = True,
     mode: str = "overwrite",
     fmt: str = "parquet",
+    path: str | None = None,
 ) -> None:
     """Persist a table hash-bucketed (and sorted) on its join/merge keys.
 
@@ -233,9 +234,14 @@ def write_bucketed(
     repeated big-big joins of a 100 TB deployment (fact-fact joins,
     landing→target merges): pay the shuffle once at write time, never
     at read time. Requires a catalog table (``saveAsTable``) — plain
-    ``.parquet(path)`` writes cannot record bucketing metadata.
+    ``.parquet(path)`` writes cannot record bucketing metadata. Pass
+    ``path`` to store the data at an explicit location (external
+    table) instead of under ``spark.sql.warehouse.dir`` — the session
+    catalog still records the bucket spec either way.
     """
     writer = df.write.format(fmt).mode(mode).bucketBy(num_buckets, *keys)
     if sort:
         writer = writer.sortBy(*keys)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table_name)
