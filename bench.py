@@ -138,6 +138,9 @@ BENCH_QUERIES = [
     "orders_pruned_read",
     "orders_compacted_read",
     "orders_bucketed_join",
+    # late round-8: dynamic-partition-pruned star read (partitioned
+    # write + runtime-pruned join, end-to-end)
+    "customer_dpp_read",
 ]
 
 

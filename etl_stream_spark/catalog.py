@@ -2839,18 +2839,29 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.prefix_filter_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
+#: Ground truth as an exploded shingle EQUI-join, not the literal
+#: all-pairs nested loop: |A∩B| is the pair's match count in the
+#: shingle join, |A∪B| = |A| + |B| − |A∩B| (``sh`` is list_distinct,
+#: so the lengths are set cardinalities). Equivalent for ANY τ > 0 —
+#: a pair sharing zero shingles has Jaccard 0 and cannot pass — and
+#: ~800× faster in DuckDB (the literal O(n²) form with per-pair
+#: list_intersect took ~25 min at sf0.1 and silently dominated the
+#: whole sweep; this runs in ~2 s, Σ df² ≈ 2.8M join rows).
 PREFIX_FILTER_SQL = f"""
 WITH toks AS ({TOKS_CTE}), shingled AS ({SHINGLES_CTE}),
-p AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sa, b.sh AS sb
-  FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+ex AS (SELECT doc_id, UNNEST(sh) AS s FROM shingled),
+sz AS (SELECT doc_id, len(sh) AS n FROM shingled),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
 )
 SELECT id_a, id_b,
-       ROUND(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
-             / len(list_distinct(sa || sb)), 6) AS jaccard
-FROM p
-WHERE ROUND(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
-      / len(list_distinct(sa || sb)), 6) >= 0.5
+       ROUND(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) AS jaccard
+FROM inter
+JOIN sz na ON na.doc_id = id_a
+JOIN sz nb ON nb.doc_id = id_b
+WHERE ROUND(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) >= 0.5
 """
 
 
@@ -2862,15 +2873,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Same equi-join ground-truth form as PREFIX_FILTER_SQL (valid for
+#: any τ > 0), with the source block carried through the shingle join.
 NGRAM_SQL = f"""
-WITH toks AS ({TOKS_CTE}), shingled AS ({SHINGLES_CTE})
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
-FROM shingled a JOIN shingled b
-  ON a.source = b.source AND a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      / len(list_distinct(a.sh || b.sh)) >= 0.1
+WITH toks AS ({TOKS_CTE}), shingled AS ({SHINGLES_CTE}),
+ex AS (SELECT doc_id, source, UNNEST(sh) AS s FROM shingled),
+sz AS (SELECT doc_id, len(sh) AS n FROM shingled),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM ex a JOIN ex b
+    ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) AS jaccard
+FROM inter
+JOIN sz na ON na.doc_id = id_a
+JOIN sz nb ON nb.doc_id = id_b
+WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.1
 """
 
 
@@ -6993,6 +7013,66 @@ GROUP BY 1
 """
 
 
+def customer_dpp_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning under the oracle — the THIRD scan
+    lever beside the manifest (``orders_pruned_read``) and bucketing
+    (``orders_bucketed_join``), and the only one Catalyst applies at
+    RUNTIME with no auxiliary structure: the fact (customer) is
+    directory-partitioned on its star-join key (``plans/
+    partitioning.py::write_partitioned``), the dim side (nation ⋈
+    region, bounded 25/5 rows) carries the selective filter, and the
+    optimizer injects a ``dynamicpruningexpression`` into the fact
+    scan's PartitionFilters so only the 5 ASIA nation directories are
+    ever opened (plan pinned by ``tests/test_scale_properties.py::
+    test_dpp_entry_prunes_the_fact_scan``; the library-level contract
+    by ``test_dynamic_partition_pruning_reaches_the_scan``). The
+    oracle is the plain join, so the driver proves runtime pruning
+    loses no rows. At 100 TB this is the star-schema scan story:
+    a predicate that only exists AFTER the dim filter still cuts the
+    fact read to the surviving partitions — 5/25ths here, 7/365ths
+    for a week-of-days query — with zero write-side bookkeeping
+    beyond directory layout."""
+    import tempfile
+
+    from etl_stream_spark.plans.partitioning import write_partitioned
+
+    root = tempfile.mkdtemp(prefix="dpp_")
+    fact = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_acctbal").cast(DEC).alias("_bal"),
+    )
+    write_partitioned(fact, f"{root}/customer", ["c_nationkey"])
+    dim = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    pruned = spark.read.parquet(f"{root}/customer").join(
+        dim, F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    return pruned.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        _dbl(F.sum("_bal")).alias("total_acctbal"),
+    )
+
+
+DPP_READ_SQL = """
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY 1
+"""
+
+
 def supplier_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier lead-time statistics per supplier nation — the latency
     metric every replication/fulfilment monitor publishes (the
@@ -8362,6 +8442,7 @@ CATALOG: dict[str, QueryDef] = {
     "orders_pruned_read": QueryDef(orders_pruned_read, PRUNED_READ_SQL),
     "orders_compacted_read": QueryDef(orders_compacted_read, COMPACTED_READ_SQL),
     "orders_bucketed_join": QueryDef(orders_bucketed_join, BUCKETED_JOIN_SQL),
+    "customer_dpp_read": QueryDef(customer_dpp_read, DPP_READ_SQL),
     "user_value_ewma": QueryDef(user_value_ewma, EWMA_SQL),
     "events_markov_transitions": QueryDef(events_markov_transitions, MARKOV_SQL),
     "customer_rfm_segments": QueryDef(customer_rfm_segments, RFM_SQL),
@@ -8524,7 +8605,8 @@ _DRIVER_PRIORITY = [
     #     orders_bucketed_join (co-located bucketed join; displaced
     #     events_salted_enrichment, r2-r4-proven — the salting/skew
     #     family keeps events_skew_aware_enrichment, the stronger
-    #     skew-plan rep);
+    #     skew-plan rep) and customer_dpp_read (dynamic partition
+    #     pruning under the oracle; displaced corpus_oov_rate);
     # (b) ENGINE CHANGED in r8, all already in-window — the three
     #     ranked entries (customer_rfm_segments on the BATCHED
     #     with_global_orders; customer_abc_classes,
@@ -8658,7 +8740,11 @@ _DRIVER_PRIORITY = [
     "part_association_rules",      # ENGINE CHANGED r7: in-plan counts
     #   (displaced dedup_minhash_signatures, driver-proven r2-r4 —
     #   dedup reps remain: dedup_exact, dedup_lsh_incremental)
-    "corpus_oov_rate",             # r8 regression spread: r6 quartet
+    "customer_dpp_read",           # NEW r8 late: dynamic-partition-
+    #   pruned star read (displaced corpus_oov_rate, r6-proven — the
+    #   regression spread keeps 3 of the r6 quartet and the corpus
+    #   family keeps six other window reps incl. the curation_funnel
+    #   canary and contamination)
     #   returns (displaced part_xyz_classes, driver-proven r7)
     # NEW round-6 entries (never driver-checked — must be windowed;
     # displaced dedup_simhash / semantic_dedup / corpus_tfidf, all

@@ -133,6 +133,17 @@ EXPECTED_MAX = {
     "part_xyz_classes": {"exchanges": 3, "scans": 1},
     # 1-row domain agg broadcast + pure shift/mask map + 64-key rollup
     "orders_zorder_layout": {"exchanges": 2, "scans": 2},
+    # round-8 layout family — each ceiling pins the READ side the
+    # layout exists to buy (the write jobs run at build time and are
+    # invisible to the returned plan): manifest-pruned scan + one
+    # 3-key status agg ...
+    "orders_compacted_read": {"exchanges": 1, "scans": 1},
+    # ... bucket-aware scans + one 5-key segment agg (the join itself
+    # is exchange-free: co-located at scale, broadcast at toy SF) ...
+    "orders_bucketed_join": {"exchanges": 1, "scans": 2},
+    # ... and the runtime-pruned star read: fact + nation + region
+    # scans, bounded-dim broadcasts, one 5-key agg exchange
+    "customer_dpp_read": {"exchanges": 1, "scans": 3},
 }
 
 

@@ -110,6 +110,25 @@ def test_dynamic_partition_pruning_reaches_the_scan(spark, tmp_path):
     assert q.agg(F.sum("count")).first()[0] == 200
 
 
+def test_dpp_entry_prunes_the_fact_scan(spark):
+    """The catalog entry riding that contract: ``customer_dpp_read``
+    writes the fact partitioned on the star-join key and answers
+    through the runtime-pruned scan — pin that the entry's OWN plan
+    carries the dynamicpruningexpression (not just the library demo
+    above), so a refactor that silently breaks the star shape (e.g.
+    filtering after the join) trips here, not at 100 TB."""
+    from etl_stream_spark.catalog import CATALOG
+
+    q = CATALOG["customer_dpp_read"].fn(spark, "/root/testdata/sf0.001")
+    plan = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "dynamicpruningexpression" in plan, plan
+    # ASIA keeps 5/25 nations; every returned group is one of them
+    rows = q.collect()
+    assert 0 < len(rows) <= 5
+
+
 def test_star_join_plans_broadcasts_not_sortmerge(spark):
     from etl_stream_spark.catalog import CATALOG
 
