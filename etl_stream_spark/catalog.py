@@ -6818,6 +6818,22 @@ FROM z GROUP BY 1
 """
 
 
+def _scratch_dir(tag: str) -> str:
+    """Per-process-stable scratch root for the layout entries. A fresh
+    ``mkdtemp`` per call leaks a full table copy per invocation —
+    bench iterations and repeated sweeps accumulate gigabytes of
+    orphaned /tmp trees within one session. One directory per
+    (tag, pid), overwritten by each call's overwrite-mode writes,
+    keeps re-runs idempotent; distinct concurrent sessions are
+    distinct pids, so no cross-process collision."""
+    import os
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), f"etl_layout_{tag}_{os.getpid()}")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def orders_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-skipping read through the Z-order + manifest layout — the
     Iceberg/Delta scan-planning story (manifest min/max pruning over a
@@ -6837,8 +6853,6 @@ def orders_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     Predicate literals are fixed (custkey 30-90, days 9500-10200
     — non-empty at every SF)
     so both engines compute the identical slice at every SF."""
-    import tempfile
-
     from etl_stream_spark.plans.file_index import build_index, read_pruned
     from etl_stream_spark.plans.zorder import write_zordered
 
@@ -6851,7 +6865,7 @@ def orders_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01"))
         ).cast("long").alias("_day"),
     )
-    root = tempfile.mkdtemp(prefix="zpruned_")
+    root = _scratch_dir("zpruned")
     zpath, ipath = f"{root}/z", f"{root}/idx"
     write_zordered(
         o, zpath, "o_custkey", "_day", "o_orderkey", num_files=32, bits=16
@@ -6900,8 +6914,6 @@ def orders_compacted_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     until the rename swap. Predicate literals fixed (custkey 40-110,
     days 9800-10500 — non-empty at every SF; the day domain is
     9131-11535 in this testdata)."""
-    import tempfile
-
     from etl_stream_spark.plans.compaction import compact_clustered, parquet_files
     from etl_stream_spark.plans.file_index import build_index, read_pruned
     from etl_stream_spark.plans.zorder import write_zordered
@@ -6915,7 +6927,7 @@ def orders_compacted_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01"))
         ).cast("long").alias("_day"),
     )
-    root = tempfile.mkdtemp(prefix="zcompact_")
+    root = _scratch_dir("zcompact")
     zpath, ipath = f"{root}/z", f"{root}/idx"
     write_zordered(
         o, zpath, "o_custkey", "_day", "o_orderkey", num_files=32, bits=16
@@ -6965,19 +6977,21 @@ def orders_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge strategy of a 100 TB deployment — every repeated join on the
     bucket key skips its shuffle forever, for one write-time sort. The
     oracle is the plain join, so the driver proves bucket routing
-    (murmur3 pmod on BOTH writers) loses no rows. Tables are written
-    to a per-call temp location under a dedicated database so the
-    entry never depends on a writable warehouse dir."""
-    import tempfile
-    import uuid
+    (murmur3 pmod on BOTH writers) loses no rows. Tables live at a
+    per-process scratch location under a dedicated database so the
+    entry never depends on a writable warehouse dir, and repeated
+    calls OVERWRITE the same two tables instead of registering a new
+    uuid-named pair per invocation (an unbounded metastore leak under
+    bench iteration)."""
+    import os
 
     from etl_stream_spark.plans.partitioning import write_bucketed
 
-    root = tempfile.mkdtemp(prefix="bjoin_")
+    root = _scratch_dir("bjoin")
     spark.sql(
         f"CREATE DATABASE IF NOT EXISTS bjoin LOCATION '{root}/db'"
     )
-    tag = uuid.uuid4().hex[:8]
+    tag = str(os.getpid())
     ot, ct = f"bjoin.orders_{tag}", f"bjoin.customer_{tag}"
     o = _t(spark, sf_dir, "orders").select(
         "o_custkey", F.col("o_totalprice").cast(DEC).alias("_price")
@@ -7032,11 +7046,9 @@ def customer_dpp_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact read to the surviving partitions — 5/25ths here, 7/365ths
     for a week-of-days query — with zero write-side bookkeeping
     beyond directory layout."""
-    import tempfile
-
     from etl_stream_spark.plans.partitioning import write_partitioned
 
-    root = tempfile.mkdtemp(prefix="dpp_")
+    root = _scratch_dir("dpp")
     fact = _t(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_nationkey",
@@ -8613,22 +8625,26 @@ _DRIVER_PRIORITY = [
     #     corpus_difficulty_deciles on the adaptive refinement),
     #     orders_benford_digits (decimal(38,0) ppm numerator),
     #     orders_zorder_layout (decimal-div exact quantize);
-    # (c) regression spread per the r7 verdict: the displaced r6
-    #     quartet returns — user_value_ewma (displacing
-    #     supplier_lead_time, r7-proven; trend reps remain),
-    #     events_hourly_seasonality (displacing events_cusum_changepoint,
-    #     r6+r7-proven; CUSUM family keeps streaming_cusum_monitor),
-    #     corpus_oov_rate (displacing part_xyz_classes, r7-proven;
-    #     class family keeps abc + rfm), events_markov_transitions
+    # (c) regression spread per the r7 verdict (FINAL r8 state — two
+    #     spread members admitted early in the round were themselves
+    #     displaced by the late-r8 layout entries, see (a), and were
+    #     NOT driver-re-checked this round: corpus_oov_rate left for
+    #     customer_dpp_read, events_salted_enrichment left for
+    #     orders_bucketed_join; both stay on the r9 spread backlog):
+    #     3 of the displaced-r6 quartet return — user_value_ewma
+    #     (displacing supplier_lead_time, r7-proven; trend reps
+    #     remain), events_hourly_seasonality (displacing
+    #     events_cusum_changepoint, r6+r7-proven; CUSUM family keeps
+    #     streaming_cusum_monitor), events_markov_transitions
     #     (displacing events_orc_roundtrip, r6+r7-proven; the ORC
     #     read/write path stays pytest-covered) — plus the oldest
     #     r2-r4 proofs never re-checked since: cdc_scd2_history
     #     (displacing privacy_k_anonymity, r6+r7-proven; governance
     #     keeps benford + streaming_dq_monitor), corpus_contamination
     #     (displacing events_anomaly_mad, r6+r7-proven; monitoring
-    #     keeps the DQ/CUSUM pair), events_salted_enrichment
-    #     (displacing corpus_temperature_mix, r6+r7-proven; corpus
-    #     keeps curation_funnel, gini, calibration, oov).
+    #     keeps the DQ/CUSUM pair). Net r8 slot chains:
+    #     part_xyz_classes and corpus_temperature_mix (both r7-proven)
+    #     are the other two entries that left relative to r7.
     #
     # ROUND-7 ROTATION (applied on top of the round-6 window below —
     # CORRECTNESS_r06 was 50/50, zero never-checked entries remain).

@@ -60,11 +60,18 @@ count PROPORTIONAL to its mass (``ceil(count·fine/total)``, capped at
 cells again, while Σ sub-levels ≤ 2·fine keeps the unit table bounded
 regardless of distribution. The refinement is a pure function of the
 row and of exact deterministic aggregates, so recomputed subtrees
-agree — the same property the coarse level rides. What remains
-unsplittable is a single value whose DOUBLE image collides with its
-cell's entire span (keys beyond 2^53 with sub-ULP spacing): detected
-via the original-typed span test and left as one correct (if large)
-unit rather than silently mis-ranked. ``unit_occupancy`` exposes the
+agree — the same property the coarse level rides. Honest limits of
+ONE refinement level: (a) a single value whose DOUBLE image collides
+with its cell's entire span (keys beyond 2^53 with sub-ULP spacing)
+is unsplittable — detected via the original-typed span test and left
+as one correct (if large) unit rather than silently mis-ranked; and
+(b) a distribution clustered at MULTIPLE scales (mass in [0, 1e-18]
+plus a secondary cluster at 1e-9 plus a 1e9 outlier) re-collapses
+inside the refined cell — the result stays EXACT (the per-unit
+window is still correct, just large); only the balance property
+degrades. If such a key ever appears, apply a rank-compressing
+monotone transform (log-shift / IEEE-754-bits-as-integer) before
+calling, or recurse the refinement. ``unit_occupancy`` exposes the
 realized per-unit row counts so tests pin the balance property, not
 just exactness.
 """
@@ -204,7 +211,13 @@ def _prepare(
         .otherwise(F.lit(1))
         .cast("long")
     )
-    coarse = coarse.select(_C, "_fb_clo", "_fb_chi", rc.alias("_fb_rc"))
+    # bounded ≤ fine_buckets rows, but its plan nests a full-frame
+    # aggregation — sever it so the two consumers of the returned
+    # ``framed`` (cells and the output subtree) don't each recompute
+    # that pass (the with_global_orders discipline below)
+    coarse = coarse.select(
+        _C, "_fb_clo", "_fb_chi", rc.alias("_fb_rc")
+    ).localCheckpoint(eager=False)
     framed = framed.join(F.broadcast(coarse), _C)
     v2 = (
         F.when(

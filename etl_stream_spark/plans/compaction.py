@@ -111,6 +111,26 @@ def plan_bins(files: list[tuple[str, int]], target_bytes: int) -> list[list[str]
     return bins
 
 
+def _require_unpartitioned(path: str, files: list[tuple[str, int]], op: str) -> None:
+    """Refuse to flatten a Hive-partitioned layout: partition-column
+    VALUES live only in the directory names, so a whole-directory
+    rewrite that stages outputs flat would silently drop (or
+    NULL-infer) those columns for every future read.
+    :func:`replace_parquet_files` preserves the layout per-file-set;
+    the whole-directory compactors below do not — route partitioned
+    tables through per-partition calls instead (one call per leaf
+    directory keeps the dirname, and bin locality, intact)."""
+    for fpath, _b in files:
+        pcols = partition_cols_of(path, fpath)
+        if pcols:
+            raise ValueError(
+                f"{op}: {path!r} is Hive-partitioned on {pcols} "
+                f"(e.g. {fpath!r}); compact each leaf partition "
+                "directory separately — a flat rewrite would lose the "
+                "partition-column values stored in the directory names"
+            )
+
+
 def compact_clustered(
     spark: SparkSession,
     path: str,
@@ -137,9 +157,15 @@ def compact_clustered(
     two-rename swap window is the table-format-metadata seam, as for
     :func:`compact_parquet`)."""
     files = parquet_files(path)
+    _require_unpartitioned(path, files, "compact_clustered")
     bins = plan_bins(files, target_file_bytes)
     if len(bins) >= len(files):
-        return {"files_before": len(files), "files_after": len(files), "skipped": True}
+        return {
+            "files_before": len(files),
+            "files_after": len(files),
+            "rewritten": 0,
+            "skipped": True,
+        }
     schema = spark.read.parquet(path).schema
     stage = f"{path.rstrip('/')}_compact_{uuid.uuid4().hex[:8]}"
     os.makedirs(stage)
@@ -190,10 +216,16 @@ def compact_parquet(
     repartition — one shuffle-free coalesce when shrinking.
     """
     files = parquet_files(path)
+    _require_unpartitioned(path, files, "compact_parquet")
     total = sum(b for _f, b in files)
     n_target = max(1, math.ceil(total / target_file_bytes))
     if len(files) < min_files or n_target >= len(files):
-        return {"files_before": len(files), "files_after": len(files), "skipped": True}
+        return {
+            "files_before": len(files),
+            "files_after": len(files),
+            "bytes": total,
+            "skipped": True,
+        }
 
     df = spark.read.parquet(path)
     tmp = f"{path.rstrip('/')}_compact_{uuid.uuid4().hex[:8]}"

@@ -126,7 +126,7 @@ def write_zordered(
     path: str,
     *cols: str,
     num_files: int = 32,
-    bits: int = 16,
+    bits: int | None = None,
     mode: str = "overwrite",
 ) -> None:
     """Persist ``df`` z-order-clustered on ``cols`` (n-ary — 2 to 4
@@ -136,9 +136,16 @@ def write_zordered(
     min-max file stats prune scans filtered on ANY clustered column.
     (Range boundaries are sampled per write; that affects file balance
     only, never content — the layout is a physical property, not a
-    query answer.)"""
+    query answer.)
+
+    ``bits`` defaults to ``min(16, 63 // len(cols))`` so every
+    documented column count fits a signed-BIGINT z-value out of the
+    box (4 columns → 15 bits); an explicit ``bits`` past that budget
+    still raises in :func:`interleave_bits_n`."""
     if len(cols) < 2:
         raise ValueError("write_zordered needs at least two clustering columns")
+    if bits is None:
+        bits = min(16, 63 // len(cols))
     z = with_zvalue_n(df, list(cols), bits)
     (
         z.repartitionByRange(num_files, "_z")

@@ -136,7 +136,8 @@ EXPECTED_MAX = {
     # round-8 layout family — each ceiling pins the READ side the
     # layout exists to buy (the write jobs run at build time and are
     # invisible to the returned plan): manifest-pruned scan + one
-    # 3-key status agg ...
+    # 3-key status agg (fresh layout, then again post-compaction) ...
+    "orders_pruned_read": {"exchanges": 1, "scans": 1},
     "orders_compacted_read": {"exchanges": 1, "scans": 1},
     # ... bucket-aware scans + one 5-key segment agg (the join itself
     # is exchange-free: co-located at scale, broadcast at toy SF) ...

@@ -76,6 +76,28 @@ def test_bucketed_join_matches_plain_join(spark, bucketed_pair):
     assert got == want and len(got) > 0
 
 
+def test_layout_entries_rerun_in_place(spark):
+    """The layout entries write to a per-process scratch dir
+    (``catalog._scratch_dir``) that repeated calls OVERWRITE — a fresh
+    mkdtemp per call leaked a table copy per bench iteration, and the
+    bucketed entry additionally registered two new uuid-named
+    metastore tables per call. Pin the reuse path: invoking an entry
+    twice in one session returns identical results (overwrite-mode
+    rewrite, saveAsTable over an existing external table) and the
+    second call registers no additional tables."""
+    from etl_stream_spark.catalog import CATALOG
+
+    sf = "/root/testdata/sf0.001"
+    first = sorted(CATALOG["orders_bucketed_join"].fn(spark, sf).collect())
+    n_tables = len(spark.catalog.listTables("bjoin"))
+    second = sorted(CATALOG["orders_bucketed_join"].fn(spark, sf).collect())
+    assert first == second and len(first) > 0
+    assert len(spark.catalog.listTables("bjoin")) == n_tables
+    p1 = sorted(CATALOG["orders_pruned_read"].fn(spark, sf).collect())
+    p2 = sorted(CATALOG["orders_pruned_read"].fn(spark, sf).collect())
+    assert p1 == p2 and len(p1) > 0
+
+
 def test_mismatched_bucket_counts_still_correct(spark):
     """Different bucket counts can't co-locate — Spark must fall back
     to shuffling (correctness first); pin that the result is still

@@ -89,3 +89,32 @@ def test_compact_clustered_keeps_zorder_locality(spark, tmp_path):
     n_total = len(glob.glob(os.path.join(zpath, "*.parquet")))
     n_read = len(pruned_files(spark, ipath, {"o_custkey": (30, 90)}))
     assert 0 < n_read < n_total, (n_read, n_total)
+
+
+def test_compactors_refuse_hive_partitioned_layouts(spark, tmp_path):
+    """Partition-column VALUES live only in directory names; a flat
+    whole-directory rewrite would silently drop them (single-file bins
+    are byte-copied without the dirname, multi-file bins read the
+    column back as NULL). Both whole-directory compactors must refuse
+    rather than corrupt — per-partition calls are the supported path."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_stream_spark.plans.compaction import compact_clustered, compact_parquet
+
+    path = str(tmp_path / "pt")
+    df = spark.range(200).select(
+        F.col("id"), (F.col("id") % 4).alias("day")
+    )
+    df.repartition(4).write.partitionBy("day").parquet(path)
+    with pytest.raises(ValueError, match="Hive-partitioned"):
+        compact_clustered(spark, path, target_file_bytes=1 << 30)
+    with pytest.raises(ValueError, match="Hive-partitioned"):
+        compact_parquet(spark, path, target_file_bytes=1 << 30)
+    # per-leaf calls remain legal: the leaf dirname (and with it the
+    # partition value) survives the in-place swap, rows intact
+    stats = compact_parquet(spark, f"{path}/day=0", target_file_bytes=1 << 30)
+    assert stats["skipped"] is False and stats["files_after"] == 1
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("day") == 0).count() == 50
+    assert back.count() == 200
