@@ -6999,14 +6999,24 @@ def orders_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     # One shuffle per writer on the bucket hash → one file per bucket,
     # so the sorted-bucket property survives too (reader needs no sort).
-    write_bucketed(
-        o.repartition(8, F.col("o_custkey")), ot, ["o_custkey"], 8,
-        path=f"{root}/orders",
-    )
-    write_bucketed(
-        c.repartition(8, F.col("c_custkey")), ct, ["c_custkey"], 8,
-        path=f"{root}/customer",
-    )
+    # The two writes are independent (different tables, different
+    # locations), so they run concurrently: the small dim write
+    # back-fills cores the fact write's tail leaves idle (guide §2.6),
+    # and SessionCatalog registration is synchronized per table.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fo = pool.submit(
+            write_bucketed,
+            o.repartition(8, F.col("o_custkey")), ot, ["o_custkey"], 8,
+            path=f"{root}/orders",
+        )
+        fc = pool.submit(
+            write_bucketed,
+            c.repartition(8, F.col("c_custkey")), ct, ["c_custkey"], 8,
+            path=f"{root}/customer",
+        )
+        fo.result(), fc.result()
     joined = spark.table(ot).join(
         spark.table(ct),
         F.col("o_custkey") == F.col("c_custkey"),

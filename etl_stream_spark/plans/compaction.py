@@ -17,6 +17,7 @@ import math
 import os
 import shutil
 import uuid
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import SparkSession
 
@@ -151,11 +152,18 @@ def compact_clustered(
 
     One Spark job per multi-file bin (bounded by file count — the
     maintenance path pays jobs so the hot path opens fewer files);
-    single-file bins are copied byte-for-byte. The new layout stages in
-    a sibling directory while the original stays COMPLETE, then swaps
-    in by rename (crash before the swap leaves readers untouched; the
-    two-rename swap window is the table-format-metadata seam, as for
-    :func:`compact_parquet`)."""
+    single-file bins are copied byte-for-byte. The bins are
+    INDEPENDENT (disjoint input files, disjoint staged outputs), so
+    the jobs are submitted from a small thread pool rather than
+    sequentially — each bin job is a tiny coalesce(1) write whose wall
+    time is dominated by per-job scheduling constants, and Spark's
+    FIFO scheduler back-fills idle cores with the next bin's tasks
+    (each job caps its own threads; a handful in flight is enough to
+    hide the constants without starving a shared cluster). The new
+    layout stages in a sibling directory while the original stays
+    COMPLETE, then swaps in by rename (crash before the swap leaves
+    readers untouched; the two-rename swap window is the
+    table-format-metadata seam, as for :func:`compact_parquet`)."""
     files = parquet_files(path)
     _require_unpartitioned(path, files, "compact_clustered")
     bins = plan_bins(files, target_file_bytes)
@@ -169,11 +177,12 @@ def compact_clustered(
     schema = spark.read.parquet(path).schema
     stage = f"{path.rstrip('/')}_compact_{uuid.uuid4().hex[:8]}"
     os.makedirs(stage)
-    rewritten = 0
-    for i, bin_files in enumerate(bins):
+
+    def _pack(job: tuple[int, list[str]]) -> int:
+        i, bin_files = job
         if len(bin_files) == 1:
             shutil.copy2(bin_files[0], os.path.join(stage, f"part-{i:05d}-kept.parquet"))
-            continue
+            return 0
         tmp = os.path.join(stage, f"_bin{i:05d}")
         (
             spark.read.schema(schema)
@@ -182,7 +191,6 @@ def compact_clustered(
             .write.mode("overwrite")
             .parquet(tmp)
         )
-        rewritten += 1
         for f in os.listdir(tmp):
             if f.endswith(".parquet") and not f.startswith("_"):
                 os.rename(
@@ -190,6 +198,14 @@ def compact_clustered(
                     os.path.join(stage, f"part-{i:05d}-packed.parquet"),
                 )
         shutil.rmtree(tmp)
+        return 1
+
+    # Bin jobs in flight at once: enough to hide per-job scheduling
+    # constants, few enough not to starve a shared scheduler. Env-
+    # parameterised (local default 8); 1 = the sequential plan.
+    workers = int(os.environ.get("ETL_COMPACT_BIN_THREADS", "8"))
+    with ThreadPoolExecutor(max_workers=max(1, min(workers, len(bins)))) as pool:
+        rewritten = sum(pool.map(_pack, enumerate(bins)))
     old = f"{stage}_old"
     os.rename(path, old)
     os.rename(stage, path)

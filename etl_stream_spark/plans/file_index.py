@@ -26,15 +26,106 @@ prunes multi-column predicates file-level — measured end-to-end in
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: Arrow types whose parquet min/max statistics are exact and totally
+#: ordered — the footer fast path only trusts these. (Strings can be
+#: truncated by the writer; float NaN ordering is writer-dependent;
+#: timestamps carry timezone-normalization semantics the manifest
+#: must not re-interpret — all of those take the distributed pass.)
+_STAT_SAFE_PREFIXES = ("int", "uint", "date")
+
+
+def _footer_stats(table_path: str, cols: list[str]):
+    """Per-file (file URI, n_rows, min/max per col) read from parquet
+    FOOTERS — driver-side, bounded by file count, no data scan (the
+    Iceberg/Delta manifest-build move: the writer already computed the
+    stats). Returns ``(rows, manifest_arrow_schema)``, or ``None`` when
+    any file lacks exact stats for any requested column (missing
+    column, disabled statistics, or a type whose stats are not
+    trustworthy) — callers fall back to the distributed pass."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = []
+    fields = None
+    for root, _dirs, files in os.walk(table_path):
+        for f in sorted(files):
+            if not f.endswith(".parquet") or f.startswith("_"):
+                continue
+            full = os.path.join(root, f)
+            md = pq.ParquetFile(full).metadata
+            arrow_schema = pq.read_schema(full)
+            row = {"file": f"file://{os.path.abspath(full)}", "n_rows": md.num_rows}
+            try:
+                idx = {c: md.schema.to_arrow_schema().names.index(c) for c in cols}
+            except ValueError:
+                return None
+            for c in cols:
+                if not str(arrow_schema.field(c).type).startswith(_STAT_SAFE_PREFIXES):
+                    return None
+                lo = hi = None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx[c]).statistics
+                    if st is None or not st.has_min_max:
+                        return None
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                if lo is None:
+                    return None
+                row[f"min_{c}"] = lo
+                row[f"max_{c}"] = hi
+            if fields is None:
+                fields = [pa.field("file", pa.string()), pa.field("n_rows", pa.int64())]
+                for c in cols:
+                    t = arrow_schema.field(c).type
+                    fields += [pa.field(f"min_{c}", t), pa.field(f"max_{c}", t)]
+            out.append(row)
+    if not out:
+        return None
+    return out, pa.schema(fields)
 
 
 def build_index(
     spark: SparkSession, table_path: str, cols: list[str], index_path: str
 ) -> None:
-    """One distributed pass: per-file min/max for ``cols``, persisted
-    as a single-file parquet manifest at ``index_path``."""
+    """Per-file min/max for ``cols`` persisted as a single-file parquet
+    manifest at ``index_path``. Fast path (r8): lift the stats straight
+    out of the parquet FOOTERS and write the manifest DRIVER-SIDE —
+    one metadata read per data file, zero data scanned, zero Spark
+    jobs (exactly how Iceberg builds manifests from add-file stats;
+    the manifest is bounded metadata, the ``write_small_text``
+    discipline applied to a parquet file). Commits via stage+rename so
+    readers never see a half-written manifest. Falls back to the
+    original ONE distributed pass (``input_file_name()`` + groupBy,
+    map-side combinable, output bounded by file count) whenever a
+    footer lacks exact stats for a requested column."""
+    stats = _footer_stats(table_path, cols)
+    if stats is not None:
+        import shutil
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows, schema = stats
+        stage = f"{index_path.rstrip('/')}_stage_{uuid.uuid4().hex[:8]}"
+        os.makedirs(stage)
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=schema),
+            os.path.join(stage, "part-00000-manifest.parquet"),
+        )
+        if os.path.exists(index_path):
+            old = f"{stage}_old"
+            os.rename(index_path, old)
+            os.rename(stage, index_path)
+            shutil.rmtree(old)
+        else:
+            os.rename(stage, index_path)
+        return
     df = spark.read.parquet(table_path)
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:

@@ -91,6 +91,43 @@ def test_compact_clustered_keeps_zorder_locality(spark, tmp_path):
     assert 0 < n_read < n_total, (n_read, n_total)
 
 
+def test_compact_clustered_parallel_bins_deterministic(spark, tmp_path):
+    """The per-bin rewrite jobs run from a thread pool (r8: the bins
+    are independent, and at micro-bin sizes the sequential loop was
+    pure per-job scheduling constants — guide §2.6 back-fill). Pin
+    that concurrency never leaks into the RESULT: with more bins than
+    pool workers and a mix of single-/multi-file bins, the content
+    multiset, the bin-indexed file names, and the rewritten count all
+    match the sequential plan exactly."""
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = str(tmp_path / "t")
+    orders.repartition(30).write.parquet(path)
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    files = parquet_files(path)
+    # target ≈ 2 consecutive files per bin → ~15 bins (> the 8-worker
+    # pool), and the odd leftover keeps at least one single-file bin
+    target = 2 * (sum(s for _p, s in files) // len(files)) + 1
+    expected_bins = plan_bins(files, target)
+    single = sum(1 for b in expected_bins if len(b) == 1)
+    assert len(expected_bins) > 8 and single >= 0
+
+    stats = compact_clustered(spark, path, target_file_bytes=target)
+    assert stats["files_after"] == len(expected_bins)
+    assert stats["rewritten"] == sum(1 for b in expected_bins if len(b) > 1)
+    names = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(path, "*.parquet"))
+    )
+    # bin index i → part-{i:05d}-{kept|packed}: names are a pure
+    # function of the bin plan, not of thread completion order
+    assert [n[:10] for n in names] == [
+        f"part-{i:05d}" for i in range(len(expected_bins))
+    ]
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+
+
 def test_compactors_refuse_hive_partitioned_layouts(spark, tmp_path):
     """Partition-column VALUES live only in directory names; a flat
     whole-directory rewrite would silently drop them (single-file bins

@@ -278,3 +278,56 @@ def test_manifest_prunes_files_on_both_dimensions(spark, tmp_path):
     # empty intersection → empty frame with the table schema, no files
     none = read_pruned(spark, zpath, ipath, {"o_custkey": (10**12, None)})
     assert none.count() == 0 and none.schema == spark.read.parquet(zpath).schema
+
+
+def test_build_index_footer_path_matches_distributed_pass(spark, tmp_path):
+    """r8: ``build_index`` lifts per-file min/max straight from parquet
+    FOOTERS (driver-side, bounded by file count) instead of a full
+    distributed data pass. Pin (a) the fast path fires for integral
+    columns and its manifest is ROW-IDENTICAL to the distributed
+    pass's, and (b) a column whose footer stats are untrusted (double)
+    falls back to the distributed pass rather than mis-indexing."""
+    from etl_stream_spark.plans.file_index import _footer_stats, build_index
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01"))
+        ).cast("long").alias("day"),
+    )
+    path = str(tmp_path / "t")
+    orders.repartition(8).write.parquet(path)
+
+    # (a) footer fast path fires and matches the distributed aggregate
+    cols = ["o_custkey", "day"]
+    assert _footer_stats(path, cols) is not None
+    build_index(spark, path, cols, str(tmp_path / "idx_footer"))
+    fast = spark.read.parquet(str(tmp_path / "idx_footer"))
+    want = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_custkey").alias("min_o_custkey"),
+            F.max("o_custkey").alias("max_o_custkey"),
+            F.min("day").alias("min_day"),
+            F.max("day").alias("max_day"),
+        )
+    )
+    assert fast.count() == 8
+    assert sorted(map(tuple, fast.select(*want.columns).collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # same names and types (nullability flags may differ between the
+    # agg plan and createDataFrame — pruned_files treats both alike)
+    assert [(f.name, f.dataType) for f in fast.select(*want.columns).schema] == [
+        (f.name, f.dataType) for f in want.schema
+    ]
+
+    # (b) double column → no trusted footer stats → distributed fallback
+    assert _footer_stats(path, ["price"]) is None
+    build_index(spark, path, ["price"], str(tmp_path / "idx_fb"))
+    fb = spark.read.parquet(str(tmp_path / "idx_fb"))
+    assert fb.count() == 8 and {"min_price", "max_price"} <= set(fb.columns)
