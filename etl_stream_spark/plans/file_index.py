@@ -38,6 +38,12 @@ from pyspark.sql import functions as F
 #: must not re-interpret — all of those take the distributed pass.)
 _STAT_SAFE_PREFIXES = ("int", "uint", "date")
 
+#: Parquet key-value-metadata key under which the footer-built manifest
+#: stores the base table's Spark schema (``StructType.json()``), so
+#: ``read_pruned`` never has to re-open the base table's footers for
+#: schema — the per-query constant comes from the manifest itself.
+_SCHEMA_KEY = b"etl.spark_table_schema"
+
 
 def _footer_stats(table_path: str, cols: list[str]):
     """Per-file (file URI, n_rows, min/max per col) read from parquet
@@ -112,6 +118,14 @@ def build_index(
         import pyarrow.parquet as pq
 
         rows, schema = stats
+        # Stamp the table's Spark-inferred schema into the manifest's
+        # KV metadata (once per BUILD — spark.read schema inference is
+        # driver-side listing + one footer, no job) so every later
+        # read_pruned takes its schema from the manifest instead of
+        # re-opening the base table.
+        schema = schema.with_metadata(
+            {_SCHEMA_KEY: spark.read.parquet(table_path).schema.json().encode()}
+        )
         stage = f"{index_path.rstrip('/')}_stage_{uuid.uuid4().hex[:8]}"
         os.makedirs(stage)
         pq.write_table(
@@ -140,21 +154,53 @@ def build_index(
     )
 
 
+def _manifest_rows(spark: SparkSession, index_path: str):
+    """Driver-side manifest read: ``(rows, spark_schema_json | None)``.
+    The manifest is bounded by the FILE COUNT, so reading it on the
+    driver (pyarrow, zero Spark jobs) is the Iceberg-planner move —
+    replaces the per-query Spark read+collect job. Handles both
+    manifest shapes (footer-built single file, Spark-written fallback
+    directory — pyarrow ignores ``_SUCCESS`` by default). Falls back
+    to the original Spark read on any driver-read failure."""
+    try:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(index_path)
+        meta = tbl.schema.metadata or {}
+        sj = meta.get(_SCHEMA_KEY)
+        return tbl.to_pylist(), (sj.decode() if sj is not None else None)
+    except Exception:
+        return [r.asDict() for r in spark.read.parquet(index_path).collect()], None
+
+
+def _survives(row: dict, ranges: dict[str, tuple]) -> bool:
+    """Mirror of the SQL interval-intersection filter, including NULL
+    semantics: a file whose stat is NULL on a bounded column is pruned
+    (NULL min/max means the column is all-NULL in that file — it cannot
+    match a range predicate, and SQL ``NULL >= lo`` is not true)."""
+    for c, (lo, hi) in ranges.items():
+        if lo is not None:
+            mx = row.get(f"max_{c}")
+            if mx is None or not mx >= lo:
+                return False
+        if hi is not None:
+            mn = row.get(f"min_{c}")
+            if mn is None or not mn <= hi:
+                return False
+    return True
+
+
 def pruned_files(
     spark: SparkSession,
     index_path: str,
     ranges: dict[str, tuple],
 ) -> list[str]:
     """Files whose [min, max] intervals intersect EVERY requested
-    ``col: (lo, hi)`` range (``None`` bound = open). The collect is
-    bounded by the file count — manifest-sized, never data-sized."""
-    idx = spark.read.parquet(index_path)
-    for c, (lo, hi) in ranges.items():
-        if lo is not None:
-            idx = idx.filter(F.col(f"max_{c}") >= lo)
-        if hi is not None:
-            idx = idx.filter(F.col(f"min_{c}") <= hi)
-    return [r["file"] for r in idx.select("file").collect()]
+    ``col: (lo, hi)`` range (``None`` bound = open). Pure driver-side
+    work bounded by the file count — manifest-sized, never data-sized,
+    zero Spark jobs."""
+    rows, _sj = _manifest_rows(spark, index_path)
+    return [r["file"] for r in rows if _survives(r, ranges)]
 
 
 def read_pruned(
@@ -166,9 +212,20 @@ def read_pruned(
     """Read only the files the manifest says can match; the predicate
     itself must still be applied by the caller (zone maps bound, they
     do not filter). Returns an empty frame with the table's schema when
-    nothing survives."""
-    files = pruned_files(spark, index_path, ranges)
-    base = spark.read.parquet(table_path)
+    nothing survives. The schema comes from the manifest's KV metadata
+    when present (footer-built manifests stamp it at build time), so
+    the base table's footers are never re-opened per query; manifests
+    from the distributed fallback keep the old schema-inference path."""
+    rows, schema_json = _manifest_rows(spark, index_path)
+    files = [r["file"] for r in rows if _survives(r, ranges)]
+    if schema_json is not None:
+        import json
+
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(schema_json))
+    else:
+        schema = spark.read.parquet(table_path).schema
     if not files:
-        return base.limit(0)
-    return spark.read.schema(base.schema).parquet(*files)
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*files)

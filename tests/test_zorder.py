@@ -331,3 +331,75 @@ def test_build_index_footer_path_matches_distributed_pass(spark, tmp_path):
     build_index(spark, path, ["price"], str(tmp_path / "idx_fb"))
     fb = spark.read.parquet(str(tmp_path / "idx_fb"))
     assert fb.count() == 8 and {"min_price", "max_price"} <= set(fb.columns)
+
+
+def test_manifest_driver_side_read_and_schema_stamp(spark, tmp_path):
+    """r8 (optimization round): the manifest is read DRIVER-SIDE
+    (pyarrow, zero Spark jobs per query) and the footer-built manifest
+    carries the base table's Spark schema in its KV metadata so
+    ``read_pruned`` never re-opens the base table's footers. Pin:
+    (a) the schema stamp exists and round-trips to exactly the
+    Spark-inferred schema, on BOTH the pruned and the empty path;
+    (b) the driver-side pruning decision is row-identical to the SQL
+    interval filter it replaced, on BOTH manifest shapes (footer-built
+    single file, Spark-written fallback directory with _SUCCESS);
+    (c) NULL stats prune exactly like SQL NULL comparisons."""
+    import pyarrow.parquet as pq_
+
+    from etl_stream_spark.plans.file_index import (
+        _SCHEMA_KEY,
+        _survives,
+        build_index,
+        pruned_files,
+        read_pruned,
+    )
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01"))
+        ).cast("long").alias("day"),
+    )
+    path = str(tmp_path / "t")
+    orders.repartition(8).write.parquet(path)
+
+    # (a) footer-built manifest stamps the Spark schema
+    ipath = str(tmp_path / "idx")
+    build_index(spark, path, ["o_custkey", "day"], ipath)
+    meta = pq_.read_table(ipath).schema.metadata
+    assert meta is not None and _SCHEMA_KEY in meta
+    base_schema = spark.read.parquet(path).schema
+    assert meta[_SCHEMA_KEY].decode() == base_schema.json()
+    ranges = {"o_custkey": (30, 90)}
+    assert read_pruned(spark, path, ipath, ranges).schema == base_schema
+    empty = read_pruned(spark, path, ipath, {"day": (10**12, None)})
+    assert empty.schema == base_schema and empty.count() == 0
+
+    # (b) driver-side pruning == the SQL interval filter, both shapes
+    def spark_pruned(index_path, rngs):
+        idx = spark.read.parquet(index_path)
+        for c, (lo, hi) in rngs.items():
+            if lo is not None:
+                idx = idx.filter(F.col(f"max_{c}") >= lo)
+            if hi is not None:
+                idx = idx.filter(F.col(f"min_{c}") <= hi)
+        return sorted(r["file"] for r in idx.select("file").collect())
+
+    fpath = str(tmp_path / "idx_fb")
+    build_index(spark, path, ["price"], fpath)  # double → Spark-written
+    assert os.path.exists(os.path.join(fpath, "_SUCCESS"))
+    for index_path, rngs in [
+        (ipath, ranges),
+        (ipath, {"o_custkey": (None, 50), "day": (9000, None)}),
+        (fpath, {"price": (1000.0, 50000.0)}),
+    ]:
+        assert sorted(pruned_files(spark, index_path, rngs)) == spark_pruned(
+            index_path, rngs
+        ), rngs
+
+    # (c) NULL stats are pruned when the column is bounded (SQL parity)
+    assert not _survives({"max_x": None, "min_x": None}, {"x": (1, None)})
+    assert not _survives({"max_x": 5, "min_x": None}, {"x": (1, 3)})
+    assert _survives({"max_x": None, "min_x": None}, {})
