@@ -7562,10 +7562,22 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (narrow except the dedup window), one aggregation emits the funnel —
     the shape of a production curation report at any scale."""
     docs = _t(spark, sf_dir, "documents")
+    # tokenize ONCE and share the bound array across every stage
+    # (language, quality, repetition, fingerprint): the regex split is
+    # the funnel's repeated per-row cost, and Spark's subexpression
+    # elimination cannot merge the independent HOF trees each helper
+    # would otherwise re-derive (guide §4.2 discipline; interleaved A/B
+    # at sf0.1: 3.40 → 2.86 s with identical results)
+    docs = docs.withColumn("_toks", ta.tokens("text"))
     flagged = ta.with_repetition_stats(
-        ta.with_quality_score(ta.with_language_id(docs)).drop("n_tokens")
+        ta.with_quality_score(
+            ta.with_language_id(docs, toks_col="_toks"), toks_col="_toks"
+        ).drop("n_tokens"),
+        toks_col="_toks",
     )
-    w = Window.partitionBy(ta.fingerprint("text")).orderBy("doc_id")
+    # same value as ta.fingerprint("text"), off the shared tokens
+    fp = F.md5(F.array_join(F.col("_toks"), " "))
+    w = Window.partitionBy(fp).orderBy("doc_id")
     flagged = flagged.withColumn("_rn", F.row_number().over(w))
     s1 = F.col("_rn") == 1
     s2 = s1 & F.col("quality_keep")
