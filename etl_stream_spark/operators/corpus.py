@@ -96,10 +96,20 @@ def remove_stopwords(
 ) -> DataFrame:
     """Stopword-removal normalization: tokens minus the stopword set,
     re-joined; records how many tokens were dropped."""
-    toks = tokens(text_col)
-    kept = F.filter(toks, lambda t: ~t.isin(*stopwords))
-    return df.withColumn("clean_text", F.array_join(kept, " ")).withColumn(
-        "n_removed", (F.size(toks) - F.size(kept)).cast("long")
+    # bind tokens AND the filtered array once per row: both expressions
+    # are referenced twice below, and HOF trees are not merged by
+    # Spark's subexpression elimination
+    df = df.withColumn("_sw_toks", tokens(text_col)).withColumn(
+        "_sw_kept", F.filter(F.col("_sw_toks"), lambda t: ~t.isin(*stopwords))
+    )
+    kept = F.col("_sw_kept")
+    return (
+        df.withColumn("clean_text", F.array_join(kept, " "))
+        .withColumn(
+            "n_removed",
+            (F.size(F.col("_sw_toks")) - F.size(kept)).cast("long"),
+        )
+        .drop("_sw_toks", "_sw_kept")
     )
 
 
@@ -457,15 +467,26 @@ def remove_boilerplate(
 
     Returns (id_col, clean_text, n_segments, n_removed).
     """
-    toks = tokens(text_col)
-    n_segs = F.ceil(F.size(toks) / F.lit(width)).cast("int")
-    segs = F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n_segs - 1),
-            lambda i: F.array_join(F.slice(toks, i * width + 1, width), " "),
+    from etl_stream_spark.operators.dedup import _let
+
+    def _segment(toks: Column) -> Column:
+        # toks is let-bound: referencing it inside the per-segment
+        # lambda would otherwise re-run the tokenizer once per segment
+        # (O(n²/width) per row instead of O(n))
+        n_segs = F.ceil(F.size(toks) / F.lit(width)).cast("int")
+        return F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n_segs - 1),
+                lambda i: F.array_join(F.slice(toks, i * width + 1, width), " "),
+            )
         )
-    )
-    base = df.select(F.col(id_col), segs.alias("_segs"))
+
+    # lazily checkpointed: THREE plan consumers below (the exploded
+    # frequency pass, the anti-join reassembly, and the final
+    # n_segments join) would each re-derive the scan+segmentation
+    base = df.select(
+        F.col(id_col), _let(tokens(text_col), _segment).alias("_segs")
+    ).localCheckpoint(eager=False)
     ex = base.select(id_col, F.posexplode("_segs").alias("_pos", "_seg"))
     dfreq = (
         ex.select(id_col, "_seg")

@@ -335,13 +335,15 @@ def simhash_fingerprints(
             lambda a, x: a + x,
         )
 
+    # bind the token array once: the non-empty filter and the hash
+    # transform would otherwise each re-run the tokenizer
+    bound = ensure_parallelism(df).withColumn("_sh_toks", tokens(text_col))
     hvs = F.transform(
-        tokens(text_col),
+        F.col("_sh_toks"),
         lambda t: F.conv(F.substring(F.md5(t), 1, hex_digits), 16, 10).cast("long"),
     )
     return (
-        ensure_parallelism(df)
-        .filter(F.size(tokens(text_col)) > 0)
+        bound.filter(F.size(F.col("_sh_toks")) > 0)
         .select(F.col(id_col), _let(hvs, build).alias("simhash"))
     )
 

@@ -71,8 +71,10 @@ def _count_any(toks: Column, words: tuple) -> Column:
 
 
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document token statistics."""
-    toks = tokens(text_col)
+    """Per-document token statistics (tokens bound once per row — the
+    four consuming expressions would otherwise each re-run the split)."""
+    df = df.withColumn("_ts_toks", tokens(text_col))
+    toks = F.col("_ts_toks")
     return df.select(
         "*",
         F.size(toks).cast("long").alias("n_tokens"),
@@ -89,7 +91,7 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("avg_token_len"),
-    )
+    ).drop("_ts_toks")
 
 
 def with_quality_score(
