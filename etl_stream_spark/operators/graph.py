@@ -120,7 +120,14 @@ def triangle_stats(
     exact integers (degree products), so the whole row is
     engine-deterministic.
     """
-    e = edges.select(F.col(a).alias("_a"), F.col(b).alias("_b"))
+    # lazily checkpointed: the census consumes the edge list SIX times
+    # (two degree union legs, three join legs, the edge count), and
+    # callers hand in non-trivial subtrees (the co-purchase entry's
+    # lineitem pair join) that would otherwise be re-derived per leg —
+    # the dedup_clusters fork-recompute discipline
+    e = edges.select(F.col(a).alias("_a"), F.col(b).alias("_b")).localCheckpoint(
+        eager=False
+    )
     deg = (
         e.select(F.col("_a").alias("_x"))
         .unionAll(e.select(F.col("_b").alias("_x")))
