@@ -65,8 +65,6 @@ def _count_any(toks: Column, words: tuple) -> Column:
     run outside whole-stage codegen, so each extra ``filter`` re-walks
     the array (measured 1.07 → 0.48 s on the 5-language scorer at
     sf0.1)."""
-    # closure factory, not a default-arg lambda: PySpark derives the
-    # lambda variable count from the function's arity
     return F.size(F.filter(toks, lambda t: t.isin(*words)))
 
 
