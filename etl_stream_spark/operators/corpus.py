@@ -481,12 +481,15 @@ def remove_boilerplate(
             )
         )
 
-    # lazily checkpointed: THREE plan consumers below (the exploded
-    # frequency pass, the anti-join reassembly, and the final
-    # n_segments join) would each re-derive the scan+segmentation
+    # NOT checkpointed despite three plan consumers: the subtree is a
+    # map-only scan+segment whose 3× recompute measured CHEAPER than
+    # materializing the segmented corpus for column-pruned consumers
+    # (count-style actions prune clean_text entirely: 0.28 s recompute
+    # vs 0.52 s checkpointed at sf0.1; the full computation favored the
+    # checkpoint only 1.6×, a wash at scale for map-only lineage)
     base = df.select(
         F.col(id_col), _let(tokens(text_col), _segment).alias("_segs")
-    ).localCheckpoint(eager=False)
+    )
     ex = base.select(id_col, F.posexplode("_segs").alias("_pos", "_seg"))
     dfreq = (
         ex.select(id_col, "_seg")
