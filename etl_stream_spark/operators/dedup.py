@@ -376,9 +376,17 @@ def duplicate_clusters(
       and never enter the loop; they are unioned back at the end with
       ``cluster_id = id``;
     * labels are ``localCheckpoint``-ed each round so plan/lineage stay
-      flat across iterations; checkpoints are *lazy*, so the fixpoint
-      aggregate is the action that materializes them — one Spark job
-      per round, not two;
+      flat across iterations, and the intra-round ``stepped`` frame is
+      checkpointed too: the pointer-jump self-join consumes it twice,
+      and without the sever every round shuffled the edge-sized
+      neighbor-min join+aggregate TWICE (7 Exchanges / 3 SortMergeJoin
+      / 4 HashAggregate per round vs 2 / 1 / 0 plus one labels-sized
+      materialization — measured, r8). Checkpoints are *lazy*, so the
+      fixpoint aggregate is still the action that materializes the
+      round (AQE splits it into a handful of stage-jobs either way;
+      the ``stepped`` sever adds ~2 scheduling jobs per round and is
+      a wash in local wall time, but at scale it halves the per-round
+      shuffle bytes — the fork-recompute discipline);
     * the fixpoint test is the label sum (labels only ever decrease, so
       an unchanged sum ⇔ fixpoint) — a single-table aggregate, no join;
       summed as DECIMAL(38,0) so arbitrary id magnitudes cannot
@@ -401,23 +409,7 @@ def duplicate_clusters(
 
     prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("comp").alias("nmin"))
-        )
-        stepped = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select("id", F.least(F.col("comp"), F.col("nmin")).alias("comp"))
-        )
-        # pointer jump: comp := label(comp)
-        parent = stepped.select(F.col("id").alias("pid"), F.col("comp").alias("pcomp"))
-        jumped = (
-            stepped.join(parent, stepped.comp == parent.pid, "left")
-            .select("id", F.least(F.col("comp"), F.col("pcomp")).alias("comp"))
-            .localCheckpoint(eager=False)
-        )
-        labels = jumped
+        labels = _cc_round(edges, labels)
         new_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
         if new_sum == prev_sum:
             break
@@ -425,6 +417,43 @@ def duplicate_clusters(
     return labels.union(singletons).select(
         F.col("id").alias(id_col), F.col("comp").alias("cluster_id")
     )
+
+
+def _cc_round(
+    edges: DataFrame, labels: DataFrame, sever_result: bool = True
+) -> DataFrame:
+    """One min-label-propagation round with path halving:
+    ``comp' = min(comp, min_neighbor(comp), label(comp))``. ``edges``
+    and ``labels`` must both be checkpoint-severed frames (the caller's
+    contract); the result is lazily checkpointed, so the caller's
+    fixpoint aggregate is the action that materializes the round.
+    ``sever_result=False`` skips the trailing checkpoint so tests can
+    inspect the round's actual plan (a severed result explains as a
+    bare ExistingRDD scan)."""
+    neighbor_min = (
+        edges.join(labels, edges.dst == labels.id)
+        .groupBy("src")
+        .agg(F.min("comp").alias("nmin"))
+    )
+    stepped = (
+        labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+        .select("id", F.least(F.col("comp"), F.col("nmin")).alias("comp"))
+        # the pointer-jump self-join below consumes this frame TWICE;
+        # without a sever each round's plan re-derives the
+        # neighbor-min join+aggregate per side (7 Exchanges / 3 SMJ /
+        # 4 HashAggregates per round vs 2 / 1 / 0 plus one
+        # materialization of this labels-sized frame) — the
+        # fork-recompute discipline, lazy so the round still costs
+        # exactly one Spark job (the fixpoint aggregate). Plan shape
+        # pinned by tests/test_operators.py::test_cc_round_plan_is_severed.
+        .localCheckpoint(eager=False)
+    )
+    # pointer jump: comp := label(comp)
+    parent = stepped.select(F.col("id").alias("pid"), F.col("comp").alias("pcomp"))
+    jumped = stepped.join(parent, stepped.comp == parent.pid, "left").select(
+        "id", F.least(F.col("comp"), F.col("pcomp")).alias("comp")
+    )
+    return jumped.localCheckpoint(eager=False) if sever_result else jumped
 
 
 def lsh_verified_pairs(

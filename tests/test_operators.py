@@ -386,6 +386,35 @@ class TestDuplicateClusters:
         got = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(vertices, pairs).collect()}
         assert got == {i: 0 for i in range(n)}
 
+    def test_cc_round_plan_is_severed(self, spark):
+        """One pointer-jumping round's executed plan must not re-derive
+        the neighbor-min join+aggregate per self-join side: with the
+        ``stepped`` sever the only unsevered operators are the
+        pointer-jump self-join over the checkpointed frame (≤2 Exchange,
+        ≤1 SortMergeJoin, 0 HashAggregate). A lost lazy checkpoint
+        doubles all three (measured 7/3/4 — the r8 fork-recompute fix)."""
+        from pyspark.sql import functions as F
+
+        from etl_stream_spark.operators.dedup import _cc_round
+
+        e = spark.createDataFrame(
+            [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+        ).localCheckpoint(eager=False)
+        labels = spark.createDataFrame(
+            [(1, 1), (2, 2), (3, 3)], "id long, comp long"
+        ).localCheckpoint(eager=False)
+        plan = (
+            _cc_round(e, labels, sever_result=False)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # shipped shape: 2 / 1 / 0; the unsevered fork re-derives the
+        # neighbor-min subtree per self-join side: 9 / 5 / 4
+        assert plan.count("HashAggregate") == 0, plan
+        assert plan.count("Exchange") <= 2, plan
+        assert plan.count("SortMergeJoin") <= 1, plan
+
 
 class TestIvf:
     def test_full_probe_equals_bruteforce(self, spark):

@@ -582,9 +582,13 @@ def test_no_unpartitioned_windows_over_sf_scaling_frames(spark):
 #: lost lazy checkpoint, a second action in the loop body, an extra
 #: fixpoint probe) moves these immediately, while bench noise cannot.
 #: Measured on sf0.001 (fixed data → deterministic round counts):
-#: 46, 28, 26, 11, 4, 10, 86 — budgets leave +2-4 slack.
+#: 51, 28, 26, 11, 4, 10, 86 — budgets leave +2-4 slack.
+#: dedup_clusters re-measured in r8 after the intra-round ``stepped``
+#: checkpoint (47 → 51: the sever adds ~2 AQE stage-jobs per round
+#: while halving per-round shuffle bytes — a deliberate trade, see
+#: operators/dedup.py::duplicate_clusters).
 _JOB_BUDGETS = {
-    "dedup_clusters": 48,
+    "dedup_clusters": 54,
     "bpe_learned_merges": 30,
     "corpus_quality_trained": 28,   # gradient loop (operators/ml.py)
     "semantic_dedup": 13,           # k-means (operators/similarity.py)
