@@ -7254,37 +7254,46 @@ def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets, exact support, directional confidence, and lift, top 20
     by lift with a deterministic (a, b) tie-break. All three ratios
     divide EXACT integers (pair/item/basket counts), so the doubles are
-    single IEEE divisions on both engines. Scale shape: the pairing
-    self-join is bounded per basket (baskets are small), the support
-    threshold prunes the pair space before the two item-count joins,
-    the basket total rides the plan as a broadcast 1-row aggregate
-    (mirroring the oracle's CROSS JOIN n — no eager driver-side action,
-    round-6 verdict finding #2), and the final top-k is a 20-row sort
-    on an already-tiny frame."""
-    li = (
+    single IEEE divisions on both engines. Scale shape: ONE per-basket
+    ``collect_set`` shuffle replaces the old dedup-then-self-join
+    (``collect_set`` dedupes in the aggregate, so the separate DISTINCT
+    exchange disappears, and pairs expand in-row — baskets are
+    schema-bounded at ≤7 lines, the ``part_copurchase_triangles``
+    discipline; pair multiset proven identical, r8); item counts and
+    the basket total both derive from the same checkpointed sets frame
+    (the basket total rides the plan as a broadcast 1-row aggregate,
+    mirroring the oracle's CROSS JOIN n — no eager driver-side action,
+    round-6 verdict finding #2); the support threshold prunes the pair
+    space before the two item-count joins, and the final top-k is a
+    20-row sort on an already-tiny frame."""
+    sets = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
-        # four consumers (both self-join sides, item counts, basket
-        # count): materialize the deduped key frame once instead of
-        # re-scanning lineitem per subtree (Spark does not reliably
-        # reuse identical exchanges across subtrees)
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("_ps"))
+        # three consumers (pairs, item counts, basket count):
+        # materialize the per-basket frame once instead of re-shuffling
+        # lineitem per subtree (Spark does not reliably reuse identical
+        # exchanges across subtrees)
         .localCheckpoint(eager=False)
     )
-    n_b = li.agg(
-        F.countDistinct("l_orderkey").cast("double").alias("_nb")
+    n_b = sets.agg(
+        F.count(F.lit(1)).cast("double").alias("_nb")
     )  # 1-row aggregate, broadcast below
-    item = li.groupBy(F.col("l_partkey").alias("p")).agg(
+    item = sets.select(F.explode("_ps").alias("p")).groupBy("p").agg(
         F.count(F.lit(1)).cast("long").alias("c_item")
     )
-    x, y = li.alias("x"), li.alias("y")
     pair = (
-        x.join(
-            y,
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_ps, (x, i) -> "
+                    "transform(slice(_ps, i + 2, size(_ps)), "
+                    "y -> struct(x as a, y as b))))"
+                )
+            ).alias("_p")
         )
-        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+        .select("_p.a", "_p.b")
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("pair_count"))
         .filter(F.col("pair_count") >= 2)
