@@ -94,18 +94,35 @@ def _as_integral(df: DataFrame, c: str) -> Column:
 
 
 def with_zvalue_n(
-    df: DataFrame, cols: list[str], bits: int = 16, z_col: str = "_z"
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    z_col: str = "_z",
+    sever_bounds: bool = False,
 ) -> DataFrame:
     """Append the z-value of n columns (integral, timestamp, or date —
     each normalized to a long key), each quantized over its observed
     min/max (one bounded 1-row aggregate broadcast into the plan —
-    never a driver-side action)."""
+    never a driver-side action).
+
+    ``sever_bounds`` lazily checkpoints that 1-row aggregate: a caller
+    whose plan consumes the returned frame MORE THAN ONCE (the
+    ``write_zordered`` range-sample + write passes) would otherwise
+    re-aggregate the full input per consumer — at 100 TB an entire
+    extra table scan (Spark does not reliably reuse identical
+    exchanges across subtrees). Single-consumer callers keep the
+    default: the sever only splits one job into two there. Bounds are
+    exact deterministic min/max, so severed and in-plan forms quantize
+    identically."""
     keys = {c: _as_integral(df, c) for c in cols}
     aggs = []
     for c in cols:
         aggs.append(F.min(keys[c]).alias(f"_z{c}_lo"))
         aggs.append(F.max(keys[c]).alias(f"_z{c}_hi"))
-    framed = df.crossJoin(F.broadcast(df.agg(*aggs)))
+    bounds = df.agg(*aggs)
+    if sever_bounds:
+        bounds = bounds.localCheckpoint(eager=False)
+    framed = df.crossJoin(F.broadcast(bounds))
     qs = [
         quantize(keys[c], F.col(f"_z{c}_lo"), F.col(f"_z{c}_hi"), bits)
         for c in cols
@@ -146,7 +163,10 @@ def write_zordered(
         raise ValueError("write_zordered needs at least two clustering columns")
     if bits is None:
         bits = min(16, 63 // len(cols))
-    z = with_zvalue_n(df, list(cols), bits)
+    # sever_bounds: the range-sample pass and the write pass below each
+    # consume z — without the sever both re-run the full-input bounds
+    # aggregate (one extra whole-table pass per write at scale)
+    z = with_zvalue_n(df, list(cols), bits, sever_bounds=True)
     (
         z.repartitionByRange(num_files, "_z")
         .sortWithinPartitions("_z")
