@@ -8663,12 +8663,18 @@ _DRIVER_PRIORITY = [
     #     family keeps events_skew_aware_enrichment, the stronger
     #     skew-plan rep) and customer_dpp_read (dynamic partition
     #     pruning under the oracle; displaced corpus_oov_rate);
-    # (b) ENGINE CHANGED in r8, all already in-window — the three
-    #     ranked entries (customer_rfm_segments on the BATCHED
-    #     with_global_orders; customer_abc_classes,
-    #     corpus_difficulty_deciles on the adaptive refinement),
-    #     orders_benford_digits (decimal(38,0) ppm numerator),
-    #     orders_zorder_layout (decimal-div exact quantize);
+    # (b) ENGINE CHANGED in r8 — the three ranked entries
+    #     (customer_rfm_segments on the BATCHED with_global_orders;
+    #     customer_abc_classes, corpus_difficulty_deciles on the
+    #     adaptive refinement), orders_benford_digits (decimal(38,0)
+    #     ppm numerator), orders_zorder_layout (decimal-div exact
+    #     quantize) — all already in-window; late-r8 second-
+    #     continuation changes: dedup_clusters (intra-round stepped
+    #     sever — ENTERS the window, see inline note),
+    #     part_association_rules (in-row basket pairs off one
+    #     collect_set shuffle — already in-window), and the z-write
+    #     bounds sever (orders_pruned_read / orders_compacted_read /
+    #     orders_zorder_layout — all already in-window);
     # (c) regression spread per the r7 verdict (FINAL r8 state — two
     #     spread members admitted early in the round were themselves
     #     displaced by the late-r8 layout entries, see (a), and were
@@ -8755,11 +8761,12 @@ _DRIVER_PRIORITY = [
     "ann_recall_audit",            # similarity + recall audit
     "hybrid_search_rrf",           # hybrid retrieval
     "sketch_distinct_customers",   # sketches
-    "orders_daily_trend",          # NEW r6 late: exact OLS trend
-    #   (displaced dq_orders_report, driver-proven r2-r5 — the DQ
-    #   family keeps orders_benford_digits + streaming_dq_monitor
-    #   in-window; this adds the regression surface beside the
-    #   correlation/ACF statistics reps)
+    "dedup_clusters",              # ENGINE CHANGED late r8: intra-round
+    #   stepped sever in the pointer-jumping CC loop (values proven
+    #   bit-identical, but the rotation rule windows every in-round
+    #   engine change; displaced orders_daily_trend, driver-proven
+    #   r6+r7 — the trend/statistics family keeps events_hourly_acf,
+    #   user_value_ewma and events_markov_transitions in-window)
     "dedup_lsh_incremental",       # incremental dedup store
     # engine/oracle changed this round
     "lexical_incremental_search",  # postings index on L0AppendLog
@@ -8797,9 +8804,11 @@ _DRIVER_PRIORITY = [
     "streaming_dq_monitor",        # NEW r6: expectations on a stream
     #   (displaced streaming_hourly_rollup, driver-proven r4; the
     #   windowed-agg shape stays covered by this entry's aggregation)
-    "part_association_rules",      # ENGINE CHANGED r7: in-plan counts
-    #   (displaced dedup_minhash_signatures, driver-proven r2-r4 —
-    #   dedup reps remain: dedup_exact, dedup_lsh_incremental)
+    "part_association_rules",      # ENGINE CHANGED r7 (in-plan counts)
+    #   and again late r8 (in-row basket pairs off one collect_set
+    #   shuffle; displaced dedup_minhash_signatures, driver-proven
+    #   r2-r4 — dedup reps remain: dedup_exact, dedup_lsh_incremental,
+    #   dedup_clusters)
     "customer_dpp_read",           # NEW r8 late: dynamic-partition-
     #   pruned star read (displaced corpus_oov_rate, r6-proven — the
     #   regression spread keeps 3 of the r6 quartet and the corpus
