@@ -386,14 +386,19 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "queries_median": medians,
         "sf": sf,
     }
     if cdc_rows_per_sec is not None:
         out["cdc_rows_per_sec"] = cdc_rows_per_sec
     if streaming_block is not None:
         out["streaming"] = streaming_block
-    print(json.dumps(out))
+    # Medians stay measured but live on stderr: BENCH_r07's one-line
+    # JSON was truncated mid-string in the driver's artifact store,
+    # which cost round 8 its whole round-over-round comparison
+    # (PERF_r08 n_common=0). Halving the line keeps `queries` — the
+    # part the comparison needs — inside the stored tail.
+    print(f"# queries_median: {json.dumps(medians)}", file=sys.stderr)
+    print(json.dumps(out, separators=(",", ":")))
     spark.stop()
 
 

@@ -228,7 +228,19 @@ def minhash_lsh_pairs(
     bucket sizes, not n², bound the work; a hot bucket (boilerplate docs)
     is handled by AQE skew-join splitting.
     """
-    sig = minhash_signatures(df, id_col, text_col, num_hashes).cache()
+    # Lazy localCheckpoint, not .cache(): the signatures frame has FOUR
+    # plan consumers (band keys via both self-join sides + both
+    # signature re-attach joins), so one materialization is right — but
+    # a .cache() registers a CacheManager entry nothing ever unpersists
+    # (r8 verdict backlog #8: accumulates across a long session), while
+    # localCheckpoint blocks are released by the ContextCleaner once
+    # the returned frame is garbage-collected. Same single compute, no
+    # session-lifetime leak. The frame is narrow (id + num_hashes
+    # longs) — nothing prunable is materialized (the r8
+    # boilerplate-checkpoint caveat does not apply).
+    sig = minhash_signatures(df, id_col, text_col, num_hashes).localCheckpoint(
+        eager=False
+    )
     bands = lsh_band_keys(sig, id_col, num_hashes, band_size)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (

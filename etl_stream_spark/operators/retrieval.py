@@ -119,8 +119,21 @@ def bm25_topk(
     (query_id, doc_id, bm25_score, bm25_rank).
     """
     toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
-    tf = toks.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # One corpus pass, not four: tf is consumed THREE times downstream
+    # (dfreq semi-join, contrib join, and dl below) and dl twice (stats,
+    # contrib) — unsevered, the tokenize+explode+aggregate subtree
+    # re-ran once per consumer (hybrid_search_rrf's before-plan scanned
+    # documents 4× through this path; plans/r09). The ≥3-consumer lazy
+    # checkpoint (repo discipline) materializes the narrow (id, t, tf)
+    # frame once; dl = Σ tf per doc is exactly the token count (same
+    # integers, same types), now a cheap re-aggregation of the severed
+    # frame instead of its own corpus scan.
+    tf = (
+        toks.groupBy(id_col, "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     return _bm25_rank(query_terms(queries, id_col, text_col), tf, dl, k, id_col)
 
 

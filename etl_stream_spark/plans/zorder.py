@@ -145,6 +145,7 @@ def write_zordered(
     num_files: int = 32,
     bits: int | None = None,
     mode: str = "overwrite",
+    target_file_bytes: int | None = None,
 ) -> None:
     """Persist ``df`` z-order-clustered on ``cols`` (n-ary — 2 to 4
     clustered columns is the common real case, e.g. date × customer ×
@@ -158,11 +159,32 @@ def write_zordered(
     ``bits`` defaults to ``min(16, 63 // len(cols))`` so every
     documented column count fits a signed-BIGINT z-value out of the
     box (4 columns → 15 bits); an explicit ``bits`` past that budget
-    still raises in :func:`interleave_bits_n`."""
+    still raises in :func:`interleave_bits_n`.
+
+    ``target_file_bytes`` sizes the layout by OUTPUT bytes instead of a
+    fixed file count (the Iceberg ``write.target-file-size-bytes``
+    lever, guide §6): ``num_files`` is derived from Catalyst's
+    driver-side size estimate of ``df`` — for a plain parquet scan that
+    estimate IS the input's on-disk byte sum, so parquet→parquet
+    rewrites land near the target without any extra Spark job. It is an
+    estimate (projection/compression shift real sizes by a small
+    factor), a file-sizing knob, never a correctness one; an explicit
+    ``num_files`` is ignored when the target is given."""
     if len(cols) < 2:
         raise ValueError("write_zordered needs at least two clustering columns")
     if bits is None:
         bits = min(16, 63 // len(cols))
+    if target_file_bytes is not None:
+        if target_file_bytes <= 0:
+            raise ValueError("target_file_bytes must be positive")
+        # py4j hands back scala.math.BigInt — round-trip through str.
+        # Clamp the derived count: an unsized plan estimates
+        # Long.MaxValue and a 2^63-way range partition is a driver DoS,
+        # not a layout.
+        est = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        num_files = max(1, min(-(-est // int(target_file_bytes)), 1 << 20))
     # sever_bounds: the range-sample pass and the write pass below each
     # consume z — without the sever both re-run the full-input bounds
     # aggregate (one extra whole-table pass per write at scale)

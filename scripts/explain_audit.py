@@ -101,11 +101,12 @@ EXPECTED_MAX = {
     # surprisal scoring behind the checkpoint + one adaptive two-phase
     # rank (same +1 coarse-stats exchange as abc) + final decile agg
     "corpus_difficulty_deciles": {"exchanges": 8, "scans": 1},
-    # deduped (order, part) key frame checkpointed once and read by all
-    # four consumers (self-join both sides, item counts, basket count);
-    # the basket total is an in-plan broadcast 1-row aggregate, zero
-    # driver-side actions (lineitem scan hides behind the checkpoint)
-    "part_association_rules": {"exchanges": 5, "scans": 1},
+    # r8 in-row engine: ONE per-basket collect_set feeds both the pair
+    # explosion (C(k,2) in-row, no self-join) and the item counts; the
+    # basket total is an in-plan broadcast 1-row aggregate, zero
+    # driver-side actions (lineitem scan hides behind the checkpoint).
+    # Audited 4 — a regression to the self-join shape (5+) trips here.
+    "part_association_rules": {"exchanges": 4, "scans": 1},
     # daily count agg + join-free single-pass gap fill (lead +
     # posexplode; events scanned ONCE); CUSUM windows add no shuffle
     "events_cusum_changepoint": {"exchanges": 2, "scans": 1},

@@ -392,9 +392,10 @@ class TestDuplicateClusters:
         ``stepped`` sever the only unsevered operators are the
         pointer-jump self-join over the checkpointed frame (≤2 Exchange,
         ≤1 SortMergeJoin, 0 HashAggregate). A lost lazy checkpoint
-        doubles all three (measured 7/3/4 — the r8 fork-recompute fix)."""
-        from pyspark.sql import functions as F
-
+        multiplies all three (measured 9/5/4 on this toy frame in this
+        test's context; 7/3/4 in the sf-data plan dumps of the r8
+        fork-recompute fix — AQE/stat differences move the exact
+        counts, the sever collapses both to 2/1/0)."""
         from etl_stream_spark.operators.dedup import _cc_round
 
         e = spark.createDataFrame(

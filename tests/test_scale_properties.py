@@ -100,12 +100,19 @@ def test_dynamic_partition_pruning_reaches_the_scan(spark, tmp_path):
     dim.write.mode("overwrite").parquet(dim_path)
 
     f = spark.read.parquet(fact_path)
-    d = spark.read.parquet(dim_path).filter(F.col("region") == 1)
+    # the dim must be the broadcast side: if Catalyst broadcasts the
+    # (tiny at test scale) FACT instead, the planned DPP filter is
+    # elided to the vacuous dynamicpruningexpression(true) — the
+    # round-8 verdict's finding on the catalog entry
+    d = F.broadcast(spark.read.parquet(dim_path).filter(F.col("region") == 1))
     q = f.join(d, "day").groupBy("day").count()
     plan = q._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "dynamicpruningexpression" in plan, plan
+    # ... and non-vacuously: `(true)` means planned-then-elided pruning
+    assert "dynamicpruningexpression(true)" not in plan, plan
+    assert "SubqueryBroadcast" in plan or "dynamicpruning#" in plan, plan
     # region==1 keeps days {1, 6}: 2/10ths of the fact survive
     assert q.agg(F.sum("count")).first()[0] == 200
 
@@ -124,9 +131,81 @@ def test_dpp_entry_prunes_the_fact_scan(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "dynamicpruningexpression" in plan, plan
+    # the round-8 plan carried dynamicpruningexpression(true) — DPP
+    # planned, then ELIDED because the partitioned fact was itself the
+    # broadcast side; assert the pruning subquery actually exists
+    assert "dynamicpruningexpression(true)" not in plan, plan
+    assert "SubqueryBroadcast" in plan or "dynamicpruning#" in plan, plan
     # ASIA keeps 5/25 nations; every returned group is one of them
     rows = q.collect()
     assert 0 < len(rows) <= 5
+
+
+def _find_scan_metrics(jnode, path_fragment):
+    """Depth-first search of an executed SparkPlan for the parquet scan
+    whose file index lists ``path_fragment``; returns its SQLMetric map
+    (py4j) or None. AQE wrappers (AdaptiveSparkPlanExec, the leaf
+    QueryStageExec shells) hold their subtree off plan()/executedPlan(),
+    not children()."""
+    name = jnode.getClass().getSimpleName()
+    if name == "AdaptiveSparkPlanExec":
+        return _find_scan_metrics(jnode.executedPlan(), path_fragment)
+    if name.endswith("QueryStageExec"):
+        return _find_scan_metrics(jnode.plan(), path_fragment)
+    if "FileSourceScanExec" in name and path_fragment in jnode.toString():
+        return jnode.metrics()
+    ch = jnode.children()
+    for i in range(ch.length()):
+        got = _find_scan_metrics(ch.apply(i), path_fragment)
+        if got is not None:
+            return got
+    return None
+
+
+def test_dpp_entry_reads_only_surviving_partition_files(spark):
+    """Runtime evidence that the pruning FIRES, not just that the plan
+    contains the expression: after executing the entry, the partitioned
+    fact scan's own metrics must show it OPENED only the surviving
+    nation directories' files (numFiles < the static file count). A
+    joined-rows check cannot see this — the join drops non-matching
+    rows whether or not their files were read."""
+    import glob
+
+    from etl_stream_spark.catalog import CATALOG, _scratch_dir
+
+    q = CATALOG["customer_dpp_read"].fn(spark, "/root/testdata/sf0.001")
+    q.collect()  # metrics exist only after execution
+    fact_dir = os.path.join(_scratch_dir("dpp"), "customer")
+    metrics = _find_scan_metrics(
+        q._jdf.queryExecution().executedPlan(), fact_dir
+    )
+    assert metrics is not None, "partitioned fact scan not found in plan"
+    num_files = metrics.apply("numFiles").value()
+    all_files = len(glob.glob(f"{fact_dir}/c_nationkey=*/*.parquet"))
+    # derive the surviving nationkeys from the data (5 ASIA nations)
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table("/root/testdata/sf0.001/nation.parquet").to_pydict()
+    reg = pq.read_table("/root/testdata/sf0.001/region.parquet").to_pydict()
+    asia = {
+        rk
+        for rk, rn in zip(reg["r_regionkey"], reg["r_name"])
+        if rn == "ASIA"
+    }
+    keys = {
+        nk
+        for nk, nrk in zip(nat["n_nationkey"], nat["n_regionkey"])
+        if nrk in asia
+    }
+    surviving = len(
+        [
+            f
+            for k in sorted(keys)
+            for f in glob.glob(f"{fact_dir}/c_nationkey={k}/*.parquet")
+        ]
+    )
+    assert all_files > surviving > 0
+    assert num_files == surviving, (num_files, surviving, all_files)
 
 
 def test_star_join_plans_broadcasts_not_sortmerge(spark):
@@ -804,3 +883,22 @@ def test_plan_ceilings_hold(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
     assert violations == [], violations
+
+
+def test_lsh_pair_path_leaves_no_cache_manager_entry(spark):
+    """r8 verdict backlog #8: ``minhash_lsh_pairs`` cached its
+    signatures frame and nothing ever unpersisted it — each invocation
+    leaked one CacheManager entry for the session's lifetime (cached
+    plans are never GC-collected; localCheckpoint blocks are). Pin the
+    fix: after the operator's action, the session's CacheManager holds
+    nothing. clearCache() first so a cache left by an earlier test
+    cannot mask (caches are a perf detail, clearing is always safe)."""
+    from etl_stream_spark.operators.dedup import minhash_lsh_pairs
+
+    spark.catalog.clearCache()
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox {i % 3} jumps over the lazy dog") for i in range(40)],
+        "doc_id long, text string",
+    )
+    minhash_lsh_pairs(docs).count()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()

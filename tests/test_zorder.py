@@ -403,3 +403,54 @@ def test_manifest_driver_side_read_and_schema_stamp(spark, tmp_path):
     assert not _survives({"max_x": None, "min_x": None}, {"x": (1, None)})
     assert not _survives({"max_x": 5, "min_x": None}, {"x": (1, 3)})
     assert _survives({"max_x": None, "min_x": None}, {})
+
+
+def test_write_zordered_target_file_bytes_sizes_the_layout(spark, tmp_path):
+    """The Iceberg-style ``target-file-size-bytes`` lever (r8 verdict
+    item 6): ``num_files`` derives from the driver-side size estimate
+    of the input — for a plain parquet scan, its on-disk byte sum — so
+    parquet→parquet rewrites land near the target with no extra job.
+    Pin the mechanics, not exact compression: file count equals
+    ceil(input_bytes / target) of the SCANNED size, halving the target
+    never produces fewer files, and content is unchanged."""
+    from etl_stream_spark.plans.zorder import write_zordered
+
+    src = str(tmp_path / "src")
+    (
+        spark.range(20000)
+        .select(
+            F.col("id").alias("a"),
+            (F.col("id") * 37 % 9973).alias("b"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        .write.parquet(src)
+    )
+    input_bytes = sum(
+        os.path.getsize(f) for f in glob.glob(f"{src}/*.parquet")
+    )
+    df = spark.read.parquet(src)
+
+    out_big = str(tmp_path / "zb")
+    target_big = input_bytes  # ~everything in one file
+    write_zordered(df, out_big, "a", "b", target_file_bytes=target_big)
+    n_big = len(glob.glob(f"{out_big}/*.parquet"))
+    assert n_big == 1, n_big
+
+    out_small = str(tmp_path / "zs")
+    target_small = max(1, input_bytes // 8)
+    write_zordered(df, out_small, "a", "b", target_file_bytes=target_small)
+    n_small = len(glob.glob(f"{out_small}/*.parquet"))
+    # ceil(input/(input//8)) is 8 or 9 depending on remainder
+    assert 8 <= n_small <= 9, n_small
+
+    # rewrite is content-preserving
+    assert (
+        spark.read.parquet(out_small).orderBy("a").collect()
+        == df.orderBy("a").collect()
+    )
+
+    # guard rails
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        write_zordered(df, str(tmp_path / "zz"), "a", "b", target_file_bytes=0)
