@@ -77,6 +77,89 @@ def _mg_update(counters: dict, item, capacity: int, w: int = 1) -> None:
             counters[item] = w - d
 
 
+def _mg_summary(items: DataFrame, capacity: int, item_type: str) -> DataFrame:
+    """One distributed Misra–Gries pass over ``items`` (item, w rows):
+    per partition, the surviving counters with their RESIDUAL counts
+    plus one null-item row carrying the partition's total weight (the
+    denominator rides along instead of costing a second full scan).
+    Eagerly checkpointed — ≤ partitions × (capacity + 1) rows — so the
+    two consumers (candidates, total) never re-run the corpus pass."""
+
+    def _summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        n = 0
+        for pdf in batches:
+            # vectorized pre-aggregation: one weighted MG step per
+            # DISTINCT item in the Arrow batch, not one per row
+            sums = pdf.groupby("item", sort=False)["w"].sum()
+            n += int(sums.sum())
+            for item, w in sums.items():
+                _mg_update(counters, item, capacity, int(w))
+        keys = list(counters.keys())
+        yield pd.DataFrame(
+            {
+                "item": keys + [None],
+                "c": [counters[k] for k in keys] + [None],
+                "n": [None] * len(keys) + [n],
+            }
+        )
+
+    return (
+        ensure_parallelism(items)
+        .mapInPandas(_summarize, schema=f"item {item_type}, c long, n long")
+        .localCheckpoint()
+    )
+
+
+def mg_hot_candidates(
+    df: DataFrame,
+    item_col: str,
+    phi: float = 0.01,
+    capacity: int | None = None,
+) -> DataFrame:
+    """PROVEN φ-heavy items from the Misra–Gries pass ALONE — one scan
+    of ``df``, no exact-verification pass. Returns ``(item,)``.
+
+    Soundness with no second scan: an MG residual only ever UNDERcounts
+    (``ΣC(x) ≤ f(x)``), so any item whose summed residuals reach
+    ``⌈φn⌉`` provably holds ≥ φ of all rows — zero false positives, and
+    ``Σ_x ΣC(x) ≤ n`` bounds the result at ``1/φ`` items. What it can
+    miss: only items within the merged MG error band of the threshold
+    (``φn ≤ f(x) < φn + n/(capacity+1) ≤ 1.5·φn`` at the default
+    capacity) — marginal keys, never the 10-100×-φ monsters that
+    actually cause stragglers.
+
+    The right detector wherever the consumer tolerates a marginal miss
+    but pays per scan: skew salting (an unsalted near-threshold key is
+    just the plain join's behavior), pre-filters, cache admission. Use
+    :func:`heavy_hitters` when the exact ≥φ set or exact counts are
+    the answer — it pays one more full pass for them."""
+    if capacity is None:
+        capacity = math.ceil(2.0 / phi)
+    if capacity < math.ceil(2.0 / phi):
+        raise ValueError(
+            f"capacity={capacity} < 2/phi={math.ceil(2.0 / phi)}: the "
+            "Misra-Gries residual bound would not be tight enough to "
+            "prove heaviness near the threshold"
+        )
+    items = df.select(
+        F.col(item_col).alias("item"), F.lit(1).cast("long").alias("w")
+    ).filter(F.col("item").isNotNull())
+    item_type = df.schema[item_col].dataType.simpleString()
+    summary = _mg_summary(items, capacity, item_type)
+    cand = (
+        summary.filter(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.sum("c").alias("_c"))
+    )
+    total = summary.filter(F.col("item").isNull()).agg(F.sum("n").alias("_n"))
+    return (
+        cand.crossJoin(F.broadcast(total))
+        .filter(F.col("_c") >= F.ceil(F.lit(float(phi)) * F.col("_n")))
+        .select("item")
+    )
+
+
 def heavy_hitters(
     df: DataFrame,
     item_col: str,
@@ -127,29 +210,7 @@ def heavy_hitters(
     items = items.filter(F.col("item").isNotNull())
     item_type = df.schema[item_col].dataType.simpleString()
 
-    def _summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counters: dict = {}
-        n = 0
-        for pdf in batches:
-            # vectorized pre-aggregation: one weighted MG step per
-            # DISTINCT item in the Arrow batch, not one per row
-            sums = pdf.groupby("item", sort=False)["w"].sum()
-            n += int(sums.sum())
-            for item, w in sums.items():
-                _mg_update(counters, item, capacity, int(w))
-        # candidates plus one null-item row carrying the partition's
-        # total weight: the denominator rides along in the same pass
-        # instead of costing a second full scan
-        keys = list(counters.keys())
-        yield pd.DataFrame(
-            {"item": keys + [None], "n": [None] * len(keys) + [n]}
-        )
-
-    summary = (
-        ensure_parallelism(items)
-        .mapInPandas(_summarize, schema=f"item {item_type}, n long")
-        .localCheckpoint()  # ≤ partitions × (capacity + 1) rows
-    )
+    summary = _mg_summary(items, capacity, item_type)
     candidates = summary.filter(F.col("item").isNotNull()).select("item").distinct()
     # exact verification: aggregate only rows carrying a candidate item
     # (AQE broadcasts the bounded candidate side on its own — no hint).

@@ -128,10 +128,10 @@ def skew_aware_join(
 
     :func:`salted_join` replicates the whole small side ``salt_buckets``
     times — fine when most keys are hot, wasteful when (as usual) a
-    handful are. This variant first runs the bounded-memory
-    Misra-Gries detector (:func:`~etl_stream_spark.operators.frequency.
-    heavy_hitters`) over the big side's key column to find keys holding
-    ≥ ``phi`` of all rows, then:
+    handful are. This variant first runs one bounded-memory
+    Misra-Gries pass (:func:`~etl_stream_spark.operators.frequency.
+    mg_hot_candidates`) over the big side's key column to find keys
+    PROVEN to hold ≥ ``phi`` of all rows, then:
 
     * big side: hot rows get a pseudo-random salt in
       ``[0, salt_buckets)``, everything else salt 0;
@@ -142,12 +142,17 @@ def skew_aware_join(
     The hot-key set is ≤ ``1/phi`` rows by construction, broadcast to
     both sides. The join result is identical to the unsalted join (salt
     only moves rows between shuffle partitions), so correctness is
-    oracle-checkable against plain SQL. Detection costs one extra pass
-    over the big side's key column — worth it exactly when a straggler
-    task would otherwise dominate the stage; with a known hot-key list,
-    pass it via ``hot_keys`` and skip the pass.
+    oracle-checkable against plain SQL. Detection costs ONE extra pass
+    over the big side's key column — the Misra-Gries residuals prove
+    heaviness directly (:func:`~etl_stream_spark.operators.frequency.
+    mg_hot_candidates`), skipping ``heavy_hitters``' exact-verification
+    scan: a key inside the MG error band of the threshold may go
+    unsalted (that is simply the plain join's behavior for it, and a
+    straggler-causing key sits far above the band), while the saving
+    is a whole second pass over the fact at 100 TB. With a known
+    hot-key list, pass it via ``hot_keys`` and skip detection entirely.
     """
-    from ..operators.frequency import heavy_hitters
+    from ..operators.frequency import mg_hot_candidates
 
     if how not in ("inner", "left"):
         # right/full outer would emit phantom null-extended rows for the
@@ -155,7 +160,9 @@ def skew_aware_join(
         # big row — the salt must stay invisible in the result
         raise ValueError(f"skew_aware_join supports inner/left, got {how!r}")
     if hot_keys is None:
-        hot_keys = heavy_hitters(big, on, phi=phi).select(F.col("item").alias(on))
+        hot_keys = mg_hot_candidates(big, on, phi=phi).select(
+            F.col("item").alias(on)
+        )
     hot = F.broadcast(hot_keys.select(on).distinct())
     is_hot = F.col("_hotmark").isNotNull()
     marker = hot.withColumn("_hotmark", F.lit(True))

@@ -353,7 +353,7 @@ _BOUNDED_HINT_ALLOWLIST = {
     "corpus_length_histogram",
     "corpus_tfidf",
     "embedding_quantize_int8",
-    "events_skew_aware_enrichment",  # broadcasts: <=1/phi detected hot keys
+    "events_skew_aware_enrichment",  # broadcasts: <=1/phi proven-heavy MG keys
     "hybrid_search_rrf",
     "ivf_incremental_search",  # broadcasts: k centroids + |queries|*nprobe probe rows
     "ivf_topk",
