@@ -30,10 +30,7 @@ from etl_stream_spark.cdc.envelope import (
     OP_INSERT,
     OP_TRUNCATE,
     OP_UPDATE,
-    with_cdc_metadata,
-    effective_row,
 )
-from etl_stream_spark.functions.sequences import lsn_sequence_expr
 
 #: Debezium op-code → reference operation vocabulary.
 _OP_MAP = {"c": OP_INSERT, "r": OP_INSERT, "u": OP_UPDATE, "d": OP_DELETE, "t": OP_TRUNCATE}
@@ -70,33 +67,76 @@ def decode_cdc_json(
     ``table``/``operation``/``sequence``/``cdc_timestamp`` metadata plus
     the payload columns (DELETE rows read the *before* image, P3).
 
-    One narrow projection chain — no shuffle; works identically on batch
-    and streaming DataFrames. Malformed JSON rows decode to null ops and
-    are dropped (TRY-parse semantics)."""
-    env = raw.select(
-        F.from_json(F.col(value_col).cast("string"), cdc_envelope_schema(payload_schema)).alias(
-            "e"
-        )
-    ).select("e.*")
+    Exactly TWO projections and one filter — no shuffle; works
+    identically on batch and streaming DataFrames. Malformed JSON rows
+    decode to null ops and are dropped (TRY-parse semantics).
 
-    op = F.col("op")
-    mapped = None
-    for code, name in _OP_MAP.items():
-        mapped = F.when(op == code, name) if mapped is None else mapped.when(op == code, name)
+    Plan-construction cost is part of this function's contract: it runs
+    once per MICRO-BATCH inside foreachBatch, and the previous
+    withColumn-chain + ``effective_row`` form (which calls
+    ``df.columns``, forcing a driver-side analysis mid-construction)
+    measured ~330 ms of pure driver work per 10k-row batch — ~45% of
+    the whole decode stage (round-9 probe). The envelope struct is
+    bound to a column in its own projection so the JSON parse runs once
+    per row (CollapseProject does not inline a non-cheap multi-ref
+    alias — the round-8 tokenize-once rule); the payload fields come
+    from ``payload_schema`` directly, never from ``df.columns``."""
+    parse, flt, sel = _decode_exprs(payload_schema, value_col)
+    return raw.selectExpr(parse).filter(flt).selectExpr(*sel)
 
-    decoded = (
-        env.filter(op.isNotNull())
-        .withColumn("table", F.col("source.table"))
-        .withColumn("_operation_tmp", mapped)
-        .filter(F.col("_operation_tmp").isNotNull())
+
+#: (payload_schema.json(), value_col) → prepared SQL expression strings.
+#: Bounded by the number of distinct table schemas a process decodes.
+_DECODE_EXPR_CACHE: dict = {}
+
+
+def _decode_exprs(
+    payload_schema: T.StructType, value_col: str
+) -> tuple[str, str, list[str]]:
+    """Compose (and cache) the decode plan as SQL strings. Column-object
+    composition cost ~550 py4j socket roundtrips per call (measured
+    ~200 ms); three ``selectExpr``/``filter`` string calls cost four.
+    The strings are pure functions of the payload schema, so the cache
+    key is the schema's JSON form (also what ``from_json`` is handed —
+    JSON survives any field name that JSON itself can encode)."""
+    from etl_stream_spark.cdc.envelope import (
+        OPERATION_COL,
+        SEQUENCE_COL,
+        TIMESTAMP_COL,
     )
-    decoded = with_cdc_metadata(
-        decoded,
-        operation=F.col("_operation_tmp"),
-        sequence=lsn_sequence_expr(F.col("source.lsn"), F.col("source.lsn")),
-        timestamp=F.timestamp_millis(F.col("ts_ms")),
-    ).drop("_operation_tmp", "op", "ts_ms", "source")
-    return effective_row(decoded)
+    from etl_stream_spark.functions.sequences import _LSN_HEX_WIDTH
+
+    key = (payload_schema.json(), value_col)
+    got = _DECODE_EXPR_CACHE.get(key)
+    if got is not None:
+        return got
+    schema_str = cdc_envelope_schema(payload_schema).json()
+    parse = f"from_json(cast(`{value_col}` as string), '{schema_str}') AS e"
+    codes = ", ".join(f"'{c}'" for c in _OP_MAP)
+    # NULL op fails IN too, so one filter covers both legacy filters
+    # (op non-null AND op maps to a known operation)
+    flt = f"e.op IN ({codes})"
+    mapped = (
+        "CASE "
+        + " ".join(f"WHEN e.op = '{c}' THEN '{n}'" for c, n in _OP_MAP.items())
+        + " END"
+    )
+
+    def hex16(x: str) -> str:
+        return f"lpad(lower(conv(cast({x} as string), 10, 16)), {_LSN_HEX_WIDTH}, '0')"
+
+    seq = f"concat_ws('/', {hex16('e.source.lsn')}, {hex16('e.source.lsn')})"
+    payload = "(CASE WHEN e.op = 'd' THEN e.before ELSE e.after END)"
+    sel = [
+        "e.source.table AS `table`",
+        f"{mapped} AS `{OPERATION_COL}`",
+        f"{seq} AS `{SEQUENCE_COL}`",
+        f"timestamp_millis(e.ts_ms) AS `{TIMESTAMP_COL}`",
+        *[f"{payload}.`{f}` AS `{f}`" for f in payload_schema.fieldNames()],
+    ]
+    got = (parse, flt, sel)
+    _DECODE_EXPR_CACHE[key] = got
+    return got
 
 
 def decode_cdc_json_with_dlq(

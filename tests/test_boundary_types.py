@@ -41,8 +41,8 @@ def bad_types(name: str, dt: T.DataType) -> list[str]:
 
 
 @pytest.mark.parametrize("entry", BATCH_ENTRIES)
-def test_boundary_schema_is_portable(spark, entry):
-    df = CATALOG[entry].fn(spark, "/root/testdata/sf0.001")
+def test_boundary_schema_is_portable(catalog_frames, entry):
+    df = catalog_frames(entry)
     problems = []
     for f in df.schema.fields:
         problems += bad_types(f.name, f.dataType)

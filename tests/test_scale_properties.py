@@ -289,7 +289,7 @@ def test_semantic_dedup_and_source_report_partitioning_invariant(spark):
     assert a == b and len(a) > 0
 
 
-def test_no_cartesian_product_in_any_batch_plan(spark):
+def test_no_cartesian_product_in_any_batch_plan(spark, catalog_frames):
     """Sweep every batch catalog entry: a CartesianProduct anywhere is
     an unbounded pair-space blowup at 100 TB. Broadcast nested-loop
     joins are acceptable only because their broadcast side is a
@@ -313,11 +313,11 @@ def test_no_cartesian_product_in_any_batch_plan(spark):
         "wal_size_monitor",
     }
     offenders = []
-    for name, qd in CATALOG.items():
+    for name in CATALOG:
         if name in skip:
             continue
         try:
-            df = qd.fn(spark, "/root/testdata/sf0.001")
+            df = catalog_frames(name)
             plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as exc:  # noqa: BLE001
             offenders.append(f"{name}: PLAN ERROR {exc}")
@@ -414,7 +414,7 @@ def _hinted_scaling_tables(tree: str) -> set[str]:
     return tabs
 
 
-def test_no_broadcast_hints_on_sf_scaling_tables(spark):
+def test_no_broadcast_hints_on_sf_scaling_tables(spark, catalog_frames):
     """Round-3 regression tripwire: a hard ``F.broadcast`` hint whose
     subtree scans an SF-scaling base table overrides Spark's size check
     and OOMs at the 100 TB design point (round-2 verdict finding #1 —
@@ -445,10 +445,10 @@ def test_no_broadcast_hints_on_sf_scaling_tables(spark):
     }
 
     offenders = {}
-    for name, qd in CATALOG.items():
+    for name in CATALOG:
         if name in skip:
             continue
-        df = qd.fn(spark, "/root/testdata/sf0.001")
+        df = catalog_frames(name)
         tabs = _hinted_scaling_tables(
             df._jdf.queryExecution().analyzed().treeString()
         )
@@ -588,7 +588,7 @@ _BOUNDED_GLOBAL_WINDOW_ALLOWLIST = {
 }
 
 
-def test_no_unpartitioned_windows_over_sf_scaling_frames(spark):
+def test_no_unpartitioned_windows_over_sf_scaling_frames(spark, catalog_frames):
     """Round-6 verdict finding #1 tripwire: ``Window.orderBy`` with no
     ``partitionBy`` executes as ONE task sorting the whole frame — the
     worst scale cliff in the catalog when the frame grows with SF
@@ -629,10 +629,10 @@ def test_no_unpartitioned_windows_over_sf_scaling_frames(spark):
         return tabs
 
     offenders = {}
-    for name, qd in CATALOG.items():
+    for name in CATALOG:
         if name in skip:
             continue
-        df = qd.fn(spark, "/root/testdata/sf0.001")
+        df = catalog_frames(name)
         stack = [df._jdf.queryExecution().analyzed()]
         tabs: set[str] = set()
         while stack:

@@ -79,6 +79,35 @@ class TestEnvelopeDecode:
         got = spark.sql("SELECT * FROM decode_stream_test").collect()
         assert len(got) == 3 and all(r["operation"] == "INSERT" for r in got)
 
+    def test_decode_parses_json_once_and_honors_value_col(self, spark):
+        """r9 internals pin: the old withColumn+``e.*`` form let
+        CollapseProject inline the JSON parse into every field — SEVEN
+        from_json sites in the optimized plan, one full parse per
+        output column per row. The rewrite binds the envelope in its
+        own projection: exactly TWO sites survive — the full parse,
+        once, plus the pushed-down filter's copy which OptimizeJsonExprs
+        prunes to a struct<op> probe. A custom ``value_col`` (the Kafka
+        path) must decode identically."""
+        rows = [(_envelope("c", 10, after={"id": 1, "name": "a"}),)]
+        raw = spark.createDataFrame(rows, "value string")
+        out = decode_cdc_json(raw, PAYLOAD)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("from_json") == 2, plan
+        # the filter's copy parses ONLY op (schema-pruned probe) …
+        assert "Filter from_json(StructField(op,StringType,true), value" in plan, plan
+        # … so the full envelope schema is parsed exactly once
+        assert plan.count("StructField(ts_ms") == 1, plan
+        want = [tuple(r) for r in out.collect()]
+        got = [
+            tuple(r)
+            for r in decode_cdc_json(
+                raw.withColumnRenamed("value", "kafka_value"), PAYLOAD, "kafka_value"
+            ).collect()
+        ]
+        assert got == want and want[0][1] == "INSERT"
+        # zero-padded lsn ordering survives the SQL-string form
+        assert want[0][2] == "000000000000000a/000000000000000a"
+
 
 class TestInitialCopy:
     def test_snapshot_then_cdc_wins(self, spark, tmp_path):
