@@ -8661,6 +8661,38 @@ CATALOG.update({name: QueryDef(fn, sql) for name, fn, sql in _EXTRA})
 #: flagship CDC path plus at least one representative of every operator
 #: family inside that window; redundant TPC-H variants trail.
 _DRIVER_PRIORITY = [
+    # ROUND-9 ROTATION (CORRECTNESS_r08 was 50/50). Per the rule —
+    # canaries stay, every in-round ENGINE change enters, plus the
+    # r8 spread backlog:
+    # (a) ENGINE CHANGED in r9 — customer_dpp_read (the DPP lever now
+    #     actually fires: dim pinned to the broadcast side; already
+    #     in-window), hybrid_search_rrf (bm25_topk tokenize-once + dl
+    #     from tf; already in-window as the retrieval canary),
+    #     events_skew_aware_enrichment (one-pass MG hot-key detection;
+    #     already in-window), cdc_envelope_decode ENTERS (decode
+    #     rewritten as cached SQL-string plan, from_json 7→1 sites —
+    #     displacing cdc_scd2_history, r8-proven spread member; the
+    #     CDC family keeps cdc_final_state/streaming_merge/gold_rollup/
+    #     forget_keys/masked_replication/quarantine_repair in-window,
+    #     and cdc_quarantine_repair rides the SAME rewritten decode),
+    #     dedup_lsh_verified ENTERS (minhash signatures cache →
+    #     lazy localCheckpoint; verified path covers dedup_lsh_pairs
+    #     as a subset — displacing events_markov_transitions,
+    #     r8-proven; sequence family keeps session_pattern_match),
+    #     text_heavy_hitters ENTERS (heavy_hitters internals now ride
+    #     the shared _mg_summary pass; exact semantics unchanged —
+    #     displacing corpus_contamination, r8-proven; corpus family
+    #     keeps the funnel canary + five other reps);
+    # (b) r8 SPREAD BACKLOG (left the window mid-r8 without a
+    #     re-check): corpus_oov_rate ENTERS (displacing
+    #     user_value_ewma, r8-proven; trend family keeps
+    #     events_hourly_acf + both CUSUM monitors),
+    #     events_salted_enrichment ENTERS (displacing
+    #     events_hourly_seasonality, r8-proven; the hourly-bucket
+    #     recipe stays exercised by events_hourly_acf) — the salting
+    #     pair now exercises BOTH the full-replication and detected
+    #     variants under the oracle.
+    #
     # ROUND-8 ROTATION (CORRECTNESS_r07 was 50/50 — zero never-checked
     # entries remain). In per the rotation rule:
     # (a) NEW in r8 — orders_pruned_read (z-order + manifest
@@ -8800,9 +8832,11 @@ _DRIVER_PRIORITY = [
     #   (displaced cdc_envelope_decode, driver-proven r2 — the decode
     #   path stays exercised in-window by cdc_quarantine_repair)
     "cdc_quarantine_repair",       # DLQ replay over tombstones
-    "events_hourly_seasonality",   # r8 regression spread: r6 quartet
-    #   returns (displaced events_cusum_changepoint, driver-proven
-    #   r6+r7 — CUSUM family keeps streaming_cusum_monitor)
+    "events_salted_enrichment",    # r9: the other r8 spread-backlog
+    #   entry; with events_skew_aware_enrichment in-window the oracle
+    #   now proves BOTH salting variants (displaced
+    #   events_hourly_seasonality, r8-proven — hourly-bucket recipe
+    #   stays exercised by events_hourly_acf)
     "orders_benford_digits",       # NEW r6 late: Benford DQ audit
     #   (displaced cdc_scd2_incremental, driver-proven r3 — same CDC
     #   coverage argument; the DQ family adds this to dq_orders_report)
@@ -8810,8 +8844,10 @@ _DRIVER_PRIORITY = [
     #   (displaced wal_size_monitor, driver-proven r4 — the monitoring
     #   family keeps four in-window reps: this entry, the batch CUSUM,
     #   events_anomaly_mad, streaming_dq_monitor)
-    "user_value_ewma",             # r8 regression spread: r6 quartet
-    #   returns (displaced supplier_lead_time, driver-proven r7)
+    "corpus_oov_rate",             # r9: the r8 spread-backlog entry
+    #   (left the r8 window mid-round without a re-check; displaced
+    #   user_value_ewma, r8-proven — trend family keeps
+    #   events_hourly_acf + both CUSUM monitors)
     "streaming_dq_monitor",        # NEW r6: expectations on a stream
     #   (displaced streaming_hourly_rollup, driver-proven r4; the
     #   windowed-agg shape stays covered by this entry's aggregation)
@@ -8829,13 +8865,20 @@ _DRIVER_PRIORITY = [
     # NEW round-6 entries (never driver-checked — must be windowed;
     # displaced dedup_simhash / semantic_dedup / corpus_tfidf, all
     # driver-proven r2-r5 with other family reps still in-window)
-    "events_markov_transitions",   # r8 regression spread: r6 quartet
-    #   returns (displaced events_orc_roundtrip, driver-proven r6+r7
-    #   — the ORC path stays pytest-covered)
-    "cdc_scd2_history",            # r8 regression spread: oldest r3
-    #   proof re-checked (displaced privacy_k_anonymity, r6+r7-proven)
-    "corpus_contamination",        # r8 regression spread: oldest r2-r4
-    #   proof re-checked (displaced events_anomaly_mad, r6+r7-proven)
+    "dedup_lsh_verified",          # ENGINE CHANGED r9: minhash
+    #   signatures persist is a lazy localCheckpoint (no CacheManager
+    #   leak); the verified path covers dedup_lsh_pairs as a subset
+    #   (displaced events_markov_transitions, r8-proven — sequence
+    #   family keeps session_pattern_match)
+    "cdc_envelope_decode",         # ENGINE CHANGED r9: decode is a
+    #   cached-SQL-string two-projection plan, from_json 7→1 full
+    #   parses per row (displaced cdc_scd2_history, r8-proven spread
+    #   member — SCD2 stays covered by cdc_scd2_incremental's pytest
+    #   oracle suite and the in-window CDC reps)
+    "text_heavy_hitters",          # ENGINE CHANGED r9: heavy_hitters
+    #   rides the shared _mg_summary pass (exact verification
+    #   semantics unchanged; displaced corpus_contamination, r8-proven
+    #   — corpus family keeps six in-window reps)
     "customer_abc_classes",        # ENGINE CHANGED r7: two-phase cumsum
     #   (displaced knn_bruteforce, driver-proven r2-r4 — similarity
     #   reps remain: ann_recall_audit, pq_recall_audit, ivf_topk,

@@ -55,12 +55,24 @@ EXPECTED_MAX = {
     "q21_waiting_suppliers": {"exchanges": 2, "scans": 3},
     # one narrow pass + dedup window + final agg; no joins
     "corpus_curation_funnel": {"exchanges": 2, "scans": 1},
-    # BM25 postings equi-join + broadcast-bounded kNN + RRF full-outer
-    "hybrid_search_rrf": {"exchanges": 15, "scans": 8},
+    # BM25 postings equi-join + broadcast-bounded kNN + RRF full-outer.
+    # r9: tf checkpointed + dl = Σtf — documents is full-scanned ONCE
+    # (the 4 remaining scans are the two doc_id<5-pushed query sides +
+    # two embedding sides); a regression to per-consumer tokenization
+    # (was 15 exch / 8 scans) trips here.
+    "hybrid_search_rrf": {"exchanges": 13, "scans": 4},
     # band-bucket equi-join; cosine before distinct
     "ann_lsh_topk": {"exchanges": 4, "scans": 2},
-    # Misra-Gries hot keys + targeted salting; no SMJ of events
-    "events_skew_aware_enrichment": {"exchanges": 4, "scans": 3},
+    # r9 one-pass MG hot-key detection (no exact-verification scan) +
+    # targeted salting; no SMJ of events. Was 4 exch / 3 scans with
+    # heavy_hitters' verification pass — a regression re-adding a full
+    # events scan trips here.
+    "events_skew_aware_enrichment": {"exchanges": 3, "scans": 2},
+    # sig frame localCheckpoint-severed (4 consumers): band self-join +
+    # both re-attach joins ride the materialized frame, zero raw scans
+    "dedup_lsh_pairs": {"exchanges": 2, "scans": 0},
+    # + the shingle verification side (one raw scan survives)
+    "dedup_lsh_verified": {"exchanges": 2, "scans": 1},
     "q18_large_orders": {"exchanges": 1, "scans": 3},
     "q7_nation_trade": {"exchanges": 3, "scans": 5},
     "q3_shipping_priority": {"exchanges": 1, "scans": 3},
