@@ -8126,12 +8126,18 @@ GROUP BY 1, 2
 def events_skew_aware_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The self-tuning variant of ``events_salted_enrichment``:
     ``plans.partitioning.skew_aware_join`` first detects hot user_ids
-    with the bounded-memory Misra-Gries pass (phi = 0.1% of fact rows)
-    and salts ONLY those — the small side replicates |hot|×16 rows, not
-    |dim|×16. At sf0.01 every user crosses the threshold (all-hot
-    regime ≡ full salting); at sf0.1 none does (detection degenerates
-    to the plain join, no replication) — both regimes must produce the
-    bit-identical plain-join aggregate the oracle computes."""
+    in ONE bounded-memory Misra-Gries pass (phi = 0.1% of fact rows;
+    ``frequency.mg_hot_candidates`` — residual ≥ ⌈φn⌉ PROVES heaviness,
+    no exact-verification scan) and salts ONLY those — the small side
+    replicates |hot|×16 rows, not |dim|×16. At the test SFs the
+    distinct-user count sits far below the MG capacity (2/φ = 2000),
+    so no counter ever decrements and detection is EXACT-equivalent:
+    at sf0.01 every user crosses the threshold (all-hot regime ≡ full
+    salting); at sf0.1 none does (detection degenerates to the plain
+    join, no replication). At scale, keys inside the MG error band
+    (φn ≤ f < φn + n/(capacity+1)) may go unsalted — the plain join's
+    behavior for them; either way the result is the bit-identical
+    plain-join aggregate the oracle computes."""
     from etl_stream_spark.plans.partitioning import skew_aware_join
 
     ev = _t(spark, sf_dir, "events")

@@ -81,8 +81,59 @@ def decode_cdc_json(
     per row (CollapseProject does not inline a non-cheap multi-ref
     alias — the round-8 tokenize-once rule); the payload fields come
     from ``payload_schema`` directly, never from ``df.columns``."""
+    if _sql_unsafe(payload_schema, value_col):
+        return _decode_via_columns(raw, payload_schema, value_col)
     parse, flt, sel = _decode_exprs(payload_schema, value_col)
     return raw.selectExpr(parse).filter(flt).selectExpr(*sel)
+
+
+def _sql_unsafe(payload_schema: T.StructType, value_col: str) -> bool:
+    """True when embedding this schema/column in SQL string literals
+    could mis-parse: a quote or backslash anywhere in the schema's JSON
+    form (field names OR metadata), or a backtick/quote in an
+    identifier. Such inputs take the Column-object path — slower to
+    construct, immune to quoting."""
+    schema_str = cdc_envelope_schema(payload_schema).json()
+    if "'" in schema_str or "\\" in schema_str:
+        return True
+    return any(
+        ("`" in ident) or ("'" in ident)
+        for ident in [value_col, *payload_schema.fieldNames()]
+    )
+
+
+def _decode_via_columns(
+    raw: DataFrame, payload_schema: T.StructType, value_col: str
+) -> DataFrame:
+    """Column-object twin of the SQL-string plan (same two projections,
+    same one bound parse, same output): the fallback for field names /
+    metadata the SQL-literal form cannot safely embed."""
+    from etl_stream_spark.cdc.envelope import (
+        OPERATION_COL,
+        SEQUENCE_COL,
+        TIMESTAMP_COL,
+    )
+    from etl_stream_spark.functions.sequences import lsn_sequence_expr
+
+    env = raw.select(
+        F.from_json(
+            F.col(value_col).cast("string"), cdc_envelope_schema(payload_schema)
+        ).alias("e")
+    )
+    op = F.col("e.op")
+    mapped = None
+    for code, name in _OP_MAP.items():
+        mapped = F.when(op == code, name) if mapped is None else mapped.when(op == code, name)
+    payload = F.when(op == F.lit("d"), F.col("e.before")).otherwise(F.col("e.after"))
+    return env.filter(op.isin(*_OP_MAP)).select(
+        F.col("e.source.table").alias("table"),
+        mapped.alias(OPERATION_COL),
+        lsn_sequence_expr(F.col("e.source.lsn"), F.col("e.source.lsn")).alias(
+            SEQUENCE_COL
+        ),
+        F.timestamp_millis(F.col("e.ts_ms")).alias(TIMESTAMP_COL),
+        *[payload.getField(f).alias(f) for f in payload_schema.fieldNames()],
+    )
 
 
 #: (payload_schema.json(), value_col) → prepared SQL expression strings.
@@ -122,6 +173,11 @@ def _decode_exprs(
         + " END"
     )
 
+    # NB: this is the SQL spelling of functions/sequences.py::
+    # lsn_sequence_expr and MUST stay in lockstep with it — decoded
+    # sequences are compared lexicographically against every other
+    # producer's during merges. Drift is pinned by
+    # test_sources.py::test_decode_sequence_matches_canonical_format.
     def hex16(x: str) -> str:
         return f"lpad(lower(conv(cast({x} as string), 10, 16)), {_LSN_HEX_WIDTH}, '0')"
 

@@ -116,7 +116,12 @@ def main() -> None:
         "--key",
         default="queries",
         choices=["queries", "queries_median"],
-        help="which timing map to compare (min-of-N vs median)",
+        help="which timing map to compare (min-of-N vs median). NB: "
+        "r9+ bench artifacts no longer carry queries_median in the "
+        "one-line JSON (it moved to a stderr comment so driver-side "
+        "tail truncation cannot eat the per-query map again) — "
+        "median comparisons only work between pre-r9 artifacts or "
+        "JSONs assembled by hand from the stderr line.",
     )
     ap.add_argument(
         "--threshold",
@@ -127,6 +132,14 @@ def main() -> None:
     args = ap.parse_args()
 
     old, new = load_bench(args.old), load_bench(args.new)
+    for side, artifact in (("old", old), ("new", new)):
+        if args.key not in artifact:
+            print(
+                f"{side} artifact has no '{args.key}' map "
+                "(r9+ artifacts carry medians on stderr only — see --help)",
+                file=sys.stderr,
+            )
+            sys.exit(2)
     c = compare(old, new, args.key)
     if not c["common"]:
         print("no common queries", file=sys.stderr)

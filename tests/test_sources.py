@@ -108,6 +108,59 @@ class TestEnvelopeDecode:
         # zero-padded lsn ordering survives the SQL-string form
         assert want[0][2] == "000000000000000a/000000000000000a"
 
+    def test_decode_sequence_matches_canonical_format(self, spark):
+        """The SQL-string decode hand-spells lsn_sequence_expr; decoded
+        sequences are merged lexicographically against other producers'
+        sequences, so the two spellings must never drift. This pin
+        fails the moment sequences.py changes width/separator/format
+        without the decode string following."""
+        from pyspark.sql import functions as F
+
+        from etl_stream_spark.functions.sequences import lsn_sequence_expr
+
+        lsn = 81985529216486895  # exercises every hex digit class
+        raw = spark.createDataFrame(
+            [(_envelope("c", lsn, after={"id": 1, "name": "a"}),)],
+            "value string",
+        )
+        got = decode_cdc_json(raw, PAYLOAD).select("sequence").first()[0]
+        want = (
+            spark.range(1)
+            .select(lsn_sequence_expr(F.lit(lsn), F.lit(lsn)).alias("s"))
+            .first()["s"]
+        )
+        assert got == want
+
+    def test_decode_falls_back_for_sql_unsafe_field_names(self, spark):
+        """A payload field name the SQL-literal plan cannot embed
+        (quote/backtick) must still decode — via the Column-object
+        fallback — with identical envelope semantics."""
+        import json as _json
+
+        from pyspark.sql import types as T
+
+        ps = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("weird'na`me", T.StringType()),
+            ]
+        )
+        env = _json.dumps(
+            {
+                "op": "c",
+                "ts_ms": 1000,
+                "after": {"id": 5, "weird'na`me": "x"},
+                "source": {"lsn": 9, "table": "t", "schema": "s"},
+            }
+        )
+        raw = spark.createDataFrame([(env,)], "value string")
+        out = decode_cdc_json(raw, ps).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["id"] == 5 and r["weird'na`me"] == "x"
+        assert r["operation"] == "INSERT"
+        assert r["sequence"].startswith("0000000000000009/")
+
 
 class TestInitialCopy:
     def test_snapshot_then_cdc_wins(self, spark, tmp_path):
